@@ -1,0 +1,139 @@
+"""Cluster analytics: centroids, medoid flagging, and the flagship
+reporting query (per-cluster window aggregates + medoid filter +
+projection).
+
+Reference parity (SURVEY.md §2.5, §3.3):
+  - medoid flagging  = W1/M5, reference ``word_wizard.py:719-746``
+    (n_med nearest-to-centroid per cluster, euclidean metric);
+  - flagship query   = the MVP notebook reporting query
+    (``MVP.ipynb`` cell-12): window count (A6) + window mean (A7) +
+    medoid filter (P9) + fixed projection (P6).
+
+Spark-first design: centroids are one hash aggregation (map-side
+partial avg per dimension — a single shuffle on the cluster key);
+the centroid table (k rows) is broadcast back, distance is a codegen
+array expression, medoids come from a rank-1..n window. At 100 TB the
+only shuffle is on ``label`` — AQE handles skewed clusters.
+
+Determinism: distances are rounded and ties broken by row id so
+results are stable across partitionings and engines (the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
+from miba_2023_capstone_rb_nlp_spark.functions.vectors import as_double, euclidean
+
+_SCALE = 6
+
+
+def vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first non-null row (tiny
+    driver action, executed once per plan build)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).filter("d is not null").first()
+    if row is None:
+        raise ValueError(f"no non-null vectors in column {vec_col!r}")
+    return row["d"]
+
+
+def centroids(
+    df: DataFrame, vec_col: str, label_col: str, dim: int | None = None
+) -> DataFrame:
+    """Per-cluster mean vector → DataFrame[label, centroid].
+
+    One shuffle: groupBy(label) with per-dimension ``avg`` columns
+    (partial aggregation map-side, so 100 TB in → k rows out).
+    Components rounded so downstream math is engine-deterministic.
+    """
+    dim = dim or vector_dim(df, vec_col)
+    v = as_double(F.col(vec_col))
+    avgs = [
+        fixed(F.sum(v.getItem(i)) / F.count(F.lit(1)), _SCALE).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    agg = df.groupBy(F.col(label_col).alias(label_col)).agg(*avgs)
+    return agg.select(
+        label_col, F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid")
+    )
+
+
+def with_centroid_distance(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int | None = None,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Join (broadcast — k rows) each row to its cluster centroid and
+    compute rounded euclidean distance."""
+    cents = centroids(df, vec_col, label_col, dim)
+    joined = df.join(F.broadcast(cents), on=label_col, how="inner")
+    return joined.withColumn(
+        dist_col, fixed(euclidean(F.col(vec_col), F.col("centroid")), _SCALE)
+    ).drop("centroid")
+
+
+def with_medoids(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    id_col: str,
+    n_med: int = 2,
+    dim: int | None = None,
+    flag_col: str = "is_medoid",
+) -> DataFrame:
+    """Flag the n_med rows nearest their cluster centroid (reference
+    ``word_wizard.py:725-735``), ties broken by id for determinism."""
+    with_dist = with_centroid_distance(df, vec_col, label_col, dim)
+    w = Window.partitionBy(label_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return with_dist.withColumn(
+        flag_col, F.row_number().over(w) <= F.lit(n_med)
+    )
+
+
+def cluster_viz_summary(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_med: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Flagship reporting query (MVP.ipynb cell-12 re-expressed).
+
+    enriched = documents ⋈ embeddings (1:1 on id) — the analog of the
+    WordWizard enriched table; then per-cluster window count (A6),
+    window mean (A7), medoid filter (P9), fixed projection (P6).
+
+    Single shuffle on the cluster key; the doc⋈vec join is on the
+    (bucketable) id key and never widens rows beyond the projection.
+    """
+    enriched = documents.join(
+        embeddings, documents["doc_id"] == embeddings["vec_id"], "inner"
+    )
+    flagged = with_medoids(
+        enriched, "embedding", "label", id_col="vec_id", n_med=n_med, dim=dim
+    )
+    w = Window.partitionBy("label")
+    v = as_double(F.col("embedding"))
+    return (
+        flagged.withColumn("size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "mean_chars",
+            fixed(
+                F.sum("n_chars").over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+            ),
+        )
+        .filter(F.col("is_medoid"))
+        .select(
+            F.col("label").alias("cluster"),
+            F.col("size"),
+            v.getItem(0).alias("x"),
+            v.getItem(1).alias("y"),
+            F.col("mean_chars"),
+            F.col("dist"),
+            F.col("doc_id"),
+            F.col("text"),
+        )
+    )

@@ -1,0 +1,280 @@
+"""Relational core (SURVEY §2.2-2.7): joins, aggregations, windows,
+top-k, set ops — expressed as lazy DataFrame plans so Catalyst gets
+pushdown/pruning/join-selection for free.
+
+Scale notes: every query here shuffles only on its aggregation/join
+keys; dimension tables (region/nation/customer at TPC-H ratios) are
+broadcast; no collect() anywhere. Money aggregates use exact DECIMAL
+sums (order-independent → engine-deterministic, see functions/numeric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark import catalog
+from miba_2023_capstone_rb_nlp_spark.functions.numeric import (
+    davg,
+    dec,
+    dsum,
+    fixed,
+    sql_davg,
+    sql_dsum,
+    sql_fixed,
+)
+from miba_2023_capstone_rb_nlp_spark.suite import register
+
+
+def _t(spark, sf_dir, name):
+    return catalog.table(spark, sf_dir, name)
+
+
+# --- A1-A8 analog: grouped aggregation battery (TPC-H Q1 shape) -----
+_DISC = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+_CHARGE = f"({_DISC}) * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+_PRICING_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')}                       AS sum_qty,
+       {sql_dsum('l_extendedprice')}                  AS sum_base_price,
+       CAST(sum({_DISC}) AS DOUBLE)                   AS sum_disc_price,
+       CAST(sum({_CHARGE}) AS DOUBLE)                 AS sum_charge,
+       {sql_davg('l_quantity')}                       AS avg_qty,
+       {sql_davg('l_extendedprice')}                  AS avg_price,
+       {sql_davg('l_discount')}                       AS avg_disc,
+       count(*)                                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=_PRICING_ORACLE)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan → single hash aggregate (map-side partial agg);
+    timestamp predicate pushed down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice", 2, 12) * (F.lit(1) - dec("l_discount", 2, 4))
+    charge = disc_price * (F.lit(1) + dec("l_tax", 2, 4))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- J1 + multi-join + agg: revenue per region ----------------------
+_REGION_REVENUE_ORACLE = f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(sum({_DISC}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@register("region_revenue", oracle=_REGION_REVENUE_ORACLE)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem⋈orders shuffles on orderkey; the
+    customer/nation/region dims are broadcast (no extra shuffle)."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    disc_price = dec("l_extendedprice", 2, 12) * (F.lit(1) - dec("l_discount", 2, 4))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- W-family: rank top-k per group (L2/L3 top-k) -------------------
+_TOP_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, rk FROM (
+  SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+         CAST(row_number() OVER (PARTITION BY c.c_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS INTEGER) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rk <= 3
+"""
+
+
+@register("top_orders_per_customer", oracle=_TOP_ORDERS_ORACLE)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + one shuffle on custkey for the window."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --- semi-join (Q4 shape): priority count of orders with any
+#     qualifying lineitem ------------------------------------------
+_PRIORITY_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 25)
+GROUP BY o_orderpriority
+"""
+
+
+@register("order_priority_semijoin", oracle=_PRIORITY_ORACLE)
+def q_order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left_semi join (never materializes the probe side)."""
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qualifying = li.filter(F.col("l_quantity") > 25)
+    return (
+        o_f.join(qualifying, o_f["o_orderkey"] == qualifying["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --- anti-join: customers with no orders ---------------------------
+_NO_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("customers_without_orders", oracle=_NO_ORDERS_ORACLE)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --- set ops: INTERSECT / EXCEPT (U-family additions) ---------------
+_NATION_SETOPS_ORACLE = """
+SELECT n_name, 'both' AS side FROM (
+  SELECT n.n_name FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  INTERSECT
+  SELECT n.n_name FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+UNION ALL
+SELECT n_name, 'customer_only' AS side FROM (
+  SELECT n.n_name FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  EXCEPT
+  SELECT n.n_name FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+"""
+
+
+@register("nation_set_ops", oracle=_NATION_SETOPS_ORACLE)
+def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cust_nations = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "n_name"
+    )
+    supp_nations = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "n_name"
+    )
+    both = cust_nations.intersect(supp_nations).withColumn("side", F.lit("both"))
+    cust_only = cust_nations.subtract(supp_nations).withColumn(
+        "side", F.lit("customer_only")
+    )
+    return both.unionByName(cust_only)
+
+
+# --- grouped-transform windows (A6/A7 exact shape) ------------------
+_AVG_W = (
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)"
+    " / count(*) OVER (PARTITION BY o_custkey)"
+)
+_ORDER_ENRICH_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       count(*) OVER (PARTITION BY o_custkey) AS cust_order_count,
+       {sql_fixed(_AVG_W, 4)} AS cust_avg_price,
+       {sql_fixed(f'o_totalprice - ({sql_fixed(_AVG_W, 4)})', 4)} AS price_delta
+FROM orders
+"""
+
+
+@register("order_window_enrich", oracle=_ORDER_ENRICH_ORACLE)
+def q_order_window_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (transform count) + A7 (transform mean) over full partition
+    frames — single shuffle on o_custkey serves all windows."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_price = fixed(
+        F.sum(dec("o_totalprice", 2)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w),
+        4,
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("cust_order_count"),
+        avg_price.alias("cust_avg_price"),
+        fixed(F.col("o_totalprice") - avg_price, 4).alias("price_delta"),
+    )
+
+
+# --- A2 argmax (idxmax analog): deterministic rank-1 ---------------
+_ARGMAX_ORACLE = """
+SELECT l_returnflag, l_orderkey AS top_orderkey, l_extendedprice AS max_price
+FROM (
+  SELECT l_returnflag, l_orderkey, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                                     l_linenumber ASC) AS rk
+  FROM lineitem
+) WHERE rk = 1
+"""
+
+
+@register("argmax_per_flag", oracle=_ARGMAX_ORACLE)
+def q_argmax_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (idxmax) — deterministic argmax: rank-1 window with explicit
+    tie-break (max_by's tie choice is undefined, so we don't use it)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_orderkey").alias("top_orderkey"),
+            F.col("l_extendedprice").alias("max_price"),
+        )
+    )

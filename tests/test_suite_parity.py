@@ -1,0 +1,36 @@
+"""Every suite query with an oracle must match DuckDB exactly at
+sf0.001 (the driver checks the same at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from miba_2023_capstone_rb_nlp_spark.suite import load_suite
+from tests.conftest import SF_TEST_DIR
+from tests.parity import compare, duckdb_conn
+
+SUITE = load_suite()
+WITH_ORACLE = sorted(name for name, q in SUITE.items() if q.oracle)
+ROWS_ONLY = sorted(name for name, q in SUITE.items() if not q.oracle)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb_conn(SF_TEST_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, oracle, name):
+    q = SUITE[name]
+    spark_df = q.fn(spark, SF_TEST_DIR)
+    oracle_df = oracle.execute(q.oracle).df()
+    compare(spark_df, oracle_df, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    q = SUITE[name]
+    df = q.fn(spark, SF_TEST_DIR)
+    assert df.count() >= 0 and len(df.schema) > 0
