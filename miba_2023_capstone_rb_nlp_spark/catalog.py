@@ -32,7 +32,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and predicate pushdown; never collect here."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet → read as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong) → truncate to micros,
+        # matching DuckDB's ns→us timestamp cast.
+        from pyspark.sql import functions as F
+
+        # integer `div`, not `/`: epoch-nanos overflow double precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

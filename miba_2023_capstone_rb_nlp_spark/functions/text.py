@@ -1,0 +1,112 @@
+"""Text-analysis column library (SURVEY §2.8 F10-F11 + the
+training-data-pipeline additions: token counting, language-ID,
+quality scoring, fingerprinting).
+
+All pure Catalyst expressions (split/transform/filter/aggregate/md5)
+— no Python UDFs, so everything stays in whole-stage codegen and is
+engine-deterministic for oracle parity. Hashes derive from md5 (same
+algorithm in Spark, DuckDB, and any other engine) rather than
+xxhash/murmur whose implementations differ across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 60-bit hash space: fits a positive BIGINT in every engine and
+# avoids DuckDB's checked 1<<63 overflow.
+HASH_HEX_CHARS = 15
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization (single-space convention; F10 analog)."""
+    return F.split(c, " ")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def word_ngrams(c: Column, n: int) -> Column:
+    """Word n-gram shingles as space-joined strings.
+
+    transform over an index sequence — no explode, no shuffle.
+    """
+    t = tokens(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+
+
+def md5_long(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT.
+
+    Oracle mirror: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(c), 1, HASH_HEX_CHARS), 16, 10).cast("bigint")
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: 60-bit md5 of the exact text."""
+    return md5_long(c)
+
+
+# Language-ID marker sets (tiny stopword heuristics — the scalable
+# n-gram approach at 100 TB is the same shape: per-language token
+# scores, argmax).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "of", "and"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": (),  # non-ascii script: no whitespace markers
+}
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Marker-token hit count per language."""
+    t = tokens(c)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        if markers:
+            out[lang] = F.size(F.filter(t, lambda x: x.isin(*markers)))
+        else:
+            out[lang] = F.lit(0)
+    return out
+
+
+def lang_id(c: Column) -> Column:
+    """Argmax language with deterministic tie-break (marker-set order);
+    no markers hit → 'und'."""
+    scores = lang_scores(c)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in LANG_MARKERS:  # later entries win only on strict >
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+STOPWORDS = ("the", "a", "is", "of", "and", "to", "in")
+
+
+def quality_features(c: Column) -> dict[str, Column]:
+    """Deterministic quality features (exact integer counts; ratios
+    derived with IEEE ops only — see functions/numeric rationale)."""
+    t = tokens(c)
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(t))
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    )
+    return {
+        "n_tokens": n_tok,
+        "n_stopwords": n_stop,
+        "n_unique": n_uniq,
+        "sum_token_len": sum_len,
+    }

@@ -51,6 +51,9 @@ def get_spark(
         # Keep broadcast threshold explicit: dims (region/nation/
         # customer-agg side) broadcast; fact tables never do.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # The driver's events table carries TIMESTAMP(NANOS) parquet,
+        # which Spark rejects; read as long and convert in catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

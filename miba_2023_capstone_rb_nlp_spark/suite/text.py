@@ -1,0 +1,156 @@
+"""Text-analysis suite queries over ``documents``: token stats +
+quality scoring, language-ID, fingerprinting, token explode with
+weighted top-k terms (A4 shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark import catalog
+from miba_2023_capstone_rb_nlp_spark.functions import text as T
+from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed, sql_fixed
+from miba_2023_capstone_rb_nlp_spark.suite import register
+
+
+def _docs(spark, sf_dir):
+    return catalog.table(spark, sf_dir, "documents")
+
+
+# --- doc stats + quality score --------------------------------------
+_QUALITY_EXPR = (
+    "0.4 * (CASE WHEN n_tokens >= 100 THEN 1.0 ELSE n_tokens / 100.0 END)"
+    " + 0.3 * (CAST(n_stopwords AS DOUBLE) / n_tokens)"
+    " + 0.3 * (CAST(n_unique AS DOUBLE) / n_tokens)"
+)
+_DOC_STATS_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, lang, length(text) AS text_len,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','is','of','and','to','in'))) AS n_stopwords,
+         len(list_distinct(string_split(text, ' '))) AS n_unique,
+         list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+           AS sum_token_len,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, lang, CAST(text_len AS INT) AS text_len,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_stopwords AS INT) AS n_stopwords,
+       CAST(n_unique AS INT) AS n_unique,
+       CAST(sum_token_len AS INT) AS sum_token_len,
+       fingerprint,
+       {sql_fixed(_QUALITY_EXPR, 6)} AS quality
+FROM f
+"""
+
+
+@register("doc_stats_quality", oracle=_DOC_STATS_ORACLE)
+def q_doc_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow projection — one pass, no shuffle; all counts exact
+    integers so the derived quality double is engine-deterministic."""
+    d = _docs(spark, sf_dir)
+    feats = T.quality_features(F.col("text"))
+    n_tok = feats["n_tokens"]
+    quality = (
+        F.lit(0.4)
+        * F.when(n_tok >= 100, F.lit(1.0)).otherwise(n_tok / F.lit(100.0))
+        + F.lit(0.3) * (feats["n_stopwords"].cast("double") / n_tok)
+        + F.lit(0.3) * (feats["n_unique"].cast("double") / n_tok)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("text_len"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_stopwords"].alias("n_stopwords"),
+        feats["n_unique"].alias("n_unique"),
+        feats["sum_token_len"].alias("sum_token_len"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+        fixed(quality, 6).alias("quality"),
+    )
+
+
+# --- language identification ---------------------------------------
+def _sql_score(markers):
+    inlist = ",".join(f"''{m}''" for m in markers).replace("''", "'")
+    return f"len(list_filter(p, t -> t IN ({inlist})))"
+
+
+_LANG_ORACLE = """
+WITH s AS (
+  SELECT doc_id, lang AS true_lang,
+         len(list_filter(p, t -> t IN ('the','a','is','of','and'))) AS s_en,
+         len(list_filter(p, t -> t IN ('el','la','de','que','los'))) AS s_es,
+         len(list_filter(p, t -> t IN ('le','la','et','les','des'))) AS s_fr,
+         len(list_filter(p, t -> t IN ('der','die','und','das','ist'))) AS s_de
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS p FROM documents)
+)
+SELECT doc_id, true_lang,
+       CASE
+         WHEN s_de > greatest(s_en, s_es, s_fr, 0) THEN 'de'
+         WHEN s_fr > greatest(s_en, s_es, 0) THEN 'fr'
+         WHEN s_es > greatest(s_en, 0) THEN 'es'
+         WHEN s_en > 0 THEN 'en'
+         ELSE 'und'
+       END AS pred_lang
+FROM s
+"""
+
+
+@register("lang_id", oracle=_LANG_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (argmax, later-language wins only
+    on strict >, matching functions/text.lang_id fold order)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        T.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+# --- A4 shape: weighted top-k terms per group ----------------------
+_TOP_TERMS_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term,
+         CASE WHEN doc_id % 3 = 0 THEN 3 WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS w
+  FROM documents
+),
+counts AS (
+  SELECT source, term, CAST(sum(w) AS BIGINT) AS weight, count(*) AS n
+  FROM tok GROUP BY source, term
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY weight DESC, term ASC) AS rk
+  FROM counts
+)
+SELECT source, term, weight, n, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+@register("top_terms_per_source", oracle=_TOP_TERMS_ORACLE)
+def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8's relational core (A4): explode → weighted count → window
+    top-n. Shuffles on (source, term) then on source; both partial-
+    aggregated map-side. Reference: word_wizard.py:499-507."""
+    d = _docs(spark, sf_dir)
+    w = (
+        F.when(F.col("doc_id") % 3 == 0, 3)
+        .when(F.col("doc_id") % 3 == 1, 2)
+        .otherwise(1)
+    )
+    tok = d.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term"), w.alias("w")
+    )
+    counts = tok.groupBy("source", "term").agg(
+        F.sum("w").alias("weight"), F.count(F.lit(1)).alias("n")
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    return counts.withColumn("rk", F.row_number().over(rw)).filter(F.col("rk") <= 5)
