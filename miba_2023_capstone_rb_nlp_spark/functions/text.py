@@ -34,9 +34,12 @@ def word_ngrams(c: Column, n: int) -> Column:
     transform over an index sequence — no explode, no shuffle.
     """
     t = tokens(c)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    # guard: sequence(1, 0) DESCENDS in Spark → explicit empty array
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
     )
 
 

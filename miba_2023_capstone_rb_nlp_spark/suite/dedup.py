@@ -1,0 +1,168 @@
+"""Dedup suite queries over ``documents``: exact, n-gram Jaccard,
+MinHash LSH, SimHash — each with a fully-mirrored DuckDB oracle
+(hashes are md5-derived → engine-identical)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark import catalog
+from miba_2023_capstone_rb_nlp_spark.dedup.exact import exact_dedup
+from miba_2023_capstone_rb_nlp_spark.dedup.jaccard import jaccard_pairs
+from miba_2023_capstone_rb_nlp_spark.dedup.minhash import (
+    K,
+    BANDS,
+    ROWS_PER_BAND,
+    lsh_candidate_pairs,
+)
+from miba_2023_capstone_rb_nlp_spark.dedup.simhash import simhash_pairs
+from miba_2023_capstone_rb_nlp_spark.suite import register
+
+
+def _docs(spark, sf_dir):
+    return catalog.table(spark, sf_dir, "documents")
+
+
+# --- exact dedup (with injected duplicates) ------------------------
+_EXACT_ORACLE = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+),
+fp AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
+  FROM u
+),
+c AS (
+  SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM fp GROUP BY fingerprint
+)
+SELECT fp.doc_id, fp.fingerprint, c.canonical_id, c.group_size,
+       fp.doc_id <> c.canonical_id AS is_dup
+FROM fp JOIN c USING (fingerprint)
+"""
+
+
+@register("exact_dedup", oracle=_EXACT_ORACLE)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup; dups injected (10% re-keyed copies)
+    so group_size>1 paths are exercised."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    u = d.unionByName(dups)
+    return exact_dedup(u, "text", "doc_id").select(
+        "doc_id", "fingerprint", "canonical_id", "group_size", "is_dup"
+    )
+
+
+# --- exact n-gram jaccard pairs ------------------------------------
+_SHINGLES = (
+    "SELECT doc_id AS doc, unnest(list_distinct("
+    "[array_to_string(p[i:i+2], ' ') for i in generate_series(1, len(p)-2)]"
+    ")) AS s FROM (SELECT doc_id, string_split(text, ' ') AS p FROM documents)"
+)
+_JACCARD_ORACLE = f"""
+WITH sh AS ({_SHINGLES}),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS da, b.doc AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT da, db, inter,
+         floor((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 1000000.0)
+           / 1000000.0 AS jaccard
+  FROM inter JOIN sizes na ON inter.da = na.doc JOIN sizes nb ON inter.db = nb.doc
+)
+SELECT da, db, inter, jaccard FROM j WHERE jaccard >= 0.1
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.1)
+
+
+# --- minhash LSH candidates ----------------------------------------
+def _minhash_oracle() -> str:
+    mins = ",\n    ".join(
+        "min(CAST(('0x' || substr(md5('" + str(i) + ":' || s), 1, 15)) AS BIGINT))"
+        f" AS h{i}"
+        for i in range(K)
+    )
+    bands = ",\n    ".join(
+        "md5(" + " || ',' || ".join(
+            f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        ) + f") AS b{b}"
+        for b in range(BANDS)
+    )
+    cands = "\n  UNION\n".join(
+        f"  SELECT a.doc AS da, b.doc AS db FROM banded a JOIN banded b"
+        f" ON a.b{b} = b.b{b} AND a.doc < b.doc"
+        for b in range(BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(K)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES}),
+sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+banded AS (SELECT *, {bands} FROM sig),
+cand AS (
+{cands}
+)
+SELECT c.da, c.db,
+       floor((CAST(({matches}) AS DOUBLE) / {K}.0) * 1000000.0) / 1000000.0
+         AS est_jaccard
+FROM cand c JOIN sig a ON c.da = a.doc JOIN sig b ON c.db = b.doc
+"""
+
+
+@register("minhash_lsh_pairs", oracle=_minhash_oracle())
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(_docs(spark, sf_dir), "text", "doc_id", n=3)
+
+
+# --- simhash banded pairs ------------------------------------------
+def _simhash_oracle() -> str:
+    chunk_mask = (1 << 15) - 1
+    chunks = ", ".join(
+        f"(sh >> {c * 15}) & {chunk_mask} AS c{c}" for c in range(4)
+    )
+    cands = "\n  UNION\n".join(
+        f"  SELECT a.doc AS da, b.doc AS db, a.sh AS sa, b.sh AS sb"
+        f" FROM banded a JOIN banded b ON a.c{c} = b.c{c} AND a.doc < b.doc"
+        for c in range(4)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t FROM documents
+),
+h AS (SELECT doc, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv FROM tok),
+bits AS (
+  SELECT doc, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bb
+  GROUP BY doc, b
+),
+sim AS (
+  SELECT doc, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                            ELSE 0 END) AS BIGINT) AS sh
+  FROM bits GROUP BY doc
+),
+banded AS (SELECT doc, sh, {chunks} FROM sim),
+cand AS (
+{cands}
+)
+SELECT DISTINCT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+@register("simhash_pairs", oracle=_simhash_oracle())
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)

@@ -1,0 +1,140 @@
+"""Similarity-search suite over ``embeddings``: brute-force cosine
+top-k, IVF cell-restricted top-k, embedding-cosine near-dup pairs,
+hyperplane-LSH bucketed pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark import catalog
+from miba_2023_capstone_rb_nlp_spark.dedup.embedding import (
+    cosine_pairs,
+    hyperplane_lsh_pairs,
+)
+from miba_2023_capstone_rb_nlp_spark.similarity.knn import (
+    knn_bruteforce,
+    knn_ivf_cells,
+)
+from miba_2023_capstone_rb_nlp_spark.suite import register
+
+DIM = 64
+
+_COS = (
+    "list_sum([a.v[i]*q.v[i] for i in generate_series(1, {dim})]) / "
+    "(sqrt(list_sum([a.v[i]*a.v[i] for i in generate_series(1, {dim})])) * "
+    "sqrt(list_sum([q.v[i]*q.v[i] for i in generate_series(1, {dim})])))"
+).format(dim=DIM)
+
+
+def _emb(spark, sf_dir):
+    return catalog.table(spark, sf_dir, "embeddings")
+
+
+_KNN_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         floor(({_COS}) * 1000000.0) / 1000000.0 AS cos
+  FROM e a, q WHERE q.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 10
+"""
+
+
+@register("knn_bruteforce", oracle=_KNN_ORACLE)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return knn_bruteforce(e, queries, "embedding", "vec_id", k=10)
+
+
+_KNN_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS cell, a.vec_id AS neighbor_id,
+         floor(({_COS}) * 1000000.0) / 1000000.0 AS cos
+  FROM e a JOIN q ON a.label = q.label AND q.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, cell, neighbor_id, cos, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 10
+"""
+
+
+@register("knn_ivf_cells", oracle=_KNN_IVF_ORACLE)
+def q_knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe using ``label`` as the (precomputed) coarse cell."""
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return knn_ivf_cells(e, queries, "embedding", "vec_id", "label", k=10)
+
+
+_NEARDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         floor((list_sum([a.v[i]*b.v[i] for i in generate_series(1, {DIM})]) /
+                (sqrt(list_sum([a.v[i]*a.v[i] for i in generate_series(1, {DIM})])) *
+                 sqrt(list_sum([b.v[i]*b.v[i] for i in generate_series(1, {DIM})]))))
+               * 1000000.0) / 1000000.0 AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT va, vb, cos FROM p WHERE cos >= 0.45
+"""
+
+
+@register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs(_emb(spark, sf_dir), "embedding", "vec_id", threshold=0.45)
+
+
+def _hyperplane_oracle(n_planes: int = 16) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pw AS (
+  SELECT p, d,
+         ((CAST(('0x' || substr(md5(p || ':' || d), 1, 15)) AS BIGINT) % 2001)
+          - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) pp,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS d) dd
+),
+dots AS (
+  SELECT e.vec_id, pw.p, sum(e.v[pw.d + 1] * pw.w) AS dot
+  FROM e, pw GROUP BY e.vec_id, pw.p
+),
+buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                               ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id)),
+p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.bucket,
+         floor((list_sum([a.v[i]*b.v[i] for i in generate_series(1, {DIM})]) /
+                (sqrt(list_sum([a.v[i]*a.v[i] for i in generate_series(1, {DIM})])) *
+                 sqrt(list_sum([b.v[i]*b.v[i] for i in generate_series(1, {DIM})]))))
+               * 1000000.0) / 1000000.0 AS cos
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT va, vb, cos, bucket FROM p WHERE cos >= 0.2
+"""
+
+
+@register("hyperplane_lsh_pairs", oracle=_hyperplane_oracle())
+def q_hyperplane_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hyperplane_lsh_pairs(
+        _emb(spark, sf_dir), "embedding", "vec_id", dim=DIM, threshold=0.2
+    )
