@@ -1,0 +1,71 @@
+"""Medoid summarization (SURVEY M6): filter medoid rows (tiny), run
+the summarizer only there, join back — computation narrowing per the
+reference (word_wizard.py:348) made explicit in the plan.
+
+Stand-in summarizer = head-truncation (deterministic, oracle-able);
+real BART path gated behind transformers availability.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from miba_2023_capstone_rb_nlp_spark.functions.text import tokens
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+
+def summarize_medoids_stub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    medoid_col: str = "is_medoid",
+    out_col: str = "summary",
+    n_tokens: int = 12,
+) -> DataFrame:
+    """Deterministic extractive stand-in: first n tokens of each
+    medoid row; non-medoid rows get NULL (reference stores summaries
+    only on medoid rows, word_wizard.py:346-359)."""
+    medoids = df.filter(F.col(medoid_col)).select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice(tokens(F.col(text_col)), 1, n_tokens)).alias(out_col),
+    )
+    return df.join(medoids, id_col, "left")
+
+
+def summarize_medoids_transformer(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    medoid_col: str = "is_medoid",
+    out_col: str = "summary",
+    model_name: str = "facebook/bart-large-cnn",
+) -> DataFrame:
+    """Real abstractive path (gated): mapInPandas over ONLY the medoid
+    rows (a few rows per cluster), then broadcast-join back."""
+    medoids = df.filter(F.col(medoid_col)).select(id_col, text_col)
+    out_schema = StructType(
+        [medoids.schema[id_col], StructField(out_col, StringType(), True)]
+    )
+
+    def infer(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        try:
+            from transformers import pipeline
+        except ImportError as e:  # pragma: no cover - env without torch
+            raise NotImplementedError(
+                "summarize_medoids_transformer requires transformers; "
+                "use summarize_medoids_stub"
+            ) from e
+        summarizer = pipeline("summarization", model=model_name)
+        for pdf in batches:
+            outs = summarizer(pdf[text_col].tolist(), truncation=True)
+            yield pdf[[id_col]].assign(**{out_col: [o["summary_text"] for o in outs]})
+
+    summaries = medoids.mapInPandas(infer, schema=out_schema)
+    return df.join(F.broadcast(summaries), id_col, "left")

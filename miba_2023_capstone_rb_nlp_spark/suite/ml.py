@@ -1,0 +1,158 @@
+"""ML-stage suite: deterministic stand-ins are oracle-paired
+(hash embeddings, distinct-join sentiment, medoid summaries); MLlib
+kmeans/PCA and the full WordWizard chain are rows-only entries (the
+driver records the weaker check — genuinely non-SQL-expressible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark import catalog
+from miba_2023_capstone_rb_nlp_spark.ml.clustering import kmeans_assign
+from miba_2023_capstone_rb_nlp_spark.ml.embeddings import hash_embeddings
+from miba_2023_capstone_rb_nlp_spark.ml.inference import (
+    apply_on_distinct,
+    sentiment_stub,
+)
+from miba_2023_capstone_rb_nlp_spark.ml.reduce import pca_reduce
+from miba_2023_capstone_rb_nlp_spark.ml.summarize import summarize_medoids_stub
+from miba_2023_capstone_rb_nlp_spark.operators.analytics import with_medoids
+from miba_2023_capstone_rb_nlp_spark.suite import register
+
+DIM = 8  # hash-embedding dim
+EDIM = 64  # embeddings-table dim
+
+
+def _docs(spark, sf_dir):
+    return catalog.table(spark, sf_dir, "documents")
+
+
+# --- hash embeddings (M1/M2 deterministic stand-in) ----------------
+def _hash_emb_oracle() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN hv % {DIM} = {d} THEN sgn ELSE 0 END) AS s{d}"
+        for d in range(DIM)
+    )
+    norm = " + ".join(
+        f"CAST(s{d} AS DOUBLE) * s{d}" for d in range(DIM)
+    )
+    elems = ",\n       ".join(
+        f"CASE WHEN _n > 0 THEN floor((s{d} / _n) * 1000000.0) / 1000000.0 "
+        f"ELSE 0.0 END AS e{d}"
+        for d in range(DIM)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+h AS (
+  SELECT doc_id, hv,
+         CASE WHEN (hv >> 10) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+        FROM tok)
+),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+n AS (SELECT *, sqrt({norm}) AS _n FROM s)
+SELECT doc_id, {elems} FROM n
+"""
+
+
+@register("hash_embeddings", oracle=_hash_emb_oracle())
+def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = hash_embeddings(
+        _docs(spark, sf_dir).select("doc_id", "text"), "text", "doc_id", dim=DIM
+    )
+    return out.select(
+        "doc_id",
+        *[
+            F.element_at("hash_embedding", d + 1).alias(f"e{d}")
+            for d in range(DIM)
+        ],
+    )
+
+
+# --- sentiment with distinct→infer→join (J4/M7) --------------------
+_SENTIMENT_ORACLE = """
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 3 AS DOUBLE)
+         AS sentiment
+FROM documents
+"""
+
+
+@register("sentiment_distinct_join", oracle=_SENTIMENT_ORACLE)
+def q_sentiment_distinct_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 rewrite: infer on distinct texts only, exact join back —
+    replaces the reference's positional fan-out (word_wizard.py:
+    421-426) with an order-independent plan."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = apply_on_distinct(
+        d, "text", lambda x: sentiment_stub(x, "text"), ["sentiment"]
+    )
+    return out.select("doc_id", "sentiment")
+
+
+# --- medoid summaries (M5+M6 narrowed computation) ------------------
+_MEDOID_SUMMARY_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT label, list(cv ORDER BY i) AS centroid FROM (
+    SELECT label, i, floor((sum(v[i]) / count(*)) * 1000000.0) / 1000000.0 AS cv
+    FROM e, (SELECT unnest(generate_series(1, {EDIM})) AS i) idx
+    GROUP BY label, i
+  ) GROUP BY label
+),
+d AS (
+  SELECT e.vec_id, e.label,
+         floor(sqrt(list_sum([(e.v[i]-c.centroid[i])*(e.v[i]-c.centroid[i])
+                              for i in generate_series(1, {EDIM})]))
+               * 1000000.0) / 1000000.0 AS dist
+  FROM e JOIN cent c USING (label)
+),
+flagged AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist ASC, vec_id ASC) <= 2 AS is_medoid
+  FROM d
+)
+SELECT f.vec_id, f.label, f.is_medoid,
+       CASE WHEN f.is_medoid
+            THEN array_to_string((string_split(doc.text, ' '))[1:12], ' ')
+            ELSE NULL END AS summary
+FROM flagged f JOIN documents doc ON doc.doc_id = f.vec_id
+"""
+
+
+@register("medoid_summaries", oracle=_MEDOID_SUMMARY_ORACLE)
+def q_medoid_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    joined = docs.join(embs, docs["doc_id"] == embs["vec_id"], "inner")
+    flagged = with_medoids(
+        joined, "embedding", "label", id_col="vec_id", n_med=2, dim=EDIM
+    )
+    out = summarize_medoids_stub(flagged, "text", "vec_id", n_tokens=12)
+    return out.select("vec_id", "label", "is_medoid", "summary")
+
+
+# --- MLlib stages: rows-only checks --------------------------------
+@register("kmeans_clusters", oracle=None)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded MLlib KMeans (M3) — deterministic in Spark, not
+    SQL-expressible → rows-only driver check."""
+    e = catalog.table(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, "embedding", k=10).select("vec_id", "cluster")
+
+
+@register("pca_coords", oracle=None)
+def q_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (M9 scale path) — rows-only driver check."""
+    e = catalog.table(spark, sf_dir, "embeddings")
+    out = pca_reduce(e, "embedding", n_components=2)
+    return out.select(
+        "vec_id",
+        F.element_at("reduced_dimensions", 1).alias("x"),
+        F.element_at("reduced_dimensions", 2).alias("y"),
+    )

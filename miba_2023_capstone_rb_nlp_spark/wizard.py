@@ -1,0 +1,270 @@
+"""WordWizard — API-parity fluent enrichment chain (reference
+``nlp_analysis/word_wizard.py``, README.md:79-86), re-expressed as a
+LAZY DataFrame pipeline: each chained call extends one logical plan;
+nothing executes until an action. Prerequisite "column probing"
+(word_wizard.py:651-673) becomes schema validation.
+
+Canonical chain (MVP.ipynb cell-8):
+
+    wiz = (WordWizard(clean_df, interest="paragraph")
+           .create_sentence_embeddings()
+           .cluster_embeddings(k=5)
+           .entitiy_recognition()
+           .summarize_medoids()
+           .find_sentiment()
+           .topic_modelling()
+           .reduce_demensionality())
+    wiz.df   # one optimized DAG
+
+Column naming follows the reference's suffix-composition scheme
+(word_wizard.py:106-113) so downstream reference code ports verbatim.
+Deviations (SURVEY §7): NER arrays stay real arrays (not str()),
+sentiment fan-out is an exact join (not positional), reduced coords
+get their own column name.
+
+Model tiering: ``lean=True`` (default in this container) uses the
+deterministic stand-ins; ``lean=False`` switches to the gated
+transformer paths where installed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark.ml.clustering import (
+    choose_k_silhouette,
+    kmeans_assign,
+)
+from miba_2023_capstone_rb_nlp_spark.ml.embeddings import (
+    hash_embeddings,
+    transformer_embeddings,
+)
+from miba_2023_capstone_rb_nlp_spark.ml.inference import (
+    apply_on_distinct,
+    sentiment_stub,
+    sentiment_transformer,
+)
+from miba_2023_capstone_rb_nlp_spark.ml.reduce import pca_reduce
+from miba_2023_capstone_rb_nlp_spark.ml.summarize import (
+    summarize_medoids_stub,
+    summarize_medoids_transformer,
+)
+from miba_2023_capstone_rb_nlp_spark.operators.analytics import with_medoids
+from miba_2023_capstone_rb_nlp_spark.operators.ctfidf import ctfidf_topics
+
+# Suffix scheme per word_wizard.py:106-113.
+EMBEDDING_SUFFIX = "_sentence_embeddings"
+CLUSTER_SUFFIX = "_clusters"
+SENTIMENT_SUFFIX = "_sentiment"
+NER_SUFFIX = "_NER"
+MEDOID_SUFFIX = "_medoids"
+SUMMARY_SUFFIX = "_summaries"
+REDUCED_COL = "reduced_dimensions"
+
+
+class WordWizard:
+    """Lazy Spark re-implementation of the reference enrichment chain."""
+
+    def __init__(self, df: DataFrame, interest: str = "paragraph",
+                 id_col: str = "article_index"):
+        if interest not in ("paragraph", "body"):  # word_wizard.py:143-144
+            raise ValueError("interest must be 'paragraph' or 'body'")
+        self.interest = interest
+        self.id_col = id_col
+        if interest == "body":
+            # body grain: dedup to one row per article
+            # (word_wizard.py:133-137); paragraph column dropped.
+            df = df.drop("paragraph").dropDuplicates([id_col])
+            self.id_col = id_col
+        else:
+            # paragraph grain needs a per-row id for joins: content-
+            # derived 60-bit hash (deterministic under any partitioning;
+            # a global row_number() would single-partition at scale)
+            from miba_2023_capstone_rb_nlp_spark.functions.text import md5_long
+
+            df = df.withColumn(
+                "_row_id",
+                md5_long(F.concat_ws("\x1f", F.col(id_col), F.col(interest))),
+            )
+            self.id_col = "_row_id"
+        self.df = df
+
+    # -- helpers ------------------------------------------------------
+    def _require(self, col: str, producer: str) -> None:
+        if col not in self.df.columns:
+            raise ValueError(
+                f"column {col!r} missing — call {producer} first "
+                "(schema-checked prerequisite, cf. word_wizard.py:651-673)"
+            )
+
+    @property
+    def embed_col(self) -> str:
+        return self.interest + EMBEDDING_SUFFIX
+
+    @property
+    def cluster_col(self) -> str:
+        return self.embed_col + CLUSTER_SUFFIX
+
+    @property
+    def medoid_col(self) -> str:
+        return self.cluster_col + MEDOID_SUFFIX
+
+    # -- chain stages -------------------------------------------------
+    def create_sentence_embeddings(self, lean: bool = True, dim: int = 8) -> "WordWizard":
+        """M2. lean → deterministic hash embedding; full → MiniLM."""
+        if lean:
+            self.df = hash_embeddings(
+                self.df, self.interest, self.id_col, dim=dim, out_col=self.embed_col
+            )
+        else:
+            self.df = transformer_embeddings(
+                self.df, self.interest, out_col=self.embed_col
+            )
+        return self
+
+    # M1 word embeddings share the implementation (the reference's
+    # BERT-vs-MiniLM distinction is a model choice, not a plan shape).
+    create_word_embeddings = create_sentence_embeddings
+
+    def cluster_embeddings(self, k: int | None = None, k_min: int = 5,
+                           k_max: int = 15, n_med: int = 2) -> "WordWizard":
+        """M3 + M5: KMeans (silhouette sweep when k unset) + medoids."""
+        self._require(self.embed_col, "create_sentence_embeddings()")
+        if k is None:
+            k, _ = choose_k_silhouette(self.df, self.embed_col, k_min, k_max)
+        self.df = kmeans_assign(self.df, self.embed_col, k, out_col=self.cluster_col)
+        self.df = with_medoids(
+            self.df, self.embed_col, self.cluster_col, self.id_col,
+            n_med=n_med, flag_col=self.medoid_col,
+        ).drop("dist")
+        return self
+
+    def find_sentiment(self, lean: bool = True) -> "WordWizard":
+        """M7 with the J4 distinct→infer→join rewrite."""
+        out = self.interest + SENTIMENT_SUFFIX
+        if lean:
+            infer = lambda d: sentiment_stub(d, self.interest, out_col=out)  # noqa: E731
+        else:
+            infer = lambda d: sentiment_transformer(d, self.interest, out_col=out)  # noqa: E731
+        self.df = apply_on_distinct(self.df, self.interest, infer, [out])
+        return self
+
+    def summarize_medoids(self, lean: bool = True) -> "WordWizard":
+        """M6: summaries only on medoid rows."""
+        self._require(self.medoid_col, "cluster_embeddings()")
+        out = self.medoid_col + SUMMARY_SUFFIX
+        fn = summarize_medoids_stub if lean else summarize_medoids_transformer
+        self.df = fn(
+            self.df, self.interest, self.id_col,
+            medoid_col=self.medoid_col, out_col=out,
+        )
+        return self
+
+    def entitiy_recognition(self, top_n: int = 5,
+                            exclude: tuple[str, ...] = ()) -> "WordWizard":
+        """M8 relational core: weighted term counts per cluster →
+        top-n array broadcast back (A4+J3). ``exclude`` parameterizes
+        the reference's hard-coded EntityRuler drop-list
+        (word_wizard.py:463-471; README.md:115 calls this out).
+
+        [sic] method name — kept for API parity; see recognize_entities.
+        """
+        self._require(self.cluster_col, "cluster_embeddings()")
+        out = self.cluster_col + NER_SUFFIX
+        tok = self.df.select(
+            F.col(self.cluster_col).alias("_c"),
+            F.explode(F.split(F.col(self.interest), " ")).alias("term"),
+        )
+        if exclude:
+            tok = tok.filter(~F.col("term").isin(*exclude))
+        counts = tok.groupBy("_c", "term").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("_c").orderBy(F.col("n").desc(), F.col("term").asc())
+        top = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= top_n)
+            .groupBy("_c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "term"))),
+                    lambda s: s["term"],
+                ).alias(out)
+            )
+            .withColumnRenamed("_c", self.cluster_col)
+        )
+        self.df = self.df.join(F.broadcast(top), self.cluster_col, "left")
+        return self
+
+    recognize_entities = entitiy_recognition
+
+    def topic_modelling(self, top_n: int = 20) -> "WordWizard":
+        """M10: c-TF-IDF per cluster → topics array<struct<word,score>>."""
+        self._require(self.cluster_col, "cluster_embeddings()")
+        topics = ctfidf_topics(
+            self.df, self.cluster_col, self.interest, self.id_col, top_n=top_n
+        )
+        nested = topics.groupBy(self.cluster_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "term", "score"))),
+                lambda s: F.struct(s["term"].alias("word"), s["score"].alias("score")),
+            ).alias("topics")
+        )
+        self.df = self.df.join(F.broadcast(nested), self.cluster_col, "left")
+        return self
+
+    def reduce_demensionality(self, n_components: int = 2) -> "WordWizard":
+        """M9 via distributed PCA (UMAP: ml.reduce.umap_reduce, gated).
+
+        [sic] method name — kept for API parity; see reduce_dimensionality.
+        """
+        self._require(self.embed_col, "create_sentence_embeddings()")
+        self.df = pca_reduce(self.df, self.embed_col, n_components, REDUCED_COL)
+        return self
+
+    reduce_dimensionality = reduce_demensionality
+
+    # -- flagship reporting query (MVP.ipynb cell-12) ------------------
+    def viz_summary(self) -> DataFrame:
+        """Window count + window mean sentiment + medoid filter +
+        7-col projection (§3.3 reporting query)."""
+        for col, producer in [
+            (self.medoid_col, "cluster_embeddings()"),
+            (self.interest + SENTIMENT_SUFFIX, "find_sentiment()"),
+            (REDUCED_COL, "reduce_demensionality()"),
+        ]:
+            self._require(col, producer)
+        w = Window.partitionBy(self.cluster_col)
+        out = (
+            self.df.withColumn("size", F.count(F.lit(1)).over(w))
+            .withColumn(
+                "sentiment", F.avg(self.interest + SENTIMENT_SUFFIX).over(w)
+            )
+            .filter(F.col(self.medoid_col))
+            .select(
+                F.col(self.cluster_col).alias("cluster"),
+                "size",
+                F.element_at(REDUCED_COL, 1).alias("x"),
+                F.element_at(REDUCED_COL, 2).alias("y"),
+                "sentiment",
+                *(
+                    [F.col(self.cluster_col + NER_SUFFIX).alias("entities")]
+                    if self.cluster_col + NER_SUFFIX in self.df.columns
+                    else []
+                ),
+                *(
+                    [
+                        F.transform(
+                            F.slice("topics", 1, 5),
+                            lambda t: F.struct(
+                                t["word"].alias("word"),
+                                F.round(t["score"], 3).alias("score"),
+                            ),
+                        ).alias("topics")
+                    ]
+                    if "topics" in self.df.columns
+                    else []
+                ),
+                F.col(self.interest).alias("paragraph"),
+            )
+        )
+        return out

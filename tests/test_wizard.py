@@ -1,0 +1,84 @@
+"""End-to-end WordWizard chain on the fabricated clean-article table
+(the reference's canonical usage, MVP.ipynb cell-8 + cell-12)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark.suite import load_suite
+from miba_2023_capstone_rb_nlp_spark.wizard import WordWizard
+from tests.conftest import SF_TEST_DIR
+
+
+@pytest.fixture(scope="module")
+def clean_df(spark):
+    suite = load_suite()
+    return suite["etl_clean_articles"].fn(spark, SF_TEST_DIR).cache()
+
+
+def test_full_chain_paragraph_grain(spark, clean_df):
+    wiz = (
+        WordWizard(clean_df, interest="paragraph")
+        .create_sentence_embeddings()
+        .cluster_embeddings(k=3)
+        .entitiy_recognition()
+        .summarize_medoids()
+        .find_sentiment()
+        .topic_modelling()
+        .reduce_demensionality()
+    )
+    out = wiz.df
+    for col in [
+        "paragraph_sentence_embeddings",
+        "paragraph_sentence_embeddings_clusters",
+        "paragraph_sentence_embeddings_clusters_medoids",
+        "paragraph_sentence_embeddings_clusters_NER",
+        "paragraph_sentence_embeddings_clusters_medoids_summaries",
+        "paragraph_sentiment",
+        "topics",
+        "reduced_dimensions",
+    ]:
+        assert col in out.columns, f"missing {col}"
+    rows = out.collect()
+    assert len(rows) == clean_df.count()
+    # medoid rows (≤ 2 per cluster) carry summaries; others are null
+    med = [r for r in rows if r["paragraph_sentence_embeddings_clusters_medoids"]]
+    assert 0 < len(med) <= 2 * 3
+    assert all(r["paragraph_sentence_embeddings_clusters_medoids_summaries"] for r in med)
+    clusters = {r["paragraph_sentence_embeddings_clusters"] for r in rows}
+    assert clusters <= {0, 1, 2}
+    assert all(r["paragraph_sentiment"] in (0.0, 1.0, 2.0) for r in rows)
+
+
+def test_viz_summary_flagship(spark, clean_df):
+    wiz = (
+        WordWizard(clean_df, interest="paragraph")
+        .create_sentence_embeddings()
+        .cluster_embeddings(k=3)
+        .entitiy_recognition()
+        .find_sentiment()
+        .topic_modelling()
+        .reduce_demensionality()
+    )
+    viz = wiz.viz_summary()
+    rows = viz.collect()
+    assert {f.name for f in viz.schema.fields} == {
+        "cluster", "size", "x", "y", "sentiment", "entities", "topics", "paragraph"
+    }
+    assert 0 < len(rows) <= 6
+    assert all(len(r["topics"]) <= 5 for r in rows)
+
+
+def test_body_grain_dedup(spark, clean_df):
+    wiz = WordWizard(clean_df, interest="body")
+    n_articles = clean_df.select("article_index").distinct().count()
+    assert wiz.df.count() == n_articles
+    assert "paragraph" not in wiz.df.columns
+
+
+def test_prerequisite_check(spark, clean_df):
+    with pytest.raises(ValueError, match="create_sentence_embeddings"):
+        WordWizard(clean_df).cluster_embeddings(k=3)
+    with pytest.raises(ValueError, match="interest"):
+        WordWizard(clean_df, interest="title")
