@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark: run the suite's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query is forced to full materialization via the noop sink (no
+driver collect — measures the distributed plan, not toPandas)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from miba_2023_capstone_rb_nlp_spark.session import get_spark  # noqa: E402
+from miba_2023_capstone_rb_nlp_spark.suite import load_suite  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# every suite query; heavier entries benefit most from plan quality
+SKIP: set[str] = set()
+
+
+def main() -> None:
+    spark = get_spark(app_name="miba-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    suite = load_suite()
+    # warm the JVM/codegen so query 1 isn't charged for startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    timings: dict[str, float] = {}
+    for name, q in sorted(suite.items()):
+        if name in SKIP:
+            continue
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

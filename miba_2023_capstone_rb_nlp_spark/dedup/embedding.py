@@ -12,27 +12,47 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
-from miba_2023_capstone_rb_nlp_spark.functions.text import md5_long
-from miba_2023_capstone_rb_nlp_spark.functions.vectors import as_double, cosine
+from miba_2023_capstone_rb_nlp_spark.functions.vectors import (
+    as_double,
+    dot_expanded,
+    norm2_expanded,
+)
 
 
 def cosine_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
+    dim: int,
     threshold: float = 0.45,
     scale: int = 6,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold → [va, vb, cos].
 
     O(n²) — correctness baseline and small-n path; use
-    hyperplane_lsh_pairs at scale.
+    hyperplane_lsh_pairs at scale. Hot-path tuning: norms are
+    materialized once per VECTOR before the pair join (not 2× per
+    pair) and the dot is an expanded codegen chain (functions/vectors
+    rationale) — same values, ~10× less work per pair.
     """
-    a = df.select(F.col(id_col).alias("va"), F.col(vec_col).alias("ea"))
-    b = df.select(F.col(id_col).alias("vb"), F.col(vec_col).alias("eb"))
+    with_norm = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm2_expanded(F.col(vec_col), dim).alias("_n"),
+    )
+    a = with_norm.select(
+        F.col("_id").alias("va"), F.col("_v").alias("ea"), F.col("_n").alias("na")
+    )
+    b = with_norm.select(
+        F.col("_id").alias("vb"), F.col("_v").alias("eb"), F.col("_n").alias("nb")
+    )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(
+        denom != 0.0, dot_expanded(F.col("ea"), F.col("eb"), dim) / denom
+    )
     return (
         a.join(b, F.col("va") < F.col("vb"))
-        .withColumn("cos", fixed(cosine(F.col("ea"), F.col("eb")), scale))
+        .withColumn("cos", fixed(cos, scale))
         .filter(F.col("cos") >= threshold)
         .select("va", "vb", "cos")
     )
@@ -53,14 +73,14 @@ def hyperplane_bits(vec: Column, dim: int, n_planes: int = 16) -> Column:
     """
     import hashlib
 
-    v = as_double(vec)
     bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):
         dot = F.lit(0.0)
         for d in range(dim):
             hx = hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15]
             w = ((int(hx, 16) % 2001) - 1000) / 1000.0
-            dot = dot + v.getItem(d) * F.lit(w)
+            # scalar widen per element (see vectors.dot_expanded note)
+            dot = dot + vec.getItem(d).cast("double") * F.lit(w)
         bit = F.when(dot >= 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
             F.lit(0).cast("bigint")
         )
@@ -84,16 +104,22 @@ def hyperplane_lsh_pairs(
     with_bucket = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
+        norm2_expanded(F.col(vec_col), dim).alias("nrm"),
         hyperplane_bits(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     a, b = with_bucket.alias("a"), with_bucket.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    cos = F.when(
+        denom != 0.0,
+        dot_expanded(F.col("a.vec"), F.col("b.vec"), dim) / denom,
+    )
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vid") < F.col("b.vid")),
         )
-        .withColumn("cos", fixed(cosine(F.col("a.vec"), F.col("b.vec")), scale))
+        .withColumn("cos", fixed(cos, scale))
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("a.vid").alias("va"), F.col("b.vid").alias("vb"), "cos",

@@ -16,7 +16,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
-from miba_2023_capstone_rb_nlp_spark.functions.vectors import cosine
+from miba_2023_capstone_rb_nlp_spark.functions.vectors import (
+    dot_expanded,
+    norm2_expanded,
+)
+
+
+def _cos(dim: int) -> F.Column:
+    denom = F.col("qn") * F.col("cn")
+    return F.when(
+        denom != 0.0, dot_expanded(F.col("qv"), F.col("cv"), dim) / denom
+    )
 
 
 def knn_bruteforce(
@@ -24,23 +34,29 @@ def knn_bruteforce(
     queries: DataFrame,
     vec_col: str,
     id_col: str,
+    dim: int,
     k: int = 10,
     scale: int = 6,
 ) -> DataFrame:
     """→ [query_id, neighbor_id, cos, rk ≤ k] (self excluded).
 
     Deterministic: quantized cosine, ties broken by neighbor id.
+    Norms precomputed per side before the broadcast join (not per
+    candidate pair); dot is an expanded codegen chain.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm2_expanded(F.col(vec_col), dim).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm2_expanded(F.col(vec_col), dim).alias("cn"),
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", fixed(cosine(F.col("qv"), F.col("cv")), scale))
-    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cos", fixed(_cos(dim), scale))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -57,6 +73,7 @@ def knn_ivf_cells(
     vec_col: str,
     id_col: str,
     cell_col: str,
+    dim: int,
     k: int = 10,
     scale: int = 6,
 ) -> DataFrame:
@@ -64,17 +81,19 @@ def knn_ivf_cells(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm2_expanded(F.col(vec_col), dim).alias("qn"),
         F.col(cell_col).alias("cell"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm2_expanded(F.col(vec_col), dim).alias("cn"),
         F.col(cell_col).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", fixed(cosine(F.col("qv"), F.col("cv")), scale))
+        .withColumn("cos", fixed(_cos(dim), scale))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

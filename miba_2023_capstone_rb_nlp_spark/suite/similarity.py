@@ -53,7 +53,7 @@ FROM ranked WHERE rk <= 10
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % 100 == 0)
-    return knn_bruteforce(e, queries, "embedding", "vec_id", k=10)
+    return knn_bruteforce(e, queries, "embedding", "vec_id", dim=DIM, k=10)
 
 
 _KNN_IVF_ORACLE = f"""
@@ -79,7 +79,7 @@ def q_knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe using ``label`` as the (precomputed) coarse cell."""
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % 100 == 0)
-    return knn_ivf_cells(e, queries, "embedding", "vec_id", "label", k=10)
+    return knn_ivf_cells(e, queries, "embedding", "vec_id", "label", dim=DIM, k=10)
 
 
 _NEARDUP_ORACLE = f"""
@@ -98,7 +98,7 @@ SELECT va, vb, cos FROM p WHERE cos >= 0.45
 
 @register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE)
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_pairs(_emb(spark, sf_dir), "embedding", "vec_id", threshold=0.45)
+    return cosine_pairs(_emb(spark, sf_dir), "embedding", "vec_id", dim=DIM, threshold=0.45)
 
 
 def _hyperplane_oracle(n_planes: int = 16) -> str:

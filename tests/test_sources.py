@@ -1,0 +1,194 @@
+"""Source-layer tests: scraper parsing on canned HTML, distributed
+content extraction over file:// URLs, and the end-to-end
+PipelineExecutor with cache short-circuit."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from miba_2023_capstone_rb_nlp_spark.executor import PipelineExecutor, sanitize_query
+from miba_2023_capstone_rb_nlp_spark.sources.content import extract_page, fetch_content
+from miba_2023_capstone_rb_nlp_spark.sources.links import (
+    BingNewsSource,
+    GoogleNewsSource,
+    LinkSource,
+    YahooNewsSource,
+    get_all_links,
+)
+
+GOOGLE_PAGE = """
+<html><body>
+<a href="https://ex.com/a1"><div><h3>Alpha headline one</h3></div>
+ <div class="source">Alpha Press</div><div class="desc">First description</div></a>
+<a href="https://ex.com/a2"><h3>Beta headline two</h3>
+ <div class="source">Beta Wire</div></a>
+</body></html>
+"""
+
+BING_PAGE = """
+<div class="news-card"><a class="title" href="https://ex.com/b1">Bing headline</a>
+<div class="snippet">Bing snippet text</div><div class="source">Bing Source</div></div>
+"""
+
+YAHOO_PAGE = """
+<a href="https://r.search.yahoo.com/_ylt=x/RU=https%3A%2F%2Fex.com%2Fy1/RK=2/RS=z"
+ class="thmb"><h4>Yahoo headline</h4></a>
+<p class="s-desc">Yahoo description</p><span class="s-source">Yahoo Source</span>
+"""
+
+ARTICLE_HTML = """
+<html><head><title>Article Title Here</title></head><body>
+<h1>Main Headline Of The Page</h1>
+<div id="nav"><p>menu item one</p></div>
+<div id="content">
+  <p>{p1}</p>
+  <p>{p2}</p>
+  <p>{p3}</p>
+</div>
+<div id="footer"><p>tiny</p></div>
+</body></html>
+"""
+
+
+def _mk_article(i: int) -> str:
+    base = (
+        f"paragraph {i} sentence with many meaningful words repeated enough to pass "
+        "the one hundred fifty character cleaning threshold for paragraphs in the "
+        "pipeline and then some extra tail words to be safe indeed truly"
+    )
+    return ARTICLE_HTML.format(p1=base + " alpha", p2=base + " beta", p3=base + " gamma")
+
+
+def test_google_parse_no_network():
+    src = GoogleNewsSource(fetcher=lambda url: GOOGLE_PAGE, polite=False)
+    links = src.get_links("test query", max_articles=10)
+    assert [l["se_link"] for l in links] == ["https://ex.com/a1", "https://ex.com/a2"]
+    assert links[0]["se_description"] == "First description"
+    assert links[1]["se_description"] is None
+    assert links[0]["engine"] == "Google"
+
+
+def test_google_max_articles_truncation():
+    src = GoogleNewsSource(fetcher=lambda url: GOOGLE_PAGE, polite=False)
+    assert len(src.get_links("q", max_articles=1)) == 1
+
+
+def test_bing_parse_and_stall_detection():
+    calls = []
+
+    def fetcher(url):
+        calls.append(url)
+        return BING_PAGE  # identical page → md5 stall stop after 2 fetches
+
+    src = BingNewsSource(fetcher=fetcher, polite=False)
+    links = src.get_links("q", max_articles=100)
+    assert len(calls) == 2  # second page hash equals first → stop
+    assert links[0]["se_link"] == "https://ex.com/b1"
+
+
+def test_yahoo_link_deobfuscation():
+    src = YahooNewsSource(fetcher=lambda url: YAHOO_PAGE, polite=False)
+    links = src.get_links("q", max_articles=5)
+    assert links[0]["se_link"] == "https://ex.com/y1"
+
+
+def test_date_param_conflict_raises():
+    src = GoogleNewsSource(fetcher=lambda url: GOOGLE_PAGE, polite=False)
+    with pytest.raises(ValueError, match="duration"):
+        src.get_links("q", 5, start_date="01/01/2024", duration_months=3)
+
+
+def test_get_all_links_union_dedup(spark):
+    g = GoogleNewsSource(fetcher=lambda url: GOOGLE_PAGE, polite=False)
+    b = BingNewsSource(fetcher=lambda url: BING_PAGE, polite=False)
+    df = get_all_links(spark, [g, b], "q", max_articles=10)
+    rows = df.collect()
+    assert {r["se_link"] for r in rows} == {
+        "https://ex.com/a1", "https://ex.com/a2", "https://ex.com/b1",
+    }
+
+
+def test_dominant_block_extraction():
+    html = _mk_article(1)
+    out = extract_page("https://ex.com/a", html)
+    assert out["n3k_title"] == "Article Title Here"
+    assert out["bs_title"] == "Main Headline Of The Page"
+    # dominant block picks #content (3 long paras), not nav/footer
+    assert len(out["bs_paragraph"]) == 3
+    assert "menu item" not in out["bs_body"]
+    assert "tiny" not in out["bs_body"]
+    # meta strategy keeps everything
+    assert "menu item" in out["n3k_body"]
+
+
+class FileSource(LinkSource):
+    """Test source yielding file:// article URLs."""
+
+    engine = "Google"
+
+    def __init__(self, urls):
+        super().__init__(fetcher=lambda u: "", polite=False)
+        self.urls = urls
+
+    def get_links(self, query, max_articles=100, **kw):
+        return [
+            {
+                "engine": self.engine,
+                "se_link": u,
+                "se_title": f"Search title number {i} long enough to pass cleaning",
+                "se_description": (
+                    f"Search description number {i} padded out with sufficient "
+                    "words to clear the one hundred character description threshold."
+                ),
+                "se_source": "Example Press",
+            }
+            for i, u in enumerate(self.urls[:max_articles])
+        ]
+
+
+@pytest.fixture()
+def article_files(tmp_path: pathlib.Path):
+    urls = []
+    for i in range(4):
+        f = tmp_path / f"article{i}.html"
+        f.write_text(_mk_article(i))
+        urls.append(f.as_uri())
+    return urls
+
+
+def test_fetch_content_distributed(spark, article_files):
+    src = FileSource(article_files)
+    links = get_all_links(spark, [src], "q", max_articles=10)
+    content = fetch_content(links, url_col="se_link", partitions=2)
+    rows = content.collect()
+    assert len(rows) == 4
+    assert all(len(r["bs_paragraph"]) == 3 for r in rows)
+
+
+def test_fetch_content_drops_failures(spark, article_files):
+    src = FileSource(article_files + ["file:///nonexistent/nope.html"])
+    links = get_all_links(spark, [src], "q", max_articles=10)
+    rows = fetch_content(links, url_col="se_link").collect()
+    assert len(rows) == 4  # failed URL dropped at the task barrier
+
+
+def test_pipeline_executor_end_to_end(spark, article_files, tmp_path):
+    ex = PipelineExecutor(
+        spark, data_dir=str(tmp_path / "data"), sources=[FileSource(article_files)]
+    )
+    clean = ex.execute("integration test", max_articles=10)
+    rows = clean.collect()
+    assert len(rows) > 0
+    assert set(clean.columns) == {
+        "article_index", "engine", "link", "source",
+        "title", "description", "body", "paragraph",
+    }
+    # cache probe short-circuits (S1): second call reads parquet
+    again = ex.execute("integration test", max_articles=10)
+    assert again.count() == len(rows)
+
+
+def test_sanitize_query():
+    assert sanitize_query(' "Roland Berger" ') == "RolandBerger"

@@ -1,0 +1,103 @@
+"""Structured Streaming tests: file-drop link ingest with watermarked
+dedup + foreachBatch enrichment; streaming event windows vs their
+batch equivalents (same expressions → same results on bounded input).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark import catalog
+from miba_2023_capstone_rb_nlp_spark.streaming.ingest import (
+    dedup_links,
+    enrich_foreach_batch,
+    filtered_link_stream,
+    read_link_stream,
+)
+from miba_2023_capstone_rb_nlp_spark.streaming.windows import (
+    session_stats,
+    tumbling_counts,
+)
+from tests.conftest import SF_TEST_DIR
+
+
+def _write_link_batch(directory, name, rows):
+    directory.mkdir(parents=True, exist_ok=True)
+    with open(directory / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _link(i, ts="2024-01-01T00:00:00.000Z", engine="Google"):
+    return {
+        "engine": engine,
+        "se_link": f"https://ex.com/{i}",
+        "se_title": f"Streaming headline number {i} long enough",
+        "se_description": None,
+        "se_source": "Example",
+        "discovered_at": ts,
+    }
+
+
+def test_link_stream_dedup_foreach_batch(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    _write_link_batch(inbox, "b1.json", [_link(1), _link(2), _link(2)])
+    _write_link_batch(inbox, "b2.json", [_link(2), _link(3)])
+    stream = filtered_link_stream(read_link_stream(spark, str(inbox)))
+    deduped = dedup_links(stream, watermark="1 hour")
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend((r["se_link"],) for r in batch_df.collect())
+
+    q = enrich_foreach_batch(deduped, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    links = sorted(s[0] for s in seen)
+    assert links == [
+        "https://ex.com/1", "https://ex.com/2", "https://ex.com/3",
+    ], f"dedup failed: {links}"
+
+
+def test_streaming_tumbling_equals_batch(spark, tmp_path):
+    ev = catalog.table(spark, SF_TEST_DIR, "events")
+    # bounded "stream" from the same parquet via file source
+    path = str(tmp_path / "events_parquet")
+    ev.write.parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    out = tumbling_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from tumbling_test").collect()
+    want = tumbling_counts(ev).collect()  # same fn works on batch df
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_streaming_session_windows_run(spark, tmp_path):
+    ev = catalog.table(spark, SF_TEST_DIR, "events")
+    path = str(tmp_path / "events_parquet2")
+    ev.write.parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    out = session_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from session_test")
+    assert got.count() > 0
+    # sessions are disjoint per user and end >= start + nothing negative
+    bad = got.filter(F.col("session_end") <= F.col("session_start")).count()
+    assert bad == 0
