@@ -4,19 +4,54 @@ random-hyperplane LSH bucketing as the scale path.
 Hyperplanes are derived deterministically from md5 (plane p, dim d →
 weight in [-1, 1] with 1/1000 resolution), so buckets are identical
 across engines/runs — no seeded RNG.
+
+Execution strategy (scale rationale): exact all-pairs is O(n²) by
+definition, so the job is to make the constant factor BLAS-grade and
+the distribution shape block-parallel. Vectors are hashed into B
+blocks; every unordered block pair (i,j) becomes one applyInPandas
+group holding only blocks i and j (replication factor B per vector,
+work (n/B)² per group — the standard distributed all-pairs layout).
+Inside a group the cosine matrix is computed by the numpy kernels in
+``functions.blas``, whose accumulation order is bit-identical to the
+SQL oracle's list_sum fold. The LSH path computes 16-bit hyperplane
+signatures with the same kernels, then pairs only within buckets.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
-from miba_2023_capstone_rb_nlp_spark.functions.vectors import (
-    as_double,
-    dot_expanded,
-    norm2_expanded,
+from miba_2023_capstone_rb_nlp_spark.functions.blas import (
+    cos_matrix,
+    fixed_np,
+    seq_plane_dots,
+    to_matrix,
 )
+
+
+def _pair_frame(
+    ids_a: np.ndarray,
+    ids_b: np.ndarray,
+    cos: np.ndarray,
+    threshold: float,
+    same_block: bool,
+) -> pd.DataFrame:
+    """Mask a cosine matrix down to qualifying (va < vb) pairs."""
+    with np.errstate(invalid="ignore"):
+        mask = cos >= threshold
+    if same_block:
+        mask &= ids_a[:, None] < ids_b[None, :]
+    ii, jj = np.nonzero(mask)
+    va = ids_a[ii]
+    vb = ids_b[jj]
+    lo = np.minimum(va, vb)
+    hi = np.maximum(va, vb)
+    return pd.DataFrame({"va": lo, "vb": hi, "cos": cos[ii, jj]})
 
 
 def cosine_pairs(
@@ -26,66 +61,62 @@ def cosine_pairs(
     dim: int,
     threshold: float = 0.45,
     scale: int = 6,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold → [va, vb, cos].
 
     O(n²) — correctness baseline and small-n path; use
-    hyperplane_lsh_pairs at scale. Hot-path tuning: norms are
-    materialized once per VECTOR before the pair join (not 2× per
-    pair) and the dot is an expanded codegen chain (functions/vectors
-    rationale) — same values, ~10× less work per pair.
+    hyperplane_lsh_pairs at scale. Block-pair applyInPandas layout:
+    pair (a,b) with blocks (x,y) is produced exactly once, by group
+    (min(x,y), max(x,y)) — same-block pairs only by the diagonal
+    group, cross-block pairs only by their one off-diagonal group.
+    ``n_blocks`` scales with corpus size (group work is (n/B)²).
     """
-    with_norm = df.select(
+    base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        norm2_expanded(F.col(vec_col), dim).alias("_n"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
     )
-    a = with_norm.select(
-        F.col("_id").alias("va"), F.col("_v").alias("ea"), F.col("_n").alias("na")
-    )
-    b = with_norm.select(
-        F.col("_id").alias("vb"), F.col("_v").alias("eb"), F.col("_n").alias("nb")
-    )
-    denom = F.col("na") * F.col("nb")
-    cos = F.when(
-        denom != 0.0, dot_expanded(F.col("ea"), F.col("eb"), dim) / denom
-    )
-    return (
-        a.join(b, F.col("va") < F.col("vb"))
-        .withColumn("cos", fixed(cos, scale))
-        .filter(F.col("cos") >= threshold)
-        .select("va", "vb", "cos")
+    fan = (
+        base.withColumn(
+            "_ob", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        )
+        .withColumn("_gi", F.least("_blk", "_ob"))
+        .withColumn("_gj", F.greatest("_blk", "_ob"))
     )
 
+    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = key
+        if gi == gj:
+            ids = pdf["_id"].to_numpy()
+            mat = to_matrix(pdf["_v"], dim)
+            cos = fixed_np(cos_matrix(mat, mat), scale)
+            return _pair_frame(ids, ids, cos, threshold, same_block=True)
+        a = pdf[pdf["_blk"] == gi]
+        b = pdf[pdf["_blk"] == gj]
+        ids_a = a["_id"].to_numpy()
+        ids_b = b["_id"].to_numpy()
+        cos = fixed_np(
+            cos_matrix(to_matrix(a["_v"], dim), to_matrix(b["_v"], dim)),
+            scale,
+        )
+        return _pair_frame(ids_a, ids_b, cos, threshold, same_block=False)
 
-def _plane_weight(plane: int, d: int) -> float:
-    # materialized per-literal on the driver? No — weights must be
-    # column-free constants; computed in SQL for engine parity.
-    raise NotImplementedError("weights are generated as literals; see hyperplane_bits")
+    return fan.groupBy("_gi", "_gj").applyInPandas(
+        emit, schema="va bigint, vb bigint, cos double"
+    )
 
 
-def hyperplane_bits(vec: Column, dim: int, n_planes: int = 16) -> Column:
-    """LSH bucket id: sign bits of dot(vec, plane_p) for p < n_planes.
-
-    plane_p[d] = ((md5_60("p:d") mod 2001) - 1000) / 1000 ∈ [-1, 1],
-    computed as literal constants at plan-build time (same formula in
-    the SQL oracle).
-    """
-    import hashlib
-
-    bucket = F.lit(0).cast("bigint")
+def plane_weights(dim: int, n_planes: int = 16) -> np.ndarray:
+    """(n_planes, dim) deterministic hyperplane weights:
+    plane_p[d] = ((md5_60("p:d") mod 2001) - 1000) / 1000 ∈ [-1, 1] —
+    identical formula in the SQL oracle, no RNG."""
+    w = np.empty((n_planes, dim), dtype=np.float64)
     for p in range(n_planes):
-        dot = F.lit(0.0)
         for d in range(dim):
             hx = hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15]
-            w = ((int(hx, 16) % 2001) - 1000) / 1000.0
-            # scalar widen per element (see vectors.dot_expanded note)
-            dot = dot + vec.getItem(d).cast("double") * F.lit(w)
-        bit = F.when(dot >= 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        bucket = bucket + bit
-    return bucket
+            w[p, d] = ((int(hx, 16) % 2001) - 1000) / 1000.0
+    return w
 
 
 def hyperplane_lsh_pairs(
@@ -100,29 +131,41 @@ def hyperplane_lsh_pairs(
     """Bucketed near-dup pairs: same 16-bit hyperplane bucket →
     verify cosine ≥ threshold. Sub-quadratic; recall bounded by
     bucket collisions (raise n_planes / add multi-probe for recall).
+
+    Signature pass is a mapInPandas over the corpus (one shuffle on
+    bucket id follows); per-bucket pairing reuses the blas kernels.
+    Skewed buckets (near-identical corpora) are the known hazard at
+    scale — mitigate by raising n_planes, not by salting (a salted
+    bucket would miss pairs).
     """
-    with_bucket = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        norm2_expanded(F.col(vec_col), dim).alias("nrm"),
-        hyperplane_bits(F.col(vec_col), dim, n_planes).alias("bucket"),
+    weights = plane_weights(dim, n_planes)
+    powers = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def add_bucket(batches):
+        for pdf in batches:
+            mat = to_matrix(pdf["_v"], dim)
+            dots = seq_plane_dots(mat, weights)
+            pdf = pdf.copy()
+            pdf["bucket"] = ((dots >= 0.0) * powers).sum(axis=1)
+            yield pdf
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
-    a, b = with_bucket.alias("a"), with_bucket.alias("b")
-    denom = F.col("a.nrm") * F.col("b.nrm")
-    cos = F.when(
-        denom != 0.0,
-        dot_expanded(F.col("a.vec"), F.col("b.vec"), dim) / denom,
+    with_bucket = base.mapInPandas(
+        add_bucket,
+        schema="_id bigint, _v array<float>, bucket bigint",
     )
+
+    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        mat = to_matrix(pdf["_v"], dim)
+        cos = fixed_np(cos_matrix(mat, mat), scale)
+        out = _pair_frame(ids, ids, cos, threshold, same_block=True)
+        out["bucket"] = key[0]
+        return out
+
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .withColumn("cos", fixed(cos, scale))
-        .filter(F.col("cos") >= threshold)
-        .select(
-            F.col("a.vid").alias("va"), F.col("b.vid").alias("vb"), "cos",
-            F.col("a.bucket").alias("bucket"),
-        )
+        with_bucket.groupBy("bucket")
+        .applyInPandas(emit, schema="va bigint, vb bigint, cos double, bucket bigint")
     )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from miba_2023_capstone_rb_nlp_spark.functions.lets import let2, piped
+
 # Regex constants per content_cleaner.py:56-66 (public reference).
 WEBSITE_PATTERN = r"(?:http[s]?://)?www\.[^\s.]+\.[^\s]{2,}|^https?:\/\/.*[\r\n]*"
 EMAIL_PATTERN = r"[\w.-]+@[\w.-]+\.[\w.-]+"
@@ -88,45 +90,79 @@ def clean_articles(df: DataFrame) -> DataFrame:
     se_source, n3k_title, n3k_body, bs_title, bs_body, paragraph.
     Output: the canonical 8-column clean table
     (content_cleaner.py:128).
+
+    Every output column is built as ONE single-evaluation pipeline via
+    functions.lets (transform-array let bindings): stacked
+    ``when(..).otherwise(c)`` stages otherwise re-evaluate their input
+    up to 2^depth times per row after CollapseProject inlining — the
+    body-column regex normalization measured ~30× duplicated. The
+    whole chain stays one narrow projection: no shuffle, no cache,
+    linear scaling.
     """
-    out = df.na.fill("")  # content_cleaner.py:41
-    out = (
-        out.withColumnRenamed("se_link", "link")
-        .withColumnRenamed("se_description", "description")
-        .withColumnRenamed("se_source", "source")
+
+    def fill(c: Column) -> Column:
+        return F.coalesce(c, F.lit(""))  # content_cleaner.py:41
+
+    def ws(c: Column) -> Column:  # F1, content_cleaner.py:69-70
+        return _normalize_ws(c)
+
+    def phrases(c: Column) -> Column:  # F2, content_cleaner.py:81-85
+        return _null_if_contains(c, PHRASE_PATTERN)
+
+    def short(k: int):  # F3, content_cleaner.py:88-94
+        return lambda c: _null_if_short(c, k)
+
+    def removal(c: Column) -> Column:  # F6, content_cleaner.py:121-122
+        return _null_if_contains(c, REMOVAL_PATTERN)
+
+    def empty(c: Column) -> Column:  # F7, content_cleaner.py:124-126
+        return _null_if_contains(c, EMPTY_STRING_PATTERN)
+
+    # per-source-column chains (each input evaluated exactly once)
+    n3k_title = piped(
+        F.col("n3k_title"), fill, ws, phrases, short(MIN_TITLE_LEN)
     )
-    # F1 whitespace normalization (content_cleaner.py:69-70)
-    for c in ["n3k_title", "n3k_body", "bs_title", "bs_body", "paragraph", "description"]:
-        out = out.withColumn(c, _normalize_ws(F.col(c)))
-    # F2 phrase nulling (content_cleaner.py:81-85)
-    for c in ["n3k_title", "bs_title", "se_title", "paragraph", "description"]:
-        out = out.withColumn(c, _null_if_contains(F.col(c), PHRASE_PATTERN))
-    # F3 length thresholds (content_cleaner.py:88-94)
-    for c, k in [
-        ("n3k_title", MIN_TITLE_LEN), ("bs_title", MIN_TITLE_LEN),
-        ("se_title", MIN_TITLE_LEN), ("description", MIN_DESCRIPTION_LEN),
-        ("bs_body", MIN_BODY_LEN), ("n3k_body", MIN_BODY_LEN),
-        ("paragraph", MIN_PARAGRAPH_LEN),
-    ]:
-        out = out.withColumn(c, _null_if_short(F.col(c), k))
+    bs_title = piped(
+        F.col("bs_title"), fill, ws, phrases, short(MIN_TITLE_LEN)
+    )
+    se_title = piped(  # no ws-normalization for se_title in reference
+        F.col("se_title"), fill, phrases, short(MIN_TITLE_LEN)
+    )
+    description = piped(
+        F.col("description"),
+        fill, ws, phrases, short(MIN_DESCRIPTION_LEN), removal, empty,
+    )
+    paragraph = piped(
+        F.col("paragraph"),
+        fill, ws, phrases, short(MIN_PARAGRAPH_LEN), removal, empty,
+    )
+    n3k_body = piped(F.col("n3k_body"), fill, ws, short(MIN_BODY_LEN))
+    bs_body = piped(F.col("bs_body"), fill, ws, short(MIN_BODY_LEN))
+
     # F5 longest-of-two coalesce + se_title override
     # (content_cleaner.py:106-118)
-    out = out.withColumn("body", _longest_or_empty(F.col("n3k_body"), F.col("bs_body")))
-    out = out.withColumn("title", _longest_or_empty(F.col("n3k_title"), F.col("bs_title")))
-    out = out.withColumn(
-        "title",
-        F.when(
-            F.length("se_title") > F.length("title"), F.col("se_title")
-        ).otherwise(F.col("title")),
+    body = piped(let2(n3k_body, bs_body, _longest_or_empty), empty)
+    title = piped(
+        let2(
+            se_title,
+            let2(n3k_title, bs_title, _longest_or_empty),
+            lambda s, t: F.when(F.length(s) > F.length(t), s).otherwise(t),
+        ),
+        removal,
+        empty,
     )
-    # F6 removal patterns on title/paragraph/description
-    # (content_cleaner.py:121-122)
-    for c in ["title", "paragraph", "description"]:
-        out = out.withColumn(c, _null_if_contains(F.col(c), REMOVAL_PATTERN))
-    # F7 empty/whitespace-only ⇒ NULL (content_cleaner.py:124-126)
-    for c in ["title", "body", "paragraph", "description"]:
-        out = out.withColumn(c, _null_if_contains(F.col(c), EMPTY_STRING_PATTERN))
-    # P6 projection + P7 dropna (content_cleaner.py:128-129)
+
+    out = df.withColumnRenamed("se_description", "description").select(
+        F.col("article_index"),
+        fill(F.col("engine")).alias("engine"),
+        fill(F.col("se_link")).alias("link"),
+        fill(F.col("se_source")).alias("source"),
+        title.alias("title"),
+        description.alias("description"),
+        body.alias("body"),
+        paragraph.alias("paragraph"),
+    )
+    # P6 projection order + P7 dropna (content_cleaner.py:128-129)
     return out.select(*CLEAN_COLUMNS).na.drop(
         subset=["title", "description", "body", "paragraph"]
     )

@@ -1,32 +1,69 @@
 """k-nearest-neighbor search over an ``array<float>`` embedding column.
 
-Brute force: broadcast the (small) query set against the corpus —
-one pass, no shuffle except the top-k window on query id. At 100 TB
-the corpus side stays partitioned; only queries broadcast.
+Brute force: the (small, bounded) query set is collected and broadcast
+to every corpus partition; each Arrow batch scores corpus×queries with
+the numpy kernels in ``functions.blas`` and emits only its *local*
+top-k per query (a combiner: the global top-k is a subset of the union
+of per-batch top-ks), so the shuffle carries n_batches×q×k rows instead
+of n×q. A final window reduces to the global top-k. At 100 TB the
+corpus side stays partitioned; only queries move.
 
 IVF variant: restrict the scan to the query's cell (here: a
 precomputed cell id column, e.g. a KMeans assignment) — candidates
 drop by ~n_cells× at the cost of recall on cell borders; multi-probe
-= join on array of nearest cells.
+= join on array of nearest cells. Each cell is one applyInPandas
+group, and ranking completes inside the group (a query belongs to
+exactly one cell), so no second shuffle is needed.
+
+Accumulation order inside the kernels is bit-identical to the
+dim-expanded expression chain / SQL list_sum fold (see blas.py).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
-from miba_2023_capstone_rb_nlp_spark.functions.vectors import (
-    dot_expanded,
-    norm2_expanded,
+from miba_2023_capstone_rb_nlp_spark.functions.blas import (
+    cos_matrix,
+    fixed_np,
+    to_matrix,
 )
 
 
-def _cos(dim: int) -> F.Column:
-    denom = F.col("qn") * F.col("cn")
-    return F.when(
-        denom != 0.0, dot_expanded(F.col("qv"), F.col("cv"), dim) / denom
-    )
+def _topk_frame(
+    qids: np.ndarray,
+    nids: np.ndarray,
+    cos: np.ndarray,
+    k: int,
+    with_rank: bool = False,
+) -> pd.DataFrame:
+    """Per-query top-k of a (nq, nc) quantized cosine matrix, ranked by
+    (cos desc, neighbor_id asc); self-pairs must be pre-masked to NaN.
+    NaN scores sort last and are dropped."""
+    out = []
+    for qi in range(len(qids)):
+        row = cos[qi]
+        valid = ~np.isnan(row)
+        if not valid.any():
+            continue
+        idx = np.nonzero(valid)[0]
+        order = np.lexsort((nids[idx], -row[idx]))[:k]
+        sel = idx[order]
+        frame = {
+            "query_id": np.full(len(sel), qids[qi]),
+            "neighbor_id": nids[sel],
+            "cos": row[sel],
+        }
+        if with_rank:
+            frame["rk"] = np.arange(1, len(sel) + 1, dtype=np.int32)
+        out.append(pd.DataFrame(frame))
+    cols = ["query_id", "neighbor_id", "cos"] + (["rk"] if with_rank else [])
+    if not out:
+        return pd.DataFrame({c: [] for c in cols})
+    return pd.concat(out, ignore_index=True)
 
 
 def knn_bruteforce(
@@ -41,27 +78,32 @@ def knn_bruteforce(
     """→ [query_id, neighbor_id, cos, rk ≤ k] (self excluded).
 
     Deterministic: quantized cosine, ties broken by neighbor id.
-    Norms precomputed per side before the broadcast join (not per
-    candidate pair); dot is an expanded codegen chain.
+    The query set is collected to the driver (bounded by contract —
+    it is the broadcast side) and shipped inside the mapInPandas
+    closure; per-batch partial top-k bounds the shuffle.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm2_expanded(F.col(vec_col), dim).alias("qn"),
+    qpd = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    qids = qpd["qid"].to_numpy()
+    qmat = to_matrix(qpd["qv"], dim)
+
+    def score(batches):
+        for pdf in batches:
+            nids = pdf[id_col].to_numpy()
+            cmat = to_matrix(pdf[vec_col], dim)
+            cos = fixed_np(cos_matrix(qmat, cmat), scale)
+            cos[qids[:, None] == nids[None, :]] = np.nan  # self-exclude
+            yield _topk_frame(qids, nids, cos, k)
+
+    partial = corpus.mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, cos double"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm2_expanded(F.col(vec_col), dim).alias("cn"),
-    )
-    scored = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).withColumn("cos", fixed(_cos(dim), scale))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        partial.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )
@@ -77,29 +119,40 @@ def knn_ivf_cells(
     k: int = 10,
     scale: int = 6,
 ) -> DataFrame:
-    """IVF-style: only score candidates in the query's cell."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
+    """IVF-style: only score candidates in the query's cell.
+
+    Corpus is semi-filtered to cells that actually host a query
+    (partition pruning at scale), then each cell ranks its own
+    queries' candidates in one applyInPandas pass.
+    """
+    qpd = queries.select(
+        F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
-        norm2_expanded(F.col(vec_col), dim).alias("qn"),
         F.col(cell_col).alias("cell"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm2_expanded(F.col(vec_col), dim).alias("cn"),
-        F.col(cell_col).alias("cell"),
-    )
-    scored = (
-        c.join(F.broadcast(q), on="cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", fixed(_cos(dim), scale))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
+    ).toPandas()
+    by_cell: dict = {}
+    for cell, grp in qpd.groupby("cell"):
+        by_cell[int(cell)] = (grp["qid"].to_numpy(), to_matrix(grp["qv"], dim))
+    cells = sorted(by_cell)
+
+    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(key[0])
+        qids, qmat = by_cell[cell]
+        nids = pdf[id_col].to_numpy()
+        cos = fixed_np(cos_matrix(qmat, to_matrix(pdf[vec_col], dim)), scale)
+        cos[qids[:, None] == nids[None, :]] = np.nan
+        out = _topk_frame(qids, nids, cos, k, with_rank=True)
+        out.insert(1, "cell", np.full(len(out), cell))
+        return out
+
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "cell", "neighbor_id", "cos", "rk")
+        corpus.filter(F.col(cell_col).isin(cells))
+        .groupBy(F.col(cell_col))
+        .applyInPandas(
+            emit,
+            schema=(
+                "query_id bigint, cell int, neighbor_id bigint, "
+                "cos double, rk int"
+            ),
+        )
     )

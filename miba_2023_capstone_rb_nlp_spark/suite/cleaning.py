@@ -153,9 +153,21 @@ def _fabricate(spark: SparkSession, sf_dir: str):
 
 @register("etl_clean_articles", oracle=_build_oracle())
 def q_etl_clean_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end ETL shape: P1 → J1 → posexplode → F1-F7 → P6/P7."""
+    """End-to-end ETL shape: P1 → J1 → posexplode → F1-F7 → P6/P7.
+
+    The repartition between the row-multiplying explode and the
+    CPU-bound regex chain is deliberate: it spreads post-explode rows
+    across all cores (the single-file scan arrives as one partition)
+    AND ends the WholeStageCodegen span at the exchange — the fused
+    Generate→25-regex-projection method otherwise exceeds the JVM's
+    64 KB limit and the whole stage runs interpreted.
+    """
     links, content = _fabricate(spark, sf_dir)
-    raw = assemble_articles(links, content).drop("pos", "bs_link")
+    raw = (
+        assemble_articles(links, content)
+        .drop("pos", "bs_link")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return cleaning.clean_articles(raw)
 
 
