@@ -44,6 +44,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def cpu_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table feed for CPU-bound downstream chains (regex, hashing,
+    shingling, per-row kernels): the driver's small single-file scans
+    arrive as ONE partition, serializing all downstream CPU work onto
+    one core. Spread rows across the cluster first. On a real cluster
+    a large scan is already parallel and this exchange is cheap
+    relative to the per-row work it parallelizes; AQE coalesces it
+    when the input is already well-partitioned."""
+    df = table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -157,15 +157,44 @@ def hyperplane_lsh_pairs(
         schema="_id bigint, _v array<float>, bucket bigint",
     )
 
-    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["_id"].to_numpy()
-        mat = to_matrix(pdf["_v"], dim)
-        cos = fixed_np(cos_matrix(mat, mat), scale)
-        out = _pair_frame(ids, ids, cos, threshold, same_block=True)
-        out["bucket"] = key[0]
-        return out
+    a = with_bucket.select(
+        F.col("bucket"), F.col("_id").alias("va"), F.col("_v").alias("_va_v")
+    )
+    b = with_bucket.select(
+        F.col("bucket"), F.col("_id").alias("vb"), F.col("_v").alias("_vb_v")
+    )
+    # SHUFFLE_HASH: exchange-reuse computes the bucket pass once
+    cand = a.hint("SHUFFLE_HASH").join(b, on="bucket").filter(
+        F.col("va") < F.col("vb")
+    )
 
-    return (
-        with_bucket.groupBy("bucket")
-        .applyInPandas(emit, schema="va bigint, vb bigint, cos double, bucket bigint")
+    def score(batches):
+        for pdf in batches:
+            va = to_matrix(pdf["_va_v"], dim)
+            vb = to_matrix(pdf["_vb_v"], dim)
+            # per-row (not outer) sequential-fold dot + norms
+            dot = np.zeros(len(pdf), dtype=np.float64)
+            na = np.zeros(len(pdf), dtype=np.float64)
+            nb = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(dim):
+                dot += va[:, d] * vb[:, d]
+                na += va[:, d] * va[:, d]
+                nb += vb[:, d] * vb[:, d]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = fixed_np(dot / denom, scale)
+            cos[denom == 0.0] = np.nan
+            with np.errstate(invalid="ignore"):
+                keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "va": pdf["va"].to_numpy()[keep],
+                    "vb": pdf["vb"].to_numpy()[keep],
+                    "cos": cos[keep],
+                    "bucket": pdf["bucket"].to_numpy()[keep],
+                }
+            )
+
+    return cand.mapInPandas(
+        score, schema="va bigint, vb bigint, cos double, bucket bigint"
     )

@@ -39,7 +39,8 @@ def jaccard_pairs(
     """
     sh = shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
+    # SHUFFLE_HASH: exchange-reuse computes the shingle table once
+    a = sh.hint("SHUFFLE_HASH").alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))

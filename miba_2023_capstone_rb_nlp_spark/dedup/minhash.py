@@ -2,9 +2,13 @@
 for near-dup detection (sub-quadratic: candidates only on band
 collisions).
 
-Hash family: h_i(s) = 60-bit md5("i:" + s) — independent-enough for
-LSH, identical in every engine (oracle parity), and stable across
-cluster runs (unlike JVM-seeded murmur).
+Hash family: Kirsch-Mitzenmacher double hashing
+h_i(s) = md5_60("A:"+s) + i * md5_56("B:"+s) — two md5 evaluations
+per shingle instead of k (the signature build is md5-bound), the
+classic two-hash construction whose LSH behavior matches independent
+hashes, engine-identical (oracle parity), and stable across cluster
+runs (unlike JVM-seeded murmur). i ≤ 15 keeps h_i < 2^61: no BIGINT
+overflow in any engine.
 
 Scale: signature build is one explode + one groupBy(doc) with k
 min-aggregates (map-side partial); band join shuffles on (band,
@@ -21,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
-from miba_2023_capstone_rb_nlp_spark.functions.text import md5_long
+from miba_2023_capstone_rb_nlp_spark.functions.text import md5_long, md5_long56
 from miba_2023_capstone_rb_nlp_spark.dedup.jaccard import shingle_table
 
 K = 16
@@ -34,10 +38,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """→ DataFrame[doc, h0..h{k-1}]."""
     sh = shingle_table(df, text_col, id_col, n)
-    hashed = sh.select(
+    base = sh.select(
+        "doc",
+        md5_long(F.concat(F.lit("A:"), F.col("s"))).alias("_m1"),
+        md5_long56(F.concat(F.lit("B:"), F.col("s"))).alias("_m2"),
+    )
+    hashed = base.select(
         "doc",
         *[
-            md5_long(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"_h{i}")
+            (F.col("_m1") + F.lit(i) * F.col("_m2")).alias(f"_h{i}")
             for i in range(k)
         ],
     )
@@ -64,25 +73,30 @@ def lsh_candidate_pairs(
     ≥1 band; est_jaccard = matching minhashes / k (exact multiple of
     1/k — engine-deterministic)."""
     sig = minhash_signatures(df, text_col, id_col, n, k)
+    # one self-join on (band_index, band_signature) after posexplode —
+    # both sides share the shuffle exchange so the signature build runs
+    # once (a union of per-band joins recomputes it per branch)
     banded = sig.select(
         "doc",
-        *[_band_sig(b).alias(f"b{b}") for b in range(bands)],
         *[F.col(f"h{i}") for i in range(k)],
+        F.posexplode(
+            F.array(*[_band_sig(b) for b in range(bands)])
+        ).alias("bi", "bv"),
     )
-    pairs = None
-    for b in range(bands):
-        a = banded.alias("a")
-        bb = banded.alias("b")
-        p = a.join(
-            bb,
-            (F.col(f"a.b{b}") == F.col(f"b.b{b}")) & (F.col("a.doc") < F.col("b.doc")),
-        ).select(
-            F.col("a.doc").alias("da"),
-            F.col("b.doc").alias("db"),
-            *[F.col(f"a.h{i}").alias(f"ha{i}") for i in range(k)],
-            *[F.col(f"b.h{i}").alias(f"hb{i}") for i in range(k)],
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    # SHUFFLE_HASH: exchange-reuse computes the signature build once
+    a = banded.hint("SHUFFLE_HASH").alias("a")
+    bb = banded.alias("b")
+    pairs = a.join(
+        bb,
+        (F.col("a.bi") == F.col("b.bi"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.doc").alias("da"),
+        F.col("b.doc").alias("db"),
+        *[F.col(f"a.h{i}").alias(f"ha{i}") for i in range(k)],
+        *[F.col(f"b.h{i}").alias(f"hb{i}") for i in range(k)],
+    )
     matches = reduce(
         lambda acc, i: acc
         + F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0),

@@ -51,6 +51,16 @@ def md5_long(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, HASH_HEX_CHARS), 16, 10).cast("bigint")
 
 
+def md5_long56(c: Column) -> Column:
+    """First 56 bits of md5 as a non-negative BIGINT — the step hash
+    for Kirsch-Mitzenmacher double hashing: h_i = m1 + i*m2 stays
+    below 2^61 for i ≤ 15 (no BIGINT overflow in any engine).
+
+    Oracle mirror: CAST('0x' || substr(md5(x), 1, 14) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("bigint")
+
+
 def fingerprint(c: Column) -> Column:
     """Document fingerprint: 60-bit md5 of the exact text."""
     return md5_long(c)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
-from miba_2023_capstone_rb_nlp_spark.functions.vectors import as_double, euclidean
+from miba_2023_capstone_rb_nlp_spark.functions.vectors import euclidean
 
 _SCALE = 6
 
@@ -49,9 +49,15 @@ def centroids(
     Components rounded so downstream math is engine-deterministic.
     """
     dim = dim or vector_dim(df, vec_col)
-    v = as_double(F.col(vec_col))
+    # elementwise scalar widening — as_double(col).getItem(i) would
+    # re-cast the WHOLE array once per dimension expression (O(dim²)
+    # casts per row); indexing the raw array and widening the scalar
+    # is bit-identical and O(dim)
+    v = F.col(vec_col)
     avgs = [
-        fixed(F.sum(v.getItem(i)) / F.count(F.lit(1)), _SCALE).alias(f"_c{i}")
+        fixed(
+            F.sum(v.getItem(i).cast("double")) / F.count(F.lit(1)), _SCALE
+        ).alias(f"_c{i}")
         for i in range(dim)
     ]
     agg = df.groupBy(F.col(label_col).alias(label_col)).agg(*avgs)
@@ -116,7 +122,7 @@ def cluster_viz_summary(
         enriched, "embedding", "label", id_col="vec_id", n_med=n_med, dim=dim
     )
     w = Window.partitionBy("label")
-    v = as_double(F.col("embedding"))
+    v = F.col("embedding")
     return (
         flagged.withColumn("size", F.count(F.lit(1)).over(w))
         .withColumn(
@@ -129,8 +135,8 @@ def cluster_viz_summary(
         .select(
             F.col("label").alias("cluster"),
             F.col("size"),
-            v.getItem(0).alias("x"),
-            v.getItem(1).alias("y"),
+            v.getItem(0).cast("double").alias("x"),
+            v.getItem(1).cast("double").alias("y"),
             F.col("mean_chars"),
             F.col("dist"),
             F.col("doc_id"),

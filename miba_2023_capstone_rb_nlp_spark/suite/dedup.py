@@ -21,7 +21,7 @@ from miba_2023_capstone_rb_nlp_spark.suite import register
 
 
 def _docs(spark, sf_dir):
-    return catalog.table(spark, sf_dir, "documents")
+    return catalog.cpu_table(spark, sf_dir, "documents")
 
 
 # --- exact dedup (with injected duplicates) ------------------------
@@ -90,11 +90,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- minhash LSH candidates ----------------------------------------
 def _minhash_oracle() -> str:
-    mins = ",\n    ".join(
-        "min(CAST(('0x' || substr(md5('" + str(i) + ":' || s), 1, 15)) AS BIGINT))"
-        f" AS h{i}"
-        for i in range(K)
-    )
+    # Kirsch-Mitzenmacher double hashing, mirroring dedup/minhash.py:
+    # h_i = md5_60("A:"+s) + i * md5_56("B:"+s)
+    mins = ",\n    ".join(f"min(m1 + {i} * m2) AS h{i}" for i in range(K))
     bands = ",\n    ".join(
         "md5(" + " || ',' || ".join(
             f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
@@ -111,7 +109,13 @@ def _minhash_oracle() -> str:
     )
     return f"""
 WITH sh AS ({_SHINGLES}),
-sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+hs AS (
+  SELECT doc,
+         CAST(('0x' || substr(md5('A:' || s), 1, 15)) AS BIGINT) AS m1,
+         CAST(('0x' || substr(md5('B:' || s), 1, 14)) AS BIGINT) AS m2
+  FROM sh
+),
+sig AS (SELECT doc, {mins} FROM hs GROUP BY doc),
 banded AS (SELECT *, {bands} FROM sig),
 cand AS (
 {cands}

@@ -261,20 +261,27 @@ FROM (
 
 @register("argmax_per_flag", oracle=_ARGMAX_ORACLE)
 def q_argmax_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 (idxmax) — deterministic argmax: rank-1 window with explicit
-    tie-break (max_by's tie choice is undefined, so we don't use it)."""
+    """A2 (idxmax) — deterministic argmax via struct-max aggregation:
+    max(struct(price, -orderkey, -linenumber)) picks max price with
+    min-key tie-breaks in ONE map-side-partial aggregation. The
+    rank-1-window formulation is semantically identical but must
+    sort every row into 3 window partitions (a full-skew sort at
+    100 TB); the struct-max reduces map-side to one row per partition
+    per flag. max_by alone is unusable: its tie choice is undefined."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_extendedprice").desc(),
-        F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
-    )
+    m = F.max(
+        F.struct(
+            F.col("l_extendedprice").alias("p"),
+            (-F.col("l_orderkey")).alias("nk"),
+            (-F.col("l_linenumber")).alias("nl"),
+        )
+    ).alias("m")
     return (
-        li.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        li.groupBy("l_returnflag")
+        .agg(m)
         .select(
             "l_returnflag",
-            F.col("l_orderkey").alias("top_orderkey"),
-            F.col("l_extendedprice").alias("max_price"),
+            (-F.col("m.nk")).alias("top_orderkey"),
+            F.col("m.p").alias("max_price"),
         )
     )

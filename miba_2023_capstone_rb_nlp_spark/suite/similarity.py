@@ -28,7 +28,7 @@ _COS = (
 
 
 def _emb(spark, sf_dir):
-    return catalog.table(spark, sf_dir, "embeddings")
+    return catalog.cpu_table(spark, sf_dir, "embeddings")
 
 
 _KNN_ORACLE = f"""

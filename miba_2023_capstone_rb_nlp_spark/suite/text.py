@@ -15,7 +15,7 @@ from miba_2023_capstone_rb_nlp_spark.suite import register
 
 
 def _docs(spark, sf_dir):
-    return catalog.table(spark, sf_dir, "documents")
+    return catalog.cpu_table(spark, sf_dir, "documents")
 
 
 # --- doc stats + quality score --------------------------------------
