@@ -12,6 +12,7 @@ sampled frames are ever decoded.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -70,7 +71,9 @@ def _fake_decode(content: bytes) -> list[float]:
     plan shape."""
     h = hashlib.md5(content).digest()
     raw = [int.from_bytes(h[2 * i : 2 * i + 2], "big") - 32768 for i in range(FEATURE_DIM)]
-    norm = sum(x * x for x in raw) ** 0.5 or 1.0
+    # math.sqrt, NOT ** 0.5: pow(x, 0.5) can differ from the correctly
+    # rounded IEEE sqrt by 1 ulp, breaking cross-engine parity
+    norm = math.sqrt(sum(x * x for x in raw)) or 1.0
     return [x / norm for x in raw]
 
 

@@ -100,6 +100,61 @@ def with_medoids(
     )
 
 
+def pairwise_medoid_scores(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    id_col: str,
+    dim: int,
+) -> DataFrame:
+    """W2 medoid metric (reference ``word_wizard.py:737-746``, the
+    hdbscan path): per cluster, each row's MEAN euclidean distance to
+    every other member → DataFrame[label, id, mean_dist].
+
+    O(n²) per cluster — the reference's known hazard, here bounded per
+    applyInPandas group and vectorized (one outer-difference per
+    dimension). Determinism: each pairwise distance is quantized to
+    1e-6 and summed as scaled int64 (exact, order-independent), then
+    the mean is derived in a fixed textual order mirrored by the SQL
+    oracle. Singleton clusters have no pairwise distances and emit no
+    rows (matching the oracle's self-excluding join).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from miba_2023_capstone_rb_nlp_spark.functions.blas import to_matrix
+
+    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"label": [], "id": [], "mean_dist": []})
+        mat = to_matrix(pdf["_v"], dim)
+        d2 = np.zeros((n, n), dtype=np.float64)
+        for d in range(dim):
+            diff = mat[:, d][:, None] - mat[:, d][None, :]
+            d2 += diff * diff
+        fx = np.floor(np.sqrt(d2) * 1_000_000.0).astype(np.int64)
+        sums = fx.sum(axis=1)  # self-distance contributes exactly 0
+        mean = sums.astype(np.float64) / 1_000_000.0 / (n - 1)
+        mean_q = np.floor(mean * 10_000.0) / 10_000.0
+        return pd.DataFrame(
+            {
+                "label": pdf["_l"].to_numpy(),
+                "id": pdf["_id"].to_numpy(),
+                "mean_dist": mean_q,
+            }
+        )
+
+    base = df.select(
+        F.col(label_col).alias("_l"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    )
+    return base.groupBy("_l").applyInPandas(
+        emit, schema="label int, id bigint, mean_dist double"
+    )
+
+
 def cluster_viz_summary(
     documents: DataFrame,
     embeddings: DataFrame,

@@ -47,6 +47,9 @@ def load_suite() -> dict[str, Query]:
 
     for optional in (
         "cleaning",
+        "ner",
+        "multimodal",
+        "streaming_live",
         "text",
         "dedup",
         "similarity",

@@ -156,3 +156,58 @@ def q_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("reduced_dimensions", 1).alias("x"),
         F.element_at("reduced_dimensions", 2).alias("y"),
     )
+
+
+# --- W2 medoids: min-avg-pairwise-distance (hdbscan path) ----------
+_PAIRWISE_MEDOID_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id, a.label,
+         CAST(floor(sqrt(list_sum(
+             [(a.v[i]-b.v[i])*(a.v[i]-b.v[i])
+              for i in generate_series(1, {EDIM})])) * 1000000.0) AS BIGINT)
+           AS fx
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+s AS (
+  SELECT vec_id, label, sum(fx) AS sfx, count(*) AS m
+  FROM p GROUP BY vec_id, label
+),
+r AS (
+  SELECT label, vec_id,
+         floor((CAST(sfx AS DOUBLE) / 1000000.0 / m) * 10000.0) / 10000.0
+           AS mean_dist
+  FROM s
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY label
+            ORDER BY mean_dist ASC, vec_id ASC) AS INT) AS rk
+  FROM r
+)
+SELECT label, vec_id, mean_dist, rk FROM ranked WHERE rk <= 2
+"""
+
+
+@register("pairwise_medoids", oracle=_PAIRWISE_MEDOID_ORACLE)
+def q_pairwise_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (reference word_wizard.py:737-746): per-cluster min mean
+    pairwise distance, top-2 — the O(n²)-bounded-per-cluster metric,
+    vectorized per group (see operators.analytics)."""
+    from miba_2023_capstone_rb_nlp_spark.operators.analytics import (
+        pairwise_medoid_scores,
+    )
+
+    e = catalog.table(spark, sf_dir, "embeddings")
+    scores = pairwise_medoid_scores(e, "embedding", "label", "vec_id", dim=EDIM)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.col("mean_dist").asc(), F.col("id").asc()
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("label", F.col("id").alias("vec_id"), "mean_dist", "rk")
+    )

@@ -285,3 +285,48 @@ def q_argmax_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.p").alias("max_price"),
         )
     )
+
+
+# --- grouping sets exposure (SURVEY §2.4 "not present" additions) ---
+_ROLLUP_ORACLE = f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+@register("order_rollup_revenue", oracle=_ROLLUP_ORACLE)
+def q_order_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (priority, status) with exact decimal sums: grouping
+    sets are a single pass (Expand + one hash aggregate) — no
+    per-level re-scan at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+@register("approx_distinct_parts", oracle=None)
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) next to the exact count — sketch
+    implementations differ across engines, so this is a rows-only
+    entry; the exact column documents the approximation error."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .withColumn(
+            "rel_err",
+            fixed(
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts"),
+                4,
+            ),
+        )
+    )
