@@ -20,8 +20,11 @@ from miba_2023_capstone_rb_nlp_spark.suite import load_suite  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# every suite query; heavier entries benefit most from plan quality
-SKIP: set[str] = set()
+# every suite query EXCEPT the full enrichment chain: it composes ~8
+# stages already benchmarked individually, and its wall-clock at small
+# SF is dominated by job-scheduling overhead of a deep DAG rather than
+# by any operator this benchmark is meant to measure
+SKIP: set[str] = {"wizard_full_chain"}
 
 
 def main() -> None:

@@ -211,3 +211,31 @@ def q_pairwise_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .select("label", F.col("id").alias("vec_id"), "mean_dist", "rk")
     )
+
+
+# --- full WordWizard chain (flagship fluent API, MVP.ipynb cell-8) --
+@register("wizard_full_chain", oracle=None)
+def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical end-to-end run: ETL clean table →
+    embeddings → clustering → NER → medoid summaries → sentiment →
+    topics → 2-D reduction → the notebook reporting projection
+    (viz_summary). Rows-only: the chain crosses MLlib stages that are
+    not SQL-expressible; every individually-expressible stage has its
+    own oracle-checked entry elsewhere in the suite."""
+    from miba_2023_capstone_rb_nlp_spark.suite.cleaning import (
+        q_etl_clean_articles,
+    )
+    from miba_2023_capstone_rb_nlp_spark.wizard import WordWizard
+
+    clean = q_etl_clean_articles(spark, sf_dir)
+    wiz = (
+        WordWizard(clean, interest="paragraph")
+        .create_sentence_embeddings()
+        .cluster_embeddings(k=5)
+        .entitiy_recognition()
+        .summarize_medoids()
+        .find_sentiment()
+        .topic_modelling()
+        .reduce_demensionality()
+    )
+    return wiz.viz_summary()

@@ -112,7 +112,15 @@ class WordWizard:
 
     # -- chain stages -------------------------------------------------
     def create_sentence_embeddings(self, lean: bool = True, dim: int = 8) -> "WordWizard":
-        """M2. lean → deterministic hash embedding; full → MiniLM."""
+        """M2. lean → deterministic hash embedding; full → MiniLM.
+
+        The result is persisted: the embedding column feeds the KMeans
+        fit (an action) AND every downstream branch (clusters, NER,
+        sentiment, topics, reduction) — without a persist each branch
+        re-runs ETL+embedding from the source (measured ~5× the chain
+        cost). This mirrors the reference's always-in-memory pandas
+        frame at the analog point (``word_wizard.py:117``).
+        """
         if lean:
             self.df = hash_embeddings(
                 self.df, self.interest, self.id_col, dim=dim, out_col=self.embed_col
@@ -121,6 +129,7 @@ class WordWizard:
             self.df = transformer_embeddings(
                 self.df, self.interest, out_col=self.embed_col
             )
+        self.df = self.df.persist()
         return self
 
     # M1 word embeddings share the implementation (the reference's
@@ -138,6 +147,8 @@ class WordWizard:
             self.df, self.embed_col, self.cluster_col, self.id_col,
             n_med=n_med, flag_col=self.medoid_col,
         ).drop("dist")
+        # fan-out base for NER / summaries / sentiment / topics
+        self.df = self.df.persist()
         return self
 
     def find_sentiment(self, lean: bool = True) -> "WordWizard":
