@@ -19,6 +19,9 @@ from miba_2023_capstone_rb_nlp_spark.session import get_spark  # noqa: E402
 from miba_2023_capstone_rb_nlp_spark.suite import load_suite  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# best-of-N per query: single-run timings on a shared box carry multi-
+# second GC/load spikes on random queries; min-of-2 measures the plan
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 # every suite query EXCEPT the full enrichment chain: it composes ~8
 # stages already benchmarked individually, and its wall-clock at small
@@ -37,9 +40,13 @@ def main() -> None:
     for name, q in sorted(suite.items()):
         if name in SKIP:
             continue
-        t0 = time.perf_counter()
-        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(max(1, REPS)):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)

@@ -123,3 +123,35 @@ def quality_features(c: Column) -> dict[str, Column]:
         "n_unique": n_uniq,
         "sum_token_len": sum_len,
     }
+
+
+# --- F10: sentence tokenization ------------------------------------
+# Consuming split pattern (NOT a lookbehind): DuckDB's RE2 oracle has
+# no lookbehind support, so both engines split on the punctuation+space
+# itself and trailing punctuation is trimmed per fragment.
+SENTENCE_SPLIT_PATTERN = r"[.!?] +"
+
+
+def sentences(c: Column) -> Column:
+    """Naive sentence split (F10 stand-in for NLTK punkt; the model
+    path loads punkt inside a pandas UDF without changing the plan)."""
+    return F.split(c, SENTENCE_SPLIT_PATTERN)
+
+
+# --- F11: lemmatization (rule-based stand-in) ----------------------
+# Ordered suffix rules, identical semantics in Spark (java.util.regex)
+# and DuckDB (RE2): ies→y, strip ing/ed, strip plural s (not ss).
+LEMMA_RULES: tuple[tuple[str, str], ...] = (
+    (r"ies$", "y"),
+    (r"(ing|ed)$", ""),
+    (r"([^s])s$", "$1"),
+)
+
+
+def lemma(c: Column) -> Column:
+    """Token-level rule lemmatizer (F11 stand-in for WordNet; the
+    NLTK path is a pandas UDF with the same column contract)."""
+    out = c
+    for pat, repl in LEMMA_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out

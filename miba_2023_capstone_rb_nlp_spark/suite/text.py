@@ -154,3 +154,99 @@ def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").desc(), F.col("term").asc()
     )
     return counts.withColumn("rk", F.row_number().over(rw)).filter(F.col("rk") <= 5)
+
+
+# --- F10: sentence tokenization stats ------------------------------
+# fabricated punctuated text (the synthetic corpus has no sentence
+# punctuation): three spans joined with '. ', '! ', '?'
+_SENT_EXPR_SQL = (
+    "substr(text, 1, 120) || '. ' || substr(text, 121, 120) || '! ' || "
+    "substr(text, 241, 120) || '?'"
+)
+_SENTENCE_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         string_split_regex({_SENT_EXPR_SQL}, '[.!?] +') AS frags
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(frags) AS INT) AS n_sentences,
+       CAST(list_max(list_transform(frags,
+            x -> length(regexp_replace(x, '[.!?]+$', '')))) AS INT)
+         AS longest_chars,
+       CAST(list_sum(list_transform(frags,
+            x -> len(string_split(regexp_replace(x, '[.!?]+$', ''), ' '))))
+         AS INT) AS total_tokens
+FROM s
+"""
+
+
+@register("sentence_stats", oracle=_SENTENCE_ORACLE)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 sentence split as array ops — no explode, no shuffle: per-doc
+    sentence count, longest sentence, total token count."""
+    d = _docs(spark, sf_dir)
+    sent_text = F.expr(
+        "substring(text, 1, 120) || '. ' || substring(text, 121, 120) || "
+        "'! ' || substring(text, 241, 120) || '?'"
+    )
+    frags = T.sentences(sent_text)
+    strip = lambda x: F.regexp_replace(x, r"[.!?]+$", "")  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.size(frags).alias("n_sentences"),
+        F.array_max(F.transform(frags, lambda x: F.length(strip(x))))
+        .alias("longest_chars"),
+        F.aggregate(
+            F.transform(frags, lambda x: F.size(F.split(strip(x), " "))),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).alias("total_tokens"),
+    )
+
+
+# --- F11: lemmatized term counts -----------------------------------
+_LEMMA_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(t, "
+    "'ies$', 'y'), '(ing|ed)$', ''), '([^s])s$', '\\1')"
+)
+_LEMMA_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+lem AS (
+  SELECT {_LEMMA_SQL} AS lemma FROM tok
+),
+counts AS (
+  SELECT lemma, count(*) AS n FROM lem
+  WHERE lemma NOT IN ('the','a','is','of','and','to','in') AND lemma <> ''
+  GROUP BY lemma
+),
+ranked AS (
+  SELECT lemma, n, CAST(row_number() OVER
+         (ORDER BY n DESC, lemma ASC) AS INT) AS rk
+  FROM counts
+)
+SELECT lemma, n, rk FROM ranked WHERE rk <= 20
+"""
+
+
+@register("lemma_term_counts", oracle=_LEMMA_ORACLE)
+def q_lemma_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 rule-lemmatizer + stopword drop + global top-20 terms.
+    The count aggregation is map-side partial; the final top-20 is a
+    single-partition window over the (tiny) distinct-lemma table."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(F.explode(T.tokens(F.col("text"))).alias("t"))
+    lem = tok.select(T.lemma(F.col("t")).alias("lemma"))
+    counts = (
+        lem.filter(~F.col("lemma").isin(*T.STOPWORDS) & (F.col("lemma") != ""))
+        .groupBy("lemma")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("lemma").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lemma", "n", "rk")
+    )

@@ -1,0 +1,106 @@
+"""Physical-plan shape assertions: the properties that make these
+queries scale are pinned here so a refactor can't silently lose them.
+
+Checks run on the EXECUTED plan string (AQE final plan) at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark import catalog
+from miba_2023_capstone_rb_nlp_spark.suite import load_suite
+from tests.conftest import SF_TEST_DIR
+
+SUITE = load_suite()
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # finalize AQE on THIS queryExecution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    """Timestamp predicate reaches the parquet scan; aggregation is
+    partial (map-side) before the exchange."""
+    df = SUITE["pricing_summary"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan or "partial_" in plan
+
+
+def test_pricing_summary_column_pruning(spark):
+    """ReadSchema carries only the referenced columns, not all 16."""
+    df = SUITE["pricing_summary"].fn(spark, SF_TEST_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_returnflag", "l_quantity", "l_extendedprice"):
+        assert col in read
+    assert "l_comment" not in read and "l_shipmode" not in read
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    """customer/nation/region are broadcast — only the fact join
+    shuffles."""
+    df = SUITE["region_revenue"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_semijoin_stays_semi(spark):
+    plan = _executed_plan(SUITE["order_priority_semijoin"].fn(spark, SF_TEST_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_antijoin_stays_anti(spark):
+    plan = _executed_plan(SUITE["customers_without_orders"].fn(spark, SF_TEST_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_simhash_banding_reuses_signature_exchange(spark):
+    """The band self-join must reuse ONE exchange over the signature
+    scan — not recompute it per side (broadcast would)."""
+    plan = _executed_plan(SUITE["simhash_pairs"].fn(spark, SF_TEST_DIR))
+    assert "ReusedExchange" in plan or plan.count("MapInPandas") == 1
+
+
+def test_minhash_banding_reuses_signature_exchange(spark):
+    plan = _executed_plan(SUITE["minhash_lsh_pairs"].fn(spark, SF_TEST_DIR))
+    # the signature build (shingle explode + min-agg) appears once
+    assert "ReusedExchange" in plan or plan.count("Generate explode") <= 2
+
+
+def test_no_cartesian_anywhere_except_exact_allpairs(spark):
+    """Only the documented O(n²) baselines may nested-loop join."""
+    allowed = {"embedding_neardup_pairs"}  # block-pair applyInPandas now
+    for name, q in SUITE.items():
+        if name in allowed or name == "wizard_full_chain":
+            continue
+        df = q.fn(spark, SF_TEST_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+
+
+def test_argmax_is_aggregate_not_window_sort(spark):
+    plan = _executed_plan(SUITE["argmax_per_flag"].fn(spark, SF_TEST_DIR))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_etl_cleaning_no_codegen_expression_blowup(spark):
+    """The optimized cleaning plan must hold ~one regexp_replace per
+    source rule (single-eval lets), not the ~250 a collapsed
+    when-chain re-inlines."""
+    df = SUITE["etl_clean_articles"].fn(spark, SF_TEST_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") <= 20
+
+
+def test_knn_partial_topk_bounds_shuffle(spark):
+    """Brute-force kNN must emit per-batch partial top-k (combiner),
+    not ship every candidate pair through the window shuffle."""
+    df = SUITE["knn_bruteforce"].fn(spark, SF_TEST_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # kernel stage present
+    assert "BroadcastNestedLoopJoin" not in plan
