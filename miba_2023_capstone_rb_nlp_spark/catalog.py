@@ -32,6 +32,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and predicate pushdown; never collect here."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # defensive conf for EXTERNAL sessions (the driver calls entry()/
+    # queries() with its own SparkSession): events carries parquet
+    # TIMESTAMP(NANOS) which Spark rejects unless read as long, and the
+    # pandas-UDF kernels want Arrow transfer. Both are runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet → read as long nanos
