@@ -48,3 +48,43 @@ def q_events_tumbling_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(_TABLE)
+
+
+_DEDUP_TABLE = "events_stream_dedup_result"
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
+@register("events_stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup under a watermark (the §2.10 ingest north star):
+    the event stream is unioned with itself (every row arrives twice),
+    dropDuplicates(event_id) with a watermark bounds the dedup state,
+    and the per-type counts must equal the plain batch counts — the
+    oracle proves the duplicates actually died. State for event-times
+    older than the watermark is evicted, which is what makes this
+    viable on an unbounded 100 TB/day feed."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+
+    def read():
+        return (
+            spark.readStream.schema(raw_schema)
+            .parquet(os.path.join(sf_dir, "events.*"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    doubled = read().unionByName(read())
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+    counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    query = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(_DEDUP_TABLE)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(_DEDUP_TABLE)
