@@ -155,19 +155,17 @@ def _fabricate(spark: SparkSession, sf_dir: str):
 def q_etl_clean_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ETL shape: P1 → J1 → posexplode → F1-F7 → P6/P7.
 
-    The repartition between the row-multiplying explode and the
-    CPU-bound regex chain is deliberate: it spreads post-explode rows
-    across all cores (the single-file scan arrives as one partition)
-    AND ends the WholeStageCodegen span at the exchange — the fused
-    Generate→25-regex-projection method otherwise exceeds the JVM's
-    64 KB limit and the whole stage runs interpreted.
+    Parallelism: the single-file scan arrives as ONE partition, which
+    would serialize the whole regex chain. Repartitioning the content
+    side BEFORE the join lets the broadcast join, the explode, and the
+    cleaning projection all pipeline across every core with no
+    wide-row exchange afterwards (measured ~5× vs repartitioning the
+    exploded rows). The cleaning chain itself stays one narrow
+    single-evaluation projection (operators/cleaning.py).
     """
     links, content = _fabricate(spark, sf_dir)
-    raw = (
-        assemble_articles(links, content)
-        .drop("pos", "bs_link")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    content = content.repartition(spark.sparkContext.defaultParallelism)
+    raw = assemble_articles(links, content).drop("pos", "bs_link")
     return cleaning.clean_articles(raw)
 
 

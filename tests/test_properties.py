@@ -1,0 +1,122 @@
+"""Property tests (hypothesis) for the determinism-critical kernels.
+
+The oracle gate depends on EXACT cross-engine float equality, which
+rests on two invariants:
+  1. the numpy kernels in functions/blas fold in the same IEEE order
+     as the Catalyst/SQL expression chain they replaced;
+  2. the scalar quantizers are single well-defined IEEE ops.
+These pin both against reference implementations in pure Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from miba_2023_capstone_rb_nlp_spark.functions.blas import (
+    cos_matrix,
+    fixed_np,
+    seq_dot_matrix,
+    seq_norm,
+    seq_plane_dots,
+    to_matrix,
+)
+
+DIM = st.integers(min_value=1, max_value=16)
+finite_f32 = st.floats(
+    min_value=-1e3, max_value=1e3, allow_nan=False, width=32
+)
+
+
+def vec(dim):
+    return st.lists(finite_f32, min_size=dim, max_size=dim)
+
+
+def _py_dot(a, b):
+    """The defining semantics: left fold in float64 over f32 inputs."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(np.float32(x)) * float(np.float32(y))
+    return acc
+
+
+@given(data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_seq_dot_matches_left_fold_exactly(data):
+    d = data.draw(DIM)
+    a = np.array(data.draw(vec(d)), dtype=np.float32).astype(np.float64)
+    b = np.array(data.draw(vec(d)), dtype=np.float32).astype(np.float64)
+    got = seq_dot_matrix(a[None, :], b[None, :])[0, 0]
+    want = _py_dot(a, b)
+    assert got == want  # bit-exact, not approx
+
+
+@given(data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_seq_norm_matches_fold_then_sqrt(data):
+    d = data.draw(DIM)
+    a = np.array(data.draw(vec(d)), dtype=np.float32).astype(np.float64)
+    got = seq_norm(a[None, :])[0]
+    want = math.sqrt(_py_dot(a, a))
+    assert got == want
+
+
+@given(data=st.data())
+@settings(max_examples=100, deadline=None)
+def test_cos_matrix_matches_scalar_formula(data):
+    d = data.draw(DIM)
+    a = np.array(data.draw(vec(d)), dtype=np.float32).astype(np.float64)
+    b = np.array(data.draw(vec(d)), dtype=np.float32).astype(np.float64)
+    got = cos_matrix(a[None, :], b[None, :])[0, 0]
+    denom = math.sqrt(_py_dot(a, a)) * math.sqrt(_py_dot(b, b))
+    if denom == 0.0:
+        assert np.isnan(got)  # NULL semantics
+    else:
+        assert got == _py_dot(a, b) / denom
+
+
+@given(data=st.data())
+@settings(max_examples=100, deadline=None)
+def test_plane_dots_fold_order(data):
+    d = data.draw(DIM)
+    v = np.array(data.draw(vec(d)), dtype=np.float32).astype(np.float64)
+    w = np.array(data.draw(vec(d)), dtype=np.float64)
+    got = seq_plane_dots(v[None, :], w[None, :])[0, 0]
+    acc = 0.0
+    for i in range(d):
+        acc += v[i] * w[i]
+    assert got == acc
+
+
+@given(
+    x=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    scale=st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_fixed_np_is_floor_quantization(x, scale):
+    got = fixed_np(np.array([x]), scale)[0]
+    factor = float(10**scale)
+    assert got == math.floor(x * factor) / factor
+
+
+@given(s=st.text(min_size=0, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_minhash_double_hash_never_overflows(s):
+    """h_i = md5_60 + i*md5_56 must stay in signed-64 for i ≤ 15 —
+    the invariant that lets every engine use plain BIGINT."""
+    m1 = int(hashlib.md5(("A:" + s).encode()).hexdigest()[:15], 16)
+    m2 = int(hashlib.md5(("B:" + s).encode()).hexdigest()[:14], 16)
+    for i in range(16):
+        assert 0 <= m1 + i * m2 < 2**63
+
+
+def test_to_matrix_empty_and_shapes():
+    import pandas as pd
+
+    assert to_matrix(pd.Series([], dtype=object), 4).shape == (0, 4)
+    m = to_matrix(pd.Series([np.array([1, 2], dtype=np.float32)]), 2)
+    assert m.dtype == np.float64 and m.shape == (1, 2)
