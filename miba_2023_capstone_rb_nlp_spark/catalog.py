@@ -38,6 +38,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pandas-UDF kernels want Arrow transfer. Both are runtime-settable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # window/date boundaries must be TZ-independent (oracle compares
+    # naive timestamps); UTC regardless of the host session's default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet → read as long nanos
