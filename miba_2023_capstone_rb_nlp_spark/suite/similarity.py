@@ -138,3 +138,63 @@ def q_hyperplane_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_pairs(
         _emb(spark, sf_dir), "embedding", "vec_id", dim=DIM, threshold=0.2
     )
+
+
+_CENT = (
+    "SELECT label, list(cv ORDER BY i) AS centroid FROM ("
+    "  SELECT label, i,"
+    "         floor((sum(v[i]) / count(*)) * 1000000.0) / 1000000.0 AS cv"
+    f"  FROM e, (SELECT unnest(generate_series(1, {DIM})) AS i) idx"
+    "  GROUP BY label, i"
+    ") GROUP BY label"
+)
+
+_QCENT_COS = (
+    "list_sum([q.v[i]*c.centroid[i] for i in generate_series(1, {dim})]) / "
+    "(sqrt(list_sum([q.v[i]*q.v[i] for i in generate_series(1, {dim})])) * "
+    "sqrt(list_sum([c.centroid[i]*c.centroid[i] for i in generate_series(1, {dim})])))"
+).format(dim=DIM)
+
+_KNN_MULTIPROBE_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS ({_CENT}),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+qc AS (
+  SELECT q.vec_id AS query_id, c.label AS cell,
+         floor(({_QCENT_COS}) * 1000000.0) / 1000000.0 AS ccos
+  FROM q, cent c
+),
+probes AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY ccos DESC, cell ASC) AS pr
+    FROM qc
+  ) WHERE pr <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         floor(({_COS}) * 1000000.0) / 1000000.0 AS cos
+  FROM probes p
+  JOIN e a ON a.label = p.cell
+  JOIN q   ON q.vec_id = p.query_id AND a.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rk
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 10
+"""
+
+
+@register("knn_ivf_multiprobe", oracle=_KNN_MULTIPROBE_ORACLE)
+def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: top-2 cells by query→centroid cosine, then
+    top-10 neighbors across both probed cells."""
+    from miba_2023_capstone_rb_nlp_spark.similarity.knn import knn_ivf_multiprobe
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return knn_ivf_multiprobe(
+        e, queries, "embedding", "vec_id", "label", dim=DIM, k=10, nprobe=2
+    )
