@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
-from miba_2023_capstone_rb_nlp_spark.functions.text import word_ngrams
+from miba_2023_capstone_rb_nlp_spark.functions.text import md5_long, word_ngrams
 
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
@@ -36,14 +36,21 @@ def jaccard_pairs(
     """→ DataFrame[da, db, inter, jaccard] with jaccard ≥ threshold.
 
     jaccard derived from exact integer counts (engine-deterministic).
+
+    The shared-shingle join runs on the 60-bit md5 of the shingle, not
+    the string: fixed-width bigint keys shuffle ~4× fewer bytes and
+    compare in one instruction (exact up to md5-60 collisions; the
+    oracle hashes identically, so parity is unaffected).
     """
-    sh = shingle_table(df, text_col, id_col, n)
+    sh = shingle_table(df, text_col, id_col, n).select(
+        "doc", md5_long(F.col("s")).alias("hs")
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     # SHUFFLE_HASH: exchange-reuse computes the shingle table once
     a = sh.hint("SHUFFLE_HASH").alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )

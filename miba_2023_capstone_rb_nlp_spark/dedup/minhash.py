@@ -25,8 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
-from miba_2023_capstone_rb_nlp_spark.functions.text import md5_long, md5_long56
-from miba_2023_capstone_rb_nlp_spark.dedup.jaccard import shingle_table
 
 K = 16
 BANDS = 4
@@ -36,23 +34,67 @@ ROWS_PER_BAND = K // BANDS
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = K
 ) -> DataFrame:
-    """→ DataFrame[doc, h0..h{k-1}]."""
-    sh = shingle_table(df, text_col, id_col, n)
-    base = sh.select(
-        "doc",
-        md5_long(F.concat(F.lit("A:"), F.col("s"))).alias("_m1"),
-        md5_long56(F.concat(F.lit("B:"), F.col("s"))).alias("_m2"),
-    )
-    hashed = base.select(
-        "doc",
-        *[
-            (F.col("_m1") + F.lit(i) * F.col("_m2")).alias(f"_h{i}")
-            for i in range(k)
-        ],
-    )
-    return hashed.groupBy("doc").agg(
-        *[F.min(f"_h{i}").alias(f"h{i}") for i in range(k)]
-    )
+    """→ DataFrame[doc, h0..h{k-1}].
+
+    One narrow mapInPandas pass: shingle, hash, and take the k mins
+    per document in numpy — no explode and no k-column aggregate
+    shuffle (the relational form ships n_shingles×k hash values
+    through a groupBy; this ships k values per doc). All arithmetic is
+    integer-exact, so the SQL oracle (which keeps the relational
+    explode+min form) matches bit-for-bit. Tokenization (single-space
+    split), distinct-shingle semantics, and the double-hash formula
+    mirror functions.text / dedup.jaccard exactly.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    ii = np.arange(k, dtype=np.int64)
+
+    def compute(batches):
+        for pdf in batches:
+            ids = pdf["doc"].to_numpy()
+            keep: list[int] = []
+            sigs: list[np.ndarray] = []
+            for r, text in enumerate(pdf["txt"]):
+                toks = text.split(" ")
+                if len(toks) < n:
+                    continue  # no shingles → no signature row (oracle drops too)
+                shingles = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    )
+                )
+                m1 = np.fromiter(
+                    (
+                        int(hashlib.md5(("A:" + s).encode()).hexdigest()[:15], 16)
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                m2 = np.fromiter(
+                    (
+                        int(hashlib.md5(("B:" + s).encode()).hexdigest()[:14], 16)
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                keep.append(r)
+                sigs.append((m1[:, None] + m2[:, None] * ii).min(axis=0))
+            out = (
+                np.stack(sigs) if sigs else np.empty((0, k), dtype=np.int64)
+            )
+            yield pd.DataFrame(
+                {"doc": ids[keep], **{f"h{i}": out[:, i] for i in range(k)}}
+            )
+
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt"))
+    schema = "doc bigint, " + ", ".join(f"h{i} bigint" for i in range(k))
+    return base.mapInPandas(compute, schema=schema)
 
 
 def _band_sig(band: int) -> F.Column:

@@ -66,11 +66,14 @@ _SHINGLES = (
     ")) AS s FROM (SELECT doc_id, string_split(text, ' ') AS p FROM documents)"
 )
 _JACCARD_ORACLE = f"""
-WITH sh AS ({_SHINGLES}),
+WITH sh0 AS ({_SHINGLES}),
+sh AS (
+  SELECT doc, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hs FROM sh0
+),
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
 inter AS (
   SELECT a.doc AS da, b.doc AS db, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc < b.doc
   GROUP BY 1, 2
 ),
 j AS (
