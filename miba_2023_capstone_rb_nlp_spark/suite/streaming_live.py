@@ -29,7 +29,11 @@ _TABLE = "events_tumbling_stream_result"
 def q_events_tumbling_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     # schema from a batch probe (ts arrives as long nanos under
-    # spark.sql.legacy.parquet.nanosAsLong, converted like catalog.py)
+    # spark.sql.legacy.parquet.nanosAsLong, converted like catalog.py);
+    # conf set here too so this query is order-independent under an
+    # external session that has not touched the catalog yet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(path).schema
     # FileStreamSource rejects a bare file path ("basePath must be a
     # directory") but accepts a glob that matches it
@@ -67,6 +71,8 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     older than the watermark is evicted, which is what makes this
     viable on an unbounded 100 TB/day feed."""
     path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(path).schema
 
     def read():
