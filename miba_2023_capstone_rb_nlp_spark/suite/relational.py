@@ -330,3 +330,87 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- skew mitigation (operators/skew.py) — result-invariance proofs --
+_SALTED_JOIN_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       {sql_dsum('c.c_acctbal')} AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("salted_join_nation_customers", oracle=_SALTED_JOIN_ORACLE)
+def q_salted_join_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (hot-key spread over 8 sub-keys) must produce the
+    EXACT result of the plain join — the oracle is the plain SQL."""
+    from miba_2023_capstone_rb_nlp_spark.operators.skew import salted_join
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    joined = salted_join(c, n, key="c_nationkey", n_salts=8)
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("total_acctbal"),
+    )
+
+
+_SALTED_AGG_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("salted_agg_priority_revenue", oracle=_SALTED_AGG_ORACLE)
+def q_salted_agg_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a low-cardinality (hot) group
+    key; decimal sums make the two-stage merge exactly equal the
+    one-stage plan, which the plain-SQL oracle certifies."""
+    from miba_2023_capstone_rb_nlp_spark.operators.skew import salted_agg
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "_price_dec", dec("o_totalprice", 2, 18)
+    )
+    out = salted_agg(
+        o,
+        "o_orderpriority",
+        [("_price_dec", "count", "n_orders"), ("_price_dec", "sum", "revenue")],
+        n_salts=8,
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+# --- exact percentiles (A-family addition) --------------------------
+_QUANTILES_ORACLE = f"""
+SELECT l_returnflag,
+       {sql_fixed('quantile_cont(l_extendedprice, 0.5)', 4)} AS p50,
+       {sql_fixed('quantile_cont(l_extendedprice, 0.9)', 4)} AS p90,
+       {sql_fixed('quantile_cont(l_extendedprice, 0.99)', 4)} AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("price_quantiles", oracle=_QUANTILES_ORACLE)
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (order statistics — no float-sum order issues;
+    Spark `percentile` and DuckDB `quantile_cont` use the same linear
+    interpolation, verified bit-equal). At 100 TB prefer
+    `percentile_approx` (sketch-mergeable, bounded memory) — exposed
+    as approx_distinct_parts' sibling pattern; the exact form here is
+    the oracle-checkable baseline."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fixed(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        fixed(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        fixed(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
