@@ -132,8 +132,10 @@ def hyperplane_lsh_pairs(
     verify cosine ≥ threshold. Sub-quadratic; recall bounded by
     bucket collisions (raise n_planes / add multi-probe for recall).
 
-    Signature pass is a mapInPandas over the corpus (one shuffle on
-    bucket id follows); per-bucket pairing reuses the blas kernels.
+    Signature pass is a mapInPandas over the corpus; candidates come
+    from ONE bucket equi-join (both sides shuffle the same signature
+    child — exchange reuse computes it once) and a vectorized per-pair
+    scoring pass.
     Skewed buckets (near-identical corpora) are the known hazard at
     scale — mitigate by raising n_planes, not by salting (a salted
     bucket would miss pairs).
