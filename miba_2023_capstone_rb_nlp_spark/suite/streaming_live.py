@@ -25,6 +25,25 @@ from miba_2023_capstone_rb_nlp_spark.suite.events import _TUMBLING_ORACLE
 _TABLE = "events_tumbling_stream_result"
 
 
+class _state_partitions:
+    """Scope spark.sql.shuffle.partitions around a stream start: the
+    state-store partition count is FIXED at first start, so it must be
+    sized to the stateful workload, not inherited from the batch conf.
+    The dedup/window state here is ~10^5 keys — 8 partitions beat 32
+    (~2×: fewer state stores to open/commit per micro-batch). On a
+    real feed, size to keys×bytes per partition, not cores."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, str(n)
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 @register("events_tumbling_streaming", oracle=_TUMBLING_ORACLE)
 def q_events_tumbling_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
@@ -43,14 +62,15 @@ def q_events_tumbling_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     out = tumbling_counts(stream, window="1 hour", watermark="2 hours")
-    query = (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(_TABLE)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _state_partitions(spark):
+        query = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(_TABLE)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(_TABLE)
 
 
@@ -85,12 +105,13 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = read().unionByName(read())
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
     counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    query = (
-        counts.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(_DEDUP_TABLE)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _state_partitions(spark):
+        query = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(_DEDUP_TABLE)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(_DEDUP_TABLE)
