@@ -79,3 +79,52 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features").getItem(0).alias("f0"),
         F.col("features").getItem(1).alias("f1"),
     )
+
+
+_FRAMES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + (doc_id % 240) AS INT) AS n_frames
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INT) = 2
+),
+f AS (
+  SELECT media_id, n_frames,
+         unnest(range(0, greatest(n_frames - 1, 0) + 1, 10)) AS frame_index
+  FROM m
+)
+SELECT media_id,
+       CAST(row_number() OVER (PARTITION BY media_id ORDER BY frame_index)
+            - 1 AS INT) AS sample_pos,
+       CAST(frame_index AS INT) AS frame_index
+FROM f
+"""
+
+
+@register("video_frame_sample", oracle=_FRAMES_ORACLE)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling BEFORE decode (posexplode of a stepped index
+    sequence): only 1/every_n frames ever reach a decoder — the core
+    cost lever for video at 100 TB. Fabricated n_frames metadata is
+    identical in both engines."""
+    from miba_2023_capstone_rb_nlp_spark.multimodal.media import sample_frames
+
+    docs = catalog.cpu_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.lit(1) + (F.col("doc_id") % 240)).cast("int").alias("n_frames"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+    return sample_frames(media, every_n=10).select(
+        "media_id", "sample_pos", "frame_index"
+    )

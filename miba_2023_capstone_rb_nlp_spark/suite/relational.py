@@ -414,3 +414,23 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
         fixed(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
     )
+
+
+_CUBE_ORACLE = f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@register("order_cube_revenue", oracle=_CUBE_ORACLE)
+def q_order_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^k grouping sets in ONE Expand + hash aggregate
+    pass (no per-level re-scan)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
