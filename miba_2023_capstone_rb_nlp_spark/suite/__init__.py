@@ -54,6 +54,7 @@ def load_suite() -> dict[str, Query]:
         "dedup",
         "similarity",
         "events",
+        "temporal",
         "topics",
         "ml",
     ):

@@ -104,3 +104,24 @@ def test_knn_partial_topk_bounds_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan  # kernel stage present
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of join must compile to union + one shuffle boundary +
+    window — no join operator at all (the property that makes it
+    scale). Spark pushes the exchange below the union, so each union
+    leg may carry its own Exchange node; all of them must be the same
+    user_id hash partitioning."""
+    plan = _executed_plan(SUITE["events_asof_last_click"].fn(spark, SF_TEST_DIR))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchanges and all("hashpartitioning(user_id" in ln for ln in exchanges)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_equijoin_not_nested_loop(spark):
+    """The bucketed range join must stay an equi-join — a plain
+    inequality join would fall back to BroadcastNestedLoopJoin."""
+    plan = _executed_plan(SUITE["events_range_click_counts"].fn(spark, SF_TEST_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
