@@ -409,10 +409,19 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     as approx_distinct_parts' sibling pattern; the exact form here is
     the oracle-checkable baseline."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        fixed(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        fixed(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        fixed(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    # ONE percentile aggregate with an array argument: three separate
+    # percentile() calls each buffer the full per-group value list;
+    # the array form sorts/buffers once for all three order statistics.
+    qs = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qs.alias("__qs"))
+        .select(
+            "l_returnflag",
+            fixed(F.col("__qs")[0], 4).alias("p50"),
+            fixed(F.col("__qs")[1], 4).alias("p90"),
+            fixed(F.col("__qs")[2], 4).alias("p99"),
+        )
     )
 
 
@@ -433,4 +442,50 @@ def q_order_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.cube("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
+    )
+
+
+# --- explicit window frames + lead/lag (SURVEY §2.5 "free in Spark
+# if surfaced" row — surfaced here) ----------------------------------
+_FRAMES_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS moving_sum3,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("customer_order_frames", oracle=_FRAMES_ORACLE)
+def q_customer_order_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag + explicit ROWS frames (sliding 3-row sum, running
+    cumulative sum) per customer order history. One shuffle on
+    o_custkey serves all five window functions (same partitioning +
+    ordering → a single Window physical operator). Decimal sums keep
+    the frame aggregates exact and order-independent."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(price_dec).over(w.rowsBetween(-2, 0)).cast("double").alias("moving_sum3"),
+        F.sum(price_dec)
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_sum"),
     )

@@ -115,3 +115,67 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.table(_DEDUP_TABLE)
+
+
+_STATEFUL_TABLE = "events_stateful_running_result"
+
+_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("events_stateful_running", oracle=_STATEFUL_ORACLE)
+def q_events_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running count + exact money sum, carried across REAL micro-batch
+    boundaries — the source is the events table split into 4 files
+    with maxFilesPerTrigger=1, so state must survive 4 batches for the
+    final totals to match the batch oracle. The update-mode memory
+    sink keeps every emission; max_by(n_events) reduces to the last
+    one per user."""
+    from miba_2023_capstone_rb_nlp_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(path)
+    raw_schema = batch.schema
+
+    # idempotent per-sf split copy (a real feed arrives as many files;
+    # the single-parquet testdata can't exercise cross-batch state)
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
+    split_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..",
+        ".stream_cache", f"events_{sf_key}",
+    )
+    split_dir = os.path.abspath(split_dir)
+    if not os.path.isdir(split_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(split_dir)
+    ):
+        batch.repartition(4).write.mode("overwrite").parquet(split_dir)
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = running_user_stats(stream)
+    with _state_partitions(spark):
+        query = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(_STATEFUL_TABLE)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    emissions = spark.table(_STATEFUL_TABLE)
+    return emissions.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
