@@ -173,3 +173,59 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 @register("simhash_pairs", oracle=_simhash_oracle())
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+
+
+# --- near-dup connected components (pairs → groups) -----------------
+_CC_ORACLE = f"""
+WITH RECURSIVE sh0 AS ({_SHINGLES}),
+sh AS (
+  SELECT doc, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hs FROM sh0
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS da, b.doc AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT da, db FROM inter
+  JOIN sizes na ON inter.da = na.doc JOIN sizes nb ON inter.db = nb.doc
+  WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.1
+),
+sym AS (
+  SELECT da AS s, db AS d FROM pairs
+  UNION ALL
+  SELECT db AS s, da AS d FROM pairs
+),
+cc(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT sym.d, cc.lbl FROM cc JOIN sym ON cc.id = sym.s
+),
+comp AS (SELECT id AS doc_id, min(lbl) AS component FROM cc GROUP BY id)
+SELECT c.doc_id, c.component, s.comp_size
+FROM comp c
+JOIN (SELECT component, count(*) AS comp_size FROM comp GROUP BY component) s
+  USING (component)
+"""
+
+
+@register("neardup_components", oracle=_CC_ORACLE)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS from the n-gram-Jaccard pair graph: distributed
+    min-label propagation (dedup/components.py) vs a recursive-CTE
+    oracle. component = min doc_id of the group; every doc appears
+    (isolated docs form singleton components)."""
+    from miba_2023_capstone_rb_nlp_spark.dedup.components import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    edges = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    comp = connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id", src="da", dst="db"
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("comp_size"))
+    return comp.join(sizes, "component", "inner").select(
+        "doc_id", "component", "comp_size"
+    )

@@ -120,3 +120,20 @@ def test_to_matrix_empty_and_shapes():
     assert to_matrix(pd.Series([], dtype=object), 4).shape == (0, 4)
     m = to_matrix(pd.Series([np.array([1, 2], dtype=np.float32)]), 2)
     assert m.dtype == np.float64 and m.shape == (1, 2)
+
+
+def test_connected_components_long_chain_and_isolates(spark):
+    """A 12-node path graph (needs ~11 propagation rounds — stresses
+    the iteration/convergence logic, unlike the shallow near-dup
+    fixtures) plus isolated vertices."""
+    from miba_2023_capstone_rb_nlp_spark.dedup.components import (
+        connected_components,
+    )
+
+    verts = spark.range(0, 15).withColumnRenamed("id", "doc_id")
+    chain = [(i, i + 1) for i in range(11)]  # 0-11 one path
+    edges = spark.createDataFrame(chain + [(13, 14)], "da bigint, db bigint")
+    out = connected_components(verts, edges, "doc_id", "da", "db", max_iter=20)
+    got = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert all(got[i] == 0 for i in range(12))
+    assert got[12] == 12 and got[13] == 13 and got[14] == 13
