@@ -23,11 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # second GC/load spikes on random queries; min-of-2 measures the plan
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
-# every suite query EXCEPT the full enrichment chain: it composes ~8
-# stages already benchmarked individually, and its wall-clock at small
-# SF is dominated by job-scheduling overhead of a deep DAG rather than
-# by any operator this benchmark is meant to measure
-SKIP: set[str] = {"wizard_full_chain"}
+SKIP: set[str] = set()
 
 
 def main() -> None:

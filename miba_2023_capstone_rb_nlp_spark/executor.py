@@ -89,10 +89,9 @@ def main() -> None:  # S10 CLI (pipeline_executor.py:131-144)
     from miba_2023_capstone_rb_nlp_spark.session import get_spark
 
     spark = get_spark(app_name="miba-etl")
-    df = PipelineExecutor(spark, args.data_dir).execute(
+    PipelineExecutor(spark, args.data_dir).execute(
         args.query, args.max_articles, args.overwrite
     )
-    print(f"clean rows: {df.count()}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,129 @@
+"""The suite registry is a driver contract: a silent import failure
+or an accidental re-ordering shrinks the correctness gate without any
+test failing — so both the exact membership and the priority order
+are pinned here."""
+
+from __future__ import annotations
+
+import builtins
+
+import pytest
+
+from miba_2023_capstone_rb_nlp_spark.suite import (
+    _DEPRIORITIZED,
+    _PRIORITIZED,
+    load_suite,
+)
+
+EXPECTED = {
+    # flagship + wizard chain + ml
+    "cluster_viz_summary",
+    "wizard_full_chain",
+    "pairwise_medoids",
+    "kmeans_clusters",
+    "pca_coords",
+    "hash_embeddings",
+    "sentiment_distinct_join",
+    "medoid_summaries",
+    # relational
+    "pricing_summary",
+    "region_revenue",
+    "top_orders_per_customer",
+    "order_priority_semijoin",
+    "customers_without_orders",
+    "nation_set_ops",
+    "order_window_enrich",
+    "argmax_per_flag",
+    "order_rollup_revenue",
+    "approx_distinct_parts",
+    "salted_join_nation_customers",
+    "salted_agg_priority_revenue",
+    "price_quantiles",
+    "order_cube_revenue",
+    "customer_order_frames",
+    # cleaning / pipeline
+    "etl_clean_articles",
+    "explode_paragraphs",
+    # ner
+    "ner_top_orgs",
+    # multimodal
+    "media_features",
+    "video_frame_sample",
+    # events / windows / streaming
+    "events_tumbling_hourly",
+    "events_sliding_hourly",
+    "events_session_windows",
+    "events_json_value_counts",
+    "events_tumbling_streaming",
+    "events_stream_dedup",
+    "events_stateful_running",
+    "events_asof_last_click",
+    "events_range_click_counts",
+    # text
+    "doc_stats_quality",
+    "lang_id",
+    "top_terms_per_source",
+    "sentence_stats",
+    "lemma_term_counts",
+    # dedup
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "neardup_components",
+    # similarity
+    "knn_bruteforce",
+    "knn_ivf_cells",
+    "knn_ivf_multiprobe",
+    "embedding_neardup_pairs",
+    "hyperplane_lsh_pairs",
+    # topics
+    "ctfidf_topics_per_lang",
+    "group_concat_docs",
+}
+
+
+def test_suite_membership_exact():
+    suite = load_suite()
+    assert set(suite) == EXPECTED
+    assert len(suite) == len(EXPECTED)
+
+
+def test_priority_ordering():
+    names = list(load_suite())
+    assert names[: len(_PRIORITIZED)] == list(_PRIORITIZED)
+    assert names[-len(_DEPRIORITIZED):] == list(_DEPRIORITIZED)
+
+
+def test_broken_suite_module_raises(monkeypatch):
+    """An intra-package import failure must propagate, not silently
+    shrink the registry (the round-1 hazard)."""
+    real_import = builtins.__import__
+
+    def broken(name, *args, **kwargs):
+        if name == "miba_2023_capstone_rb_nlp_spark.suite.text":
+            raise ModuleNotFoundError(
+                "No module named "
+                "'miba_2023_capstone_rb_nlp_spark.suite._typo'",
+                name="miba_2023_capstone_rb_nlp_spark.suite._typo",
+            )
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", broken)
+    with pytest.raises(ModuleNotFoundError):
+        load_suite()
+
+
+def test_missing_thirdparty_dep_tolerated(monkeypatch):
+    """A genuinely absent optional third-party dep must not kill the
+    whole suite — only that module's entries go missing."""
+    real_import = builtins.__import__
+
+    def no_umap(name, *args, **kwargs):
+        if name == "miba_2023_capstone_rb_nlp_spark.suite.topics":
+            raise ModuleNotFoundError("No module named 'umap'", name="umap")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", no_umap)
+    suite = load_suite()  # must not raise
+    assert "cluster_viz_summary" in suite
