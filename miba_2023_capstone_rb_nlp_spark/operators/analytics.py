@@ -54,9 +54,11 @@ def centroids(
     # casts per row); indexing the raw array and widening the scalar
     # is bit-identical and O(dim)
     v = F.col(vec_col)
+    # denominator = non-null count per component: rows with a NULL
+    # vector are skipped by sum, so count(*) would deflate the mean
     avgs = [
         fixed(
-            F.sum(v.getItem(i).cast("double")) / F.count(F.lit(1)), _SCALE
+            F.sum(v.getItem(i).cast("double")) / F.count(v.getItem(i)), _SCALE
         ).alias(f"_c{i}")
         for i in range(dim)
     ]

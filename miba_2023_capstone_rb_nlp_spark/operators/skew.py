@@ -34,7 +34,18 @@ def salted_join(
 
     Cost model: replicates the small side n_salts× — use when
     small × n_salts ≪ skewed-side hot-key volume.
+
+    Only inner/left/left_semi are result-invariant under salting:
+    for right/full joins an unmatched small-side row exists n_salts
+    times and each copy would survive null-extended, duplicating
+    rows versus the plain join.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join: how={how!r} is not result-invariant under "
+            "salting (small side is exploded n_salts×); use inner, "
+            "left, or left_semi"
+        )
     salted_l = skewed.withColumn(
         "_salt",
         F.pmod(F.hash(F.col(key), F.spark_partition_id()), F.lit(n_salts)),

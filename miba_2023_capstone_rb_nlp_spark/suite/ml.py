@@ -99,7 +99,7 @@ WITH e AS (
 ),
 cent AS (
   SELECT label, list(cv ORDER BY i) AS centroid FROM (
-    SELECT label, i, floor((sum(v[i]) / count(*)) * 1000000.0) / 1000000.0 AS cv
+    SELECT label, i, floor((sum(v[i]) / count(v[i])) * 1000000.0) / 1000000.0 AS cv
     FROM e, (SELECT unnest(generate_series(1, {EDIM})) AS i) idx
     GROUP BY label, i
   ) GROUP BY label

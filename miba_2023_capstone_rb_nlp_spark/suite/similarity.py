@@ -143,7 +143,7 @@ def q_hyperplane_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CENT = (
     "SELECT label, list(cv ORDER BY i) AS centroid FROM ("
     "  SELECT label, i,"
-    "         floor((sum(v[i]) / count(*)) * 1000000.0) / 1000000.0 AS cv"
+    "         floor((sum(v[i]) / count(v[i])) * 1000000.0) / 1000000.0 AS cv"
     f"  FROM e, (SELECT unnest(generate_series(1, {DIM})) AS i) idx"
     "  GROUP BY label, i"
     ") GROUP BY label"

@@ -146,11 +146,15 @@ def q_events_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = batch.schema
 
     # idempotent per-sf split copy (a real feed arrives as many files;
-    # the single-parquet testdata can't exercise cross-batch state)
+    # the single-parquet testdata can't exercise cross-batch state).
+    # Cache key includes a content fingerprint of the source (mtime +
+    # size) so regenerated testdata at the same path invalidates it.
     sf_key = os.path.basename(sf_dir.rstrip("/"))
+    st = os.stat(path)
+    fingerprint = f"{int(st.st_mtime)}_{st.st_size}"
     split_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "..",
-        ".stream_cache", f"events_{sf_key}",
+        ".stream_cache", f"events_{sf_key}_{fingerprint}",
     )
     split_dir = os.path.abspath(split_dir)
     if not os.path.isdir(split_dir) or not any(

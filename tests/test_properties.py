@@ -137,3 +137,44 @@ def test_connected_components_long_chain_and_isolates(spark):
     got = {r["doc_id"]: r["component"] for r in out.collect()}
     assert all(got[i] == 0 for i in range(12))
     assert got[12] == 12 and got[13] == 13 and got[14] == 13
+
+
+def test_star_components_path_1000(spark):
+    """Large-star/small-star must crack a 1000-node path graph within
+    ~12 rounds (propagation would need 999) — the O(log² n) claim."""
+    from miba_2023_capstone_rb_nlp_spark.dedup.components import (
+        connected_components_star,
+    )
+
+    verts = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "da bigint, db bigint"
+    )
+    out = connected_components_star(
+        verts, edges, "doc_id", "da", "db", max_iter=13
+    )
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+    assert out.count() == 1000
+
+
+def test_star_components_match_propagation(spark):
+    """Both algorithms agree on a multi-component graph with isolates,
+    duplicate and reversed edges, and self-loops."""
+    import random
+
+    from miba_2023_capstone_rb_nlp_spark.dedup.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    edges_py = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+    edges_py += [(5, 5), (10, 3), (3, 10)]  # self-loop + reversed dup
+    verts = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(edges_py, "da bigint, db bigint")
+    a = connected_components(verts, edges, "doc_id", "da", "db", max_iter=30)
+    b = connected_components_star(verts, edges, "doc_id", "da", "db")
+    ga = sorted((r["doc_id"], r["component"]) for r in a.collect())
+    gb = sorted((r["doc_id"], r["component"]) for r in b.collect())
+    assert ga == gb

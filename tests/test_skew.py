@@ -6,6 +6,7 @@ this pins behavior on an adversarial distribution + the plan shape).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark.operators.skew import salted_agg, salted_join
@@ -82,3 +83,20 @@ def test_salted_agg_is_two_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # two distinct aggregate groupings: (k, _salt) then (k)
     assert plan.count("HashAggregate") >= 4  # partial+final × two stages
+
+def test_salted_join_rejects_non_invariant_how(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "left_anti"):
+        with pytest.raises(ValueError, match="not result-invariant"):
+            salted_join(df, small, "k", how=how)
+
+
+def test_centroids_skip_null_vectors(spark):
+    """A NULL vector must not deflate its cluster's centroid."""
+    from miba_2023_capstone_rb_nlp_spark.operators.analytics import centroids
+
+    rows = [(1, [2.0, 4.0]), (1, [4.0, 8.0]), (1, None)]
+    df = spark.createDataFrame(rows, "label int, v array<double>")
+    [out] = centroids(df, "v", "label", dim=2).collect()
+    assert out["centroid"] == [3.0, 6.0]
