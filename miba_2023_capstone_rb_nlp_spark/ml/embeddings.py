@@ -74,6 +74,19 @@ def hash_embeddings(
     return df.join(out, id_col, "inner")
 
 
+def _default_st_loader(model_name: str):
+    """Gated sentence-transformers import; returns an object with
+    ``.encode(texts, batch_size=..., convert_to_numpy=True)``."""
+    try:
+        from sentence_transformers import SentenceTransformer
+    except ImportError as e:  # pragma: no cover - env without torch
+        raise NotImplementedError(
+            "transformer_embeddings requires sentence-transformers; "
+            "use hash_embeddings for a deterministic stand-in"
+        ) from e
+    return SentenceTransformer(model_name)
+
+
 def transformer_embeddings(
     df: DataFrame,
     text_col: str,
@@ -81,28 +94,25 @@ def transformer_embeddings(
     model_name: str = "all-MiniLM-L6-v2",
     dim: int = 384,
     batch_size: int = 64,
+    model_loader=None,
 ) -> DataFrame:
     """Real sentence-transformer path (M2). mapInPandas iterator form:
-    the model is loaded once per executor process and reused across
+    the model is loaded once per executor process (``model_loader``
+    runs inside the UDF, before the batch loop) and reused across
     Arrow batches; weights come from the local HF cache.
 
-    Raises at execution time if sentence-transformers isn't installed
-    (this test container): the plan, schema, and batching plumbing
-    are still exercised by tests via mapInPandas with the stub model.
+    The default loader raises at execution time if
+    sentence-transformers isn't installed (this test container); tests
+    exercise the identical plan/schema/batching plumbing by injecting
+    a fake loader.
     """
+    loader = model_loader or _default_st_loader
     out_schema = StructType(
         df.schema.fields + [StructField(out_col, ArrayType(FloatType()), True)]
     )
 
     def infer(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        try:
-            from sentence_transformers import SentenceTransformer
-        except ImportError as e:  # pragma: no cover - env without torch
-            raise NotImplementedError(
-                "transformer_embeddings requires sentence-transformers; "
-                "use hash_embeddings for a deterministic stand-in"
-            ) from e
-        model = SentenceTransformer(model_name)  # once per executor
+        model = loader(model_name)  # once per executor
         for pdf in batches:
             vecs = model.encode(
                 pdf[text_col].tolist(), batch_size=batch_size, convert_to_numpy=True

@@ -39,6 +39,19 @@ def summarize_medoids_stub(
     return df.join(medoids, id_col, "left")
 
 
+def _default_bart_loader(model_name: str):
+    """Gated transformers import; returns a summarization pipeline
+    callable: texts → [{'summary_text': ...}, ...]."""
+    try:
+        from transformers import pipeline
+    except ImportError as e:  # pragma: no cover - env without torch
+        raise NotImplementedError(
+            "summarize_medoids_transformer requires transformers; "
+            "use summarize_medoids_stub"
+        ) from e
+    return pipeline("summarization", model=model_name)
+
+
 def summarize_medoids_transformer(
     df: DataFrame,
     text_col: str,
@@ -46,23 +59,20 @@ def summarize_medoids_transformer(
     medoid_col: str = "is_medoid",
     out_col: str = "summary",
     model_name: str = "facebook/bart-large-cnn",
+    model_loader=None,
 ) -> DataFrame:
     """Real abstractive path (gated): mapInPandas over ONLY the medoid
-    rows (a few rows per cluster), then broadcast-join back."""
+    rows (a few rows per cluster), then broadcast-join back. The model
+    loads once per executor via ``model_loader(model_name)``; tests
+    inject a fake loader through the same plumbing."""
+    loader = model_loader or _default_bart_loader
     medoids = df.filter(F.col(medoid_col)).select(id_col, text_col)
     out_schema = StructType(
         [medoids.schema[id_col], StructField(out_col, StringType(), True)]
     )
 
     def infer(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        try:
-            from transformers import pipeline
-        except ImportError as e:  # pragma: no cover - env without torch
-            raise NotImplementedError(
-                "summarize_medoids_transformer requires transformers; "
-                "use summarize_medoids_stub"
-            ) from e
-        summarizer = pipeline("summarization", model=model_name)
+        summarizer = loader(model_name)  # once per executor
         for pdf in batches:
             outs = summarizer(pdf[text_col].tolist(), truncation=True)
             yield pdf[[id_col]].assign(**{out_col: [o["summary_text"] for o in outs]})

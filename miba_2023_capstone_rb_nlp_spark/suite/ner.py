@@ -1,5 +1,7 @@
 """NER top-orgs per cluster (SURVEY §2.9 M8 + §2.4 A4): weighted
-frequency count with per-group top-n.
+frequency count with per-group top-n, routed through the SAME
+operator WordWizard.entitiy_recognition uses (operators.ner) so the
+driver's oracle covers the wizard's aggregation path.
 
 Reference semantics (``word_wizard.py:430-511``): extract ORG
 entities from title/description/body, weight them title×3,
@@ -7,13 +9,12 @@ description×2, body×1, keep the top-5 per cluster. (The reference
 bug that weights the description *text* instead of its orgs —
 ``word_wizard.py:501`` — is fixed here per SURVEY §7 hard-parts.)
 
-The entity extractor is a deterministic gazetteer stand-in (lexicon
-alternation via regexp_extract_all — the same mechanism as the
-reference's spaCy EntityRuler patterns, ``word_wizard.py:463-471``)
-so the weighted-top-n RELATIONAL shape — explode entities with
-weight → groupBy(cluster, org) sum(weight) → rank ≤ 5 — is
-oracle-checkable; the spaCy model path drops into ml/inference.py
-without changing this plan.
+The entity extractor is the deterministic gazetteer expression
+(operators.ner.gazetteer_entities) so the weighted-top-n RELATIONAL
+shape — explode entities with weight → groupBy(cluster, org)
+sum(weight) → rank ≤ 5 — is oracle-checkable; the spaCy model path
+(ml.inference.ner_transformer) swaps in without changing this plan
+(pinned by tests/test_plans.py).
 
 Scale: one shuffle on (label, org) with map-side partial sums, one
 top-n window over k×orgs rows. The regex runs pre-shuffle.
@@ -21,19 +22,19 @@ top-n window over k×orgs rows. The regex runs pre-shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark import catalog
+from miba_2023_capstone_rb_nlp_spark.operators.ner import (
+    ORG_PATTERN,
+    weighted_sections,
+    weighted_top_entities,
+)
 from miba_2023_capstone_rb_nlp_spark.suite import register
 
-# gazetteer lexicon (EntityRuler-style): word-boundary alternation;
-# the synthetic corpus is lowercase so capitalization NER would be
-# vacuous — lexicon matching exercises the identical relational plan
-ORG_LEXICON = ("spark", "customer", "supplier", "vector", "stream", "window")
-ORG_PATTERN = r"\b(" + "|".join(ORG_LEXICON) + r")\b"
-# reference weighting: title ×3, description ×2, interest/body ×1
-# (word_wizard.py:499-507); sections fabricated from text spans
+# weighted sections fabricated from text spans (the synthetic docs
+# table has no title/description columns): ×3, ×2, ×1 per reference
 SECTIONS = [(3, 1, 60), (2, 61, 140), (1, 201, None)]
 
 _NER_ORACLE = f"""
@@ -64,41 +65,29 @@ SELECT label, org, weight, rk FROM ranked WHERE rk <= 5
 """
 
 
-@register("ner_top_orgs", oracle=_NER_ORACLE)
-def q_ner_top_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def section_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents⋈embeddings fanned into weighted (label, w, t)
+    sections — the shared input for the gazetteer and model paths."""
     docs = catalog.cpu_table(spark, sf_dir, "documents")
     embs = catalog.table(spark, sf_dir, "embeddings").select("vec_id", "label")
     d = docs.join(embs, docs["doc_id"] == embs["vec_id"], "inner")
-
-    sections = F.array(
-        *[
-            F.struct(
-                F.lit(w).alias("w"),
-                (
-                    F.expr(f"substring(text, {start}, {length})")
-                    if length is not None
-                    else F.expr(f"substring(text, {start})")
-                ).alias("t"),
-            )
-            for (w, start, length) in SECTIONS
-        ]
-    )
-    orgs = (
-        d.select("label", F.explode(sections).alias("sec"))
-        .select(
-            "label",
-            F.col("sec.w").alias("w"),
-            F.explode(
-                F.regexp_extract_all(F.col("sec.t"), F.lit(ORG_PATTERN), 1)
-            ).alias("org"),
+    sections = [
+        (
+            w,
+            (
+                F.expr(f"substring(text, {start}, {length})")
+                if length is not None
+                else F.expr(f"substring(text, {start})")
+            ),
         )
-    )
-    counts = orgs.groupBy("label", "org").agg(F.sum("w").alias("weight"))
-    w = Window.partitionBy("label").orderBy(
-        F.col("weight").desc(), F.col("org").asc()
-    )
-    return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("label", "org", "weight", "rk")
+        for (w, start, length) in SECTIONS
+    ]
+    return weighted_sections(d, "label", sections)
+
+
+@register("ner_top_orgs", oracle=_NER_ORACLE)
+def q_ner_top_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sec = section_frame(spark, sf_dir)
+    return weighted_top_entities(sec, top_n=5).select(
+        F.col("_cluster").alias("label"), "org", "weight", "rk"
     )

@@ -173,36 +173,54 @@ class WordWizard:
         return self
 
     def entitiy_recognition(self, top_n: int = 5,
-                            exclude: tuple[str, ...] = ()) -> "WordWizard":
-        """M8 relational core: weighted term counts per cluster →
-        top-n array broadcast back (A4+J3). ``exclude`` parameterizes
-        the reference's hard-coded EntityRuler drop-list
-        (word_wizard.py:463-471; README.md:115 calls this out).
+                            exclude: tuple[str, ...] = (),
+                            lean: bool = True,
+                            model_loader=None) -> "WordWizard":
+        """M8: ORG extraction weighted title×3 / description×2 /
+        interest×1 (reference word_wizard.py:499-507) → top-n array
+        per cluster broadcast back (A4+J3). Shares the weighted
+        aggregation with the suite's ``ner_top_orgs`` entry
+        (operators.ner). ``exclude`` parameterizes the reference's
+        hard-coded EntityRuler drop-list (word_wizard.py:463-471;
+        README.md:115 calls this out). ``lean`` picks the gazetteer
+        expression vs the gated spaCy model path — the aggregation
+        plan is identical either way.
 
         [sic] method name — kept for API parity; see recognize_entities.
         """
+        from miba_2023_capstone_rb_nlp_spark.ml.inference import ner_transformer
+        from miba_2023_capstone_rb_nlp_spark.operators.ner import (
+            DESCRIPTION_WEIGHT,
+            INTEREST_WEIGHT,
+            TITLE_WEIGHT,
+            gazetteer_entities,
+            top_entities_array,
+            weighted_sections,
+            weighted_top_entities,
+        )
+
         self._require(self.cluster_col, "cluster_embeddings()")
         out = self.cluster_col + NER_SUFFIX
-        tok = self.df.select(
-            F.col(self.cluster_col).alias("_c"),
-            F.explode(F.split(F.col(self.interest), " ")).alias("term"),
-        )
-        if exclude:
-            tok = tok.filter(~F.col("term").isin(*exclude))
-        counts = tok.groupBy("_c", "term").agg(F.count(F.lit(1)).alias("n"))
-        w = Window.partitionBy("_c").orderBy(F.col("n").desc(), F.col("term").asc())
-        top = (
-            counts.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= top_n)
-            .groupBy("_c")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("rk", "term"))),
-                    lambda s: s["term"],
-                ).alias(out)
+        sections = [
+            (w, F.col(c))
+            for (w, c) in (
+                (TITLE_WEIGHT, "title"),
+                (DESCRIPTION_WEIGHT, "description"),
+                (INTEREST_WEIGHT, self.interest),
             )
-            .withColumnRenamed("_c", self.cluster_col)
+            if c in self.df.columns
+        ]
+        sec = weighted_sections(self.df, self.cluster_col, sections)
+        if lean:
+            extractor = gazetteer_entities
+        else:
+            sec = ner_transformer(sec, "t", out_col="_ents",
+                                  model_loader=model_loader)
+            extractor = lambda c: F.col("_ents")  # noqa: E731
+        ranked = weighted_top_entities(
+            sec, top_n=top_n, extractor=extractor, exclude=exclude
         )
+        top = top_entities_array(ranked, self.cluster_col, out)
         self.df = self.df.join(F.broadcast(top), self.cluster_col, "left")
         return self
 

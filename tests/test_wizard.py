@@ -82,3 +82,40 @@ def test_prerequisite_check(spark, clean_df):
         WordWizard(clean_df).cluster_embeddings(k=3)
     with pytest.raises(ValueError, match="interest"):
         WordWizard(clean_df, interest="title")
+
+
+def test_ner_model_path_matches_gazetteer(spark, clean_df):
+    """entitiy_recognition(lean=False) with an injected fake extractor
+    (the spaCy-path plumbing) must produce the same NER arrays as the
+    gazetteer expression when the fake applies the same lexicon."""
+    def fake_loader(name):
+        import re
+
+        from miba_2023_capstone_rb_nlp_spark.operators.ner import ORG_PATTERN
+
+        pat = re.compile(ORG_PATTERN)
+        return lambda texts: [
+            pat.findall(t) if t is not None else [] for t in texts
+        ]
+
+    def build(lean, loader=None):
+        return (
+            WordWizard(clean_df, interest="paragraph")
+            .create_sentence_embeddings()
+            .cluster_embeddings(k=3)
+            .entitiy_recognition(lean=lean, model_loader=loader)
+        )
+
+    col = "paragraph_sentence_embeddings_clusters_NER"
+    a = {
+        r["_row_id"]: r[col]
+        for r in build(lean=True).df.select("_row_id", col).collect()
+    }
+    b = {
+        r["_row_id"]: r[col]
+        for r in build(lean=False, loader=fake_loader).df.select(
+            "_row_id", col
+        ).collect()
+    }
+    assert a == b
+    assert any(v for v in a.values())  # non-vacuous: some orgs found
