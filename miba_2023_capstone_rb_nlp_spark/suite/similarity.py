@@ -101,7 +101,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(_emb(spark, sf_dir), "embedding", "vec_id", dim=DIM, threshold=0.45)
 
 
-def _hyperplane_oracle(n_planes: int = 16) -> str:
+def _hyperplane_oracle(n_planes: int = 64, rows_per_band: int = 8) -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 pw AS (
@@ -115,28 +115,38 @@ dots AS (
   SELECT e.vec_id, pw.p, sum(e.v[pw.d + 1] * pw.w) AS dot
   FROM e, pw GROUP BY e.vec_id, pw.p
 ),
-buckets AS (
-  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
-                               ELSE 0 END) AS BIGINT) AS bucket
-  FROM dots GROUP BY vec_id
+entries AS (
+  SELECT vec_id, CAST(p // {rows_per_band} AS INT) AS band,
+         CAST(sum(CASE WHEN dot >= 0
+                       THEN (CAST(1 AS BIGINT) << (p % {rows_per_band}))
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, p // {rows_per_band}
 ),
-eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM entries a JOIN entries b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
 p AS (
-  SELECT a.vec_id AS va, b.vec_id AS vb, a.bucket,
+  SELECT c.va, c.vb,
          floor((list_sum([a.v[i]*b.v[i] for i in generate_series(1, {DIM})]) /
                 (sqrt(list_sum([a.v[i]*a.v[i] for i in generate_series(1, {DIM})])) *
                  sqrt(list_sum([b.v[i]*b.v[i] for i in generate_series(1, {DIM})]))))
                * 1000000.0) / 1000000.0 AS cos
-  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM cand c JOIN e a ON a.vec_id = c.va JOIN e b ON b.vec_id = c.vb
 )
-SELECT va, vb, cos, bucket FROM p WHERE cos >= 0.2
+SELECT va, vb, cos FROM p WHERE cos >= 0.2
 """
 
 
 @register("hyperplane_lsh_pairs", oracle=_hyperplane_oracle())
 def q_hyperplane_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (64 planes × 8-bit bands) hyperplane LSH; flips=0 so
+    the probe logic stays SQL-mirrorable — the multi-probe recall
+    knob is pinned by tests/test_lsh_recall.py instead."""
     return hyperplane_lsh_pairs(
-        _emb(spark, sf_dir), "embedding", "vec_id", dim=DIM, threshold=0.2
+        _emb(spark, sf_dir), "embedding", "vec_id", dim=DIM,
+        n_planes=64, rows_per_band=8, n_flips=0, threshold=0.2,
     )
 
 
