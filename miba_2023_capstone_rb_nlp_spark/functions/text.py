@@ -66,6 +66,34 @@ def fingerprint(c: Column) -> Column:
     return md5_long(c)
 
 
+def winnow_fingerprints(c: Column, n: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every word ``n``-gram, slide a window of ``w`` consecutive
+    shingle hashes, keep each window's minimum, dedup → the guarantee
+    is that any match of ≥ w+n-1 tokens shares a fingerprint.
+
+    Pure Catalyst (transform over an index sequence + array_min +
+    array_distinct): per-row narrow computation, no explode until the
+    caller chooses to, no shuffle, whole-stage codegen — at 100 TB
+    this is a map-only pass.
+
+    Degenerate docs: fewer than n tokens → empty array; fewer than w
+    shingles → the single global minimum.
+    """
+    sh = F.transform(word_ngrams(c, n), md5_long)
+    n_sh = F.size(sh)
+    full = F.transform(
+        # ascending guard: only evaluated when n_sh >= w
+        F.sequence(F.lit(1), n_sh - (w - 1)),
+        lambda j: F.array_min(F.slice(sh, j, w)),
+    )
+    return (
+        F.when(n_sh <= 0, F.array().cast("array<bigint>"))
+        .when(n_sh < w, F.array(F.array_min(sh)))
+        .otherwise(F.array_distinct(full))
+    )
+
+
 # Language-ID marker sets (tiny stopword heuristics — the scalable
 # n-gram approach at 100 TB is the same shape: per-language token
 # scores, argmax).

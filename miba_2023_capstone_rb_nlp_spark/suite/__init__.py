@@ -46,6 +46,8 @@ def register(name: str, oracle: str | None = None):
 # tumbling, salted_agg ⊂ salted_join's invariance proof, HLL++ is
 # rows-only anyway).
 _DEPRIORITIZED = (
+    "events_tumbling_hourly",  # same oracle re-proven by _streaming twin
+    "knn_ivf_cells",  # strictly generalized by knn_ivf_multiprobe
     "approx_distinct_parts",
     "customer_order_frames",
     "events_sliding_hourly",
@@ -71,6 +73,7 @@ _MODULES = (
     "multimodal",
     "streaming_live",
     "text",
+    "sampling",
     "dedup",
     "similarity",
     "events",

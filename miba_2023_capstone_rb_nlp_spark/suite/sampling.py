@@ -1,0 +1,113 @@
+"""Training-data curation suite: deterministic stratified sampling
+and winnowing fingerprints over ``documents`` — the two curation
+primitives a 100 TB pretraining pipeline runs constantly (balance
+strata, then near-match detection inside the sample).
+
+Both are engine-deterministic (md5-derived pseudo-randomness, no RNG
+state) so they carry full DuckDB oracles, and both are scale-shaped:
+rate sampling is a pure filter (map-only, no shuffle), exact-k
+sampling is one window shuffle on the stratum key, winnowing is a
+map-only pass until the final explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark import catalog
+from miba_2023_capstone_rb_nlp_spark.functions.text import (
+    md5_long,
+    winnow_fingerprints,
+)
+from miba_2023_capstone_rb_nlp_spark.suite import register
+
+K_PER_STRATUM = 25
+RATE_PERMILLE = 100  # 10% hash-threshold sample
+
+_STRATIFIED_ORACLE = f"""
+WITH h AS (
+  SELECT lang, doc_id,
+         CAST(('0x' || substr(md5('smp:' || doc_id), 1, 15)) AS BIGINT) AS hv,
+         CAST(('0x' || substr(md5('rate:' || doc_id), 1, 15)) AS BIGINT)
+           % 1000 < {RATE_PERMILLE} AS in_rate_sample
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, in_rate_sample,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY hv ASC, doc_id ASC) AS INT) AS smp_rank
+  FROM h
+)
+SELECT lang, doc_id, smp_rank, in_rate_sample
+FROM ranked WHERE smp_rank <= {K_PER_STRATUM}
+"""
+
+
+@register("stratified_sample_docs", oracle=_STRATIFIED_ORACLE)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling, two idioms in one entry:
+
+    - exact-k per stratum: rank rows inside each ``lang`` by a keyed
+      md5 (a seeded permutation without RNG state — reproducible
+      across engines, runs, and partitionings), keep the first k.
+      One window shuffle on the stratum key; skewed strata are
+      AQE-splittable because the hash order is uniform.
+    - rate sampling flag: md5('rate:'||id) mod 1000 < 100 ⇒ a 10%
+      Bernoulli sample as a PURE FILTER — the idiom to reach for at
+      100 TB when exact stratum counts aren't required, because it
+      pushes to the scan and never shuffles.
+    """
+    d = catalog.cpu_table(spark, sf_dir, "documents")
+    hv = md5_long(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    rate = (
+        md5_long(F.concat(F.lit("rate:"), F.col("doc_id").cast("string")))
+        % 1000
+        < RATE_PERMILLE
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("_hv").asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", hv.alias("_hv"), rate.alias("in_rate_sample"))
+        .withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= K_PER_STRATUM)
+        .select("lang", "doc_id", "smp_rank", "in_rate_sample")
+    )
+
+
+_WINNOW_ORACLE = """
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))
+               AS BIGINT)
+          for i in generate_series(1, len(t) - 2)] AS h
+  FROM p
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(h) = 0 THEN []
+              WHEN len(h) < 4 THEN [list_min(h)]
+              ELSE list_distinct([list_min(h[j:j+3])
+                                  for j in generate_series(1, len(h) - 3)])
+         END AS fps
+  FROM sh
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM f
+"""
+
+
+@register("winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (n=3-gram shingles, w=4 windows) per
+    document — the local-match detection primitive (any shared run of
+    ≥ 6 tokens shares a fingerprint). Map-only until the explode;
+    downstream equi-join on ``fingerprint`` turns this into a
+    plagiarism/near-match pair generator with the same shape as the
+    shingle join in dedup/jaccard."""
+    d = catalog.cpu_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), n=3, w=4)).alias(
+            "fingerprint"
+        ),
+    )

@@ -65,6 +65,9 @@ EXPECTED = {
     "top_terms_per_source",
     "sentence_stats",
     "lemma_term_counts",
+    # sampling / curation
+    "stratified_sample_docs",
+    "winnowing_fingerprints",
     # dedup
     "exact_dedup",
     "ngram_jaccard_pairs",
