@@ -66,21 +66,32 @@ def fingerprint(c: Column) -> Column:
     return md5_long(c)
 
 
-def winnow_fingerprints(c: Column, n: int = 3, w: int = 4) -> Column:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
-    hash every word ``n``-gram, slide a window of ``w`` consecutive
-    shingle hashes, keep each window's minimum, dedup → the guarantee
-    is that any match of ≥ w+n-1 tokens shares a fingerprint.
+def shingle_hashes(c: Column, n: int = 3) -> Column:
+    """60-bit md5 hash per word ``n``-gram shingle.
 
-    Pure Catalyst (transform over an index sequence + array_min +
-    array_distinct): per-row narrow computation, no explode until the
-    caller chooses to, no shuffle, whole-stage codegen — at 100 TB
-    this is a map-only pass.
-
-    Degenerate docs: fewer than n tokens → empty array; fewer than w
-    shingles → the single global minimum.
+    PERFORMANCE CONTRACT: materialize this in its OWN projection
+    (``.select(..., shingle_hashes(col).alias("sh"))``) before feeding
+    it to :func:`winnow_from_hashes`. A higher-order-function lambda
+    re-evaluates every expression subtree it references once per
+    element, so inlining this array into the windowed ``transform``
+    makes the md5 pass O(windows × shingles) per row. Catalyst's
+    CollapseProject keeps non-cheap projections separate, so the
+    two-select shape evaluates the hashes exactly once per row.
     """
-    sh = F.transform(word_ngrams(c, n), md5_long)
+    return F.transform(word_ngrams(c, n), md5_long)
+
+
+def winnow_from_hashes(sh: Column, w: int = 4) -> Column:
+    """Winnowing over a MATERIALIZED shingle-hash array column: slide
+    a window of ``w`` consecutive hashes, keep each window's minimum,
+    dedup. ``sh`` must be a plain column reference (see
+    :func:`shingle_hashes`) — re-evaluating an attribute inside the
+    lambda is free, so this stays O(windows × w) per row, map-only,
+    whole-stage codegen.
+
+    Degenerate docs: no shingles → empty array; fewer than w shingles
+    → the single global minimum.
+    """
     n_sh = F.size(sh)
     full = F.transform(
         # ascending guard: only evaluated when n_sh >= w
@@ -92,6 +103,18 @@ def winnow_fingerprints(c: Column, n: int = 3, w: int = 4) -> Column:
         .when(n_sh < w, F.array(F.array_min(sh)))
         .otherwise(F.array_distinct(full))
     )
+
+
+def winnow_fingerprints(c: Column, n: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    any match of ≥ w+n-1 tokens shares a fingerprint.
+
+    Convenience single-expression form — ONLY for tiny inputs/tests:
+    the shingle hashes are inlined into the window lambda, so the md5
+    pass runs once per window. Hot paths must use the two-projection
+    form (:func:`shingle_hashes` then :func:`winnow_from_hashes`).
+    """
+    return winnow_from_hashes(shingle_hashes(c, n), w)
 
 
 # Language-ID marker sets (tiny stopword heuristics — the scalable

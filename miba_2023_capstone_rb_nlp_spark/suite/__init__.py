@@ -52,6 +52,16 @@ _DEPRIORITIZED = (
     "customer_order_frames",
     "events_sliding_hourly",
     "salted_agg_priority_revenue",
+    # O(n²) correctness baseline; hyperplane_lsh_pairs is the checked
+    # scale path and tests/test_lsh_recall.py compares the two
+    "embedding_neardup_pairs",
+    # A3 string-concat machinery re-proven inside ctfidf_topics_per_lang
+    "group_concat_docs",
+    # A5 value_counts machinery re-proven by top_terms / ner_top_orgs
+    "events_json_value_counts",
+    # anti-join demo that returns 0 rows at every SF — a vacuous
+    # driver row; the anti-join plan is pinned by tests/test_plans.py
+    "customers_without_orders",
 )
 
 # Entries promoted to the registry head (after the flagship): the
@@ -74,6 +84,7 @@ _MODULES = (
     "streaming_live",
     "text",
     "sampling",
+    "curation",
     "dedup",
     "similarity",
     "events",

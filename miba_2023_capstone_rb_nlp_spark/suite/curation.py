@@ -1,0 +1,373 @@
+"""Pretraining-corpus curation suite over ``documents``: the filter /
+decontamination / scrub / materialization passes a 100 TB pipeline
+runs between crawling and training.
+
+- Gopher-style repetition + quality flags (Rae et al. 2021 §A1.1):
+  per-doc token stats and most-frequent-bigram fraction with boolean
+  keep flags. One shuffle pair keyed by (doc_id, gram) → doc_id, both
+  partial-aggregated map-side; the per-doc constants ride through the
+  explode so no join-back is needed.
+- PII redaction: regex count + redact of emails / phone numbers /
+  IPv4 (the corpus carries none, so deterministic PII is fabricated
+  per doc_id — the same fabricate-then-verify idiom as
+  ``sentence_stats``). Pure map pass; patterns restricted to syntax
+  with identical semantics in java.util.regex and RE2.
+- Benchmark decontamination: which training docs share any word
+  4-gram with a held-out eval split. The eval n-gram set is tiny by
+  definition → broadcast semi-ish join, so the 100 TB train side
+  never shuffles.
+- Canonical corpus materialization: near-dup pairs → connected
+  components (large-star/small-star) → keep one representative per
+  group. This is the query a user actually runs to EMIT the deduped
+  corpus, composed from the oracle-checked pair generator and CC
+  operators.
+
+All thresholds are tuned so both flag polarities occur in the
+synthetic corpus (Gopher's published bounds would pass every doc
+here); the published values are noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark import catalog
+from miba_2023_capstone_rb_nlp_spark.functions import text as T
+from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed, sql_fixed
+from miba_2023_capstone_rb_nlp_spark.suite import register
+from miba_2023_capstone_rb_nlp_spark.suite.dedup import _SHINGLES
+
+
+def _docs(spark, sf_dir):
+    return catalog.cpu_table(spark, sf_dir, "documents")
+
+
+# --- Gopher repetition / quality flags ------------------------------
+# Thresholds: Gopher drops docs with mean word length outside [3, 10],
+# <50 or >100k words, top-2-gram fraction > 0.20. The synthetic corpus
+# is narrower (mean word len 3.7-5.3, 10-99 tokens, top-bigram frac
+# 0.01-0.17), so the splitting thresholds below are scaled to keep
+# both polarities represented; the plan shape is identical.
+_MIN_TOKENS = 30
+_TOP_BIGRAM_MAX = 0.05
+
+_REP_ORACLE = f"""
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         list_sum(list_transform(t, x -> length(x))) AS sum_token_len,
+         len(list_distinct(t)) AS n_unique,
+         [array_to_string(t[i:i+1], ' ')
+          for i in generate_series(1, len(t) - 1)] AS grams
+  FROM p
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM s),
+c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+a AS (
+  SELECT doc_id, max(n) AS top_n, CAST(sum(n) AS BIGINT) AS total_bigrams
+  FROM c GROUP BY doc_id
+),
+j AS (
+  SELECT s.doc_id, s.n_tokens, s.sum_token_len, s.n_unique,
+         a.top_n, a.total_bigrams,
+         {sql_fixed("CAST(s.sum_token_len AS DOUBLE) / s.n_tokens", 6)}
+           AS mean_word_len,
+         {sql_fixed("1.0 - CAST(s.n_unique AS DOUBLE) / s.n_tokens", 6)}
+           AS dup_token_frac,
+         {sql_fixed("CAST(a.top_n AS DOUBLE) / a.total_bigrams", 6)}
+           AS top_bigram_frac
+  FROM s JOIN a USING (doc_id)
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       mean_word_len, dup_token_frac, top_bigram_frac,
+       n_tokens >= {_MIN_TOKENS} AS keep_len,
+       top_bigram_frac <= {_TOP_BIGRAM_MAX} AS keep_rep,
+       (n_tokens >= {_MIN_TOKENS}
+        AND top_bigram_frac <= {_TOP_BIGRAM_MAX}) AS keep
+FROM j
+"""
+
+
+@register("gopher_repetition_flags", oracle=_REP_ORACLE)
+def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition stats + keep flags (Gopher §A1.1 shape).
+
+    The most-frequent-bigram count needs a real aggregation (the
+    per-row array-mode alternative is O(m²) per doc — wrong at
+    scale). The narrow per-doc constants (token counts) ride through
+    the bigram explode and fold with min() so the doc-level result
+    needs no join back to the scan: shuffle 1 on (doc_id, gram),
+    shuffle 2 on doc_id, both with map-side partial aggregation.
+    Flags compare on the 1e-6-floored ratios so the boundary is
+    engine-deterministic."""
+    d = _docs(spark, sf_dir)
+    feats = T.quality_features(F.col("text"))
+    ex = d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["sum_token_len"].alias("sum_token_len"),
+        feats["n_unique"].alias("n_unique"),
+        F.explode(T.word_ngrams(F.col("text"), 2)).alias("gram"),
+    )
+    per_gram = ex.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("sum_token_len").alias("sum_token_len"),
+        F.min("n_unique").alias("n_unique"),
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max("n").alias("top_n"),
+        F.sum("n").alias("total_bigrams"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("sum_token_len").alias("sum_token_len"),
+        F.min("n_unique").alias("n_unique"),
+    )
+    n_tok = F.col("n_tokens")
+    stats = per_doc.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        fixed(F.col("sum_token_len").cast("double") / n_tok, 6).alias(
+            "mean_word_len"
+        ),
+        fixed(F.lit(1.0) - F.col("n_unique").cast("double") / n_tok, 6).alias(
+            "dup_token_frac"
+        ),
+        fixed(F.col("top_n").cast("double") / F.col("total_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+    keep_len = F.col("n_tokens") >= _MIN_TOKENS
+    keep_rep = F.col("top_bigram_frac") <= _TOP_BIGRAM_MAX
+    return stats.select(
+        "*",
+        keep_len.alias("keep_len"),
+        keep_rep.alias("keep_rep"),
+        (keep_len & keep_rep).alias("keep"),
+    )
+
+
+# --- PII redaction ---------------------------------------------------
+# Patterns use only syntax with identical semantics in java.util.regex
+# (Spark) and RE2 (DuckDB): char classes, bounded repetition, \b.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Deterministic fabricated PII (the synthetic corpus has none): one
+# email+phone+ip per doc, a second email on every third doc so the
+# multi-match path is exercised.
+_FAB_SQL = (
+    "'contact u' || CAST(doc_id AS VARCHAR) || '@ex' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.com tel 555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+    "CAST((doc_id * 7) % 256 AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' cc u' || CAST(doc_id AS VARCHAR) "
+    "|| '@alt.org' ELSE '' END || ' ' || text"
+)
+
+_PII_ORACLE = f"""
+WITH fab AS (SELECT doc_id, {_FAB_SQL} AS s FROM documents),
+red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(s, '{_EMAIL_RE}')) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(s, '{_PHONE_RE}')) AS INT) AS n_phones,
+         CAST(len(regexp_extract_all(s, '{_IP_RE}')) AS INT) AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(s,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IP_RE}', '<IP>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM fab
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       CAST(length(redacted) AS INT) AS redacted_len,
+       CAST(('0x' || substr(md5(redacted), 1, 15)) AS BIGINT) AS redacted_fp
+FROM red
+"""
+
+
+@register("pii_redaction", oracle=_PII_ORACLE)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count then redact emails → IPv4 → phones (ordered so
+    later patterns can't match inside earlier placeholders). Narrow
+    map-only pass — at 100 TB this pushes to the scan with zero
+    shuffles; the redacted fingerprint pins the exact output text."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    fab = F.concat(
+        F.lit("contact u"),
+        i.cast("string"),
+        F.lit("@ex"),
+        (i % 7).cast("string"),
+        F.lit(".com tel 555-"),
+        F.lpad((i % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (i % 256).cast("string"),
+        F.lit(".0."),
+        ((i * 7) % 256).cast("string"),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit(" cc u"), i.cast("string"), F.lit("@alt.org")),
+        ).otherwise(F.lit("")),
+        F.lit(" "),
+        F.col("text"),
+    )
+    s = d.select("doc_id", fab.alias("s"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), _EMAIL_RE, "<EMAIL>"),
+            _IP_RE,
+            "<IP>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    counted = s.select(
+        "doc_id",
+        F.regexp_count(F.col("s"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("s"), F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(F.col("s"), F.lit(_IP_RE)).cast("int").alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.length("redacted").alias("redacted_len"),
+        T.md5_long(F.col("redacted")).alias("redacted_fp"),
+    )
+
+
+# --- benchmark decontamination (4-gram overlap vs eval split) --------
+_EVAL_MOD = 20  # doc_id % 20 == 0 → held-out eval split
+
+_CONTAM_ORACLE = f"""
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct([CAST(('0x' || substr(md5(
+              array_to_string(t[i:i+3], ' ')), 1, 15)) AS BIGINT)
+          for i in generate_series(1, len(t) - 3)]) AS gs
+  FROM p
+),
+sh AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM s),
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} <> 0)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+       CAST(min(n_grams) AS INT) AS n_grams,
+       {sql_fixed("CAST(count(*) AS DOUBLE) / min(n_grams)", 6)}
+         AS shared_frac
+FROM tr JOIN ev USING (g)
+GROUP BY tr.doc_id
+"""
+
+
+@register("contamination_ngram_overlap", oracle=_CONTAM_ORACLE)
+def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    4-gram with the eval split (doc_id % 20 == 0), with the shared
+    count and fraction of the doc's distinct grams.
+
+    Scale shape: the eval-benchmark n-gram set is tiny by definition
+    (a few eval suites vs a 100 TB crawl), so it is collected to a
+    broadcast hash set and the train side joins map-side — the full
+    corpus is never shuffled. Per-doc distinct grams are deduped
+    inside the array before the explode (narrow), so the join input
+    is minimal and n_shared counts distinct shared grams."""
+    d = _docs(spark, sf_dir)
+    grams = F.array_distinct(
+        F.transform(T.word_ngrams(F.col("text"), 4), T.md5_long)
+    )
+    # two-projection shape: hash array materialized once, then sized
+    # and exploded from the column reference (same rationale as
+    # winnowing — don't re-hash per reference)
+    sh = d.select("doc_id", grams.alias("_gs")).select(
+        "doc_id",
+        F.size(F.col("_gs")).alias("n_grams"),
+        F.explode(F.col("_gs")).alias("g"),
+    )
+    ev = sh.filter(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
+    tr = sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), "g", "inner")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("n_grams").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_grams",
+            fixed(
+                F.col("n_shared").cast("double") / F.col("n_grams"), 6
+            ).alias("shared_frac"),
+        )
+    )
+
+
+# --- canonical corpus after near-dup removal ------------------------
+_CANON_ORACLE = f"""
+WITH RECURSIVE sh0 AS ({_SHINGLES}),
+sh AS (
+  SELECT doc, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hs FROM sh0
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS da, b.doc AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT da, db FROM inter
+  JOIN sizes na ON inter.da = na.doc JOIN sizes nb ON inter.db = nb.doc
+  WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.1
+),
+sym AS (
+  SELECT da AS s, db AS d FROM pairs
+  UNION ALL
+  SELECT db AS s, da AS d FROM pairs
+),
+cc(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT sym.d, cc.lbl FROM cc JOIN sym ON cc.id = sym.s
+),
+comp AS (SELECT id AS doc_id, min(lbl) AS component FROM cc GROUP BY id),
+grp AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+  FROM comp GROUP BY component
+)
+SELECT d.doc_id, d.lang, d.source, g.n_docs
+FROM grp g JOIN documents d ON d.doc_id = g.component
+"""
+
+
+@register("dedup_canonical_corpus", oracle=_CANON_ORACLE)
+def q_dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query a user runs to EMIT the deduplicated corpus: n-gram
+    Jaccard pairs → large-star/small-star connected components →
+    keep the min-doc_id representative of each group, carrying how
+    many near-dups it absorbed.
+
+    This is the star variant's oracle-checked driver entry (the
+    propagation variant backs ``neardup_components``); both are
+    O(log²n)-vs-O(diameter) documented in dedup/components.py. The
+    final representative join is a plain equi-join on doc_id — group
+    count ≈ corpus size, so no broadcast assumption."""
+    from miba_2023_capstone_rb_nlp_spark.dedup.components import (
+        connected_components_star,
+    )
+    from miba_2023_capstone_rb_nlp_spark.dedup.jaccard import jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    edges = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    comp = connected_components_star(
+        docs.select("doc_id"), edges, id_col="doc_id", src="da", dst="db"
+    )
+    grp = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+    return docs.join(
+        grp, docs["doc_id"] == grp["component"], "inner"
+    ).select("doc_id", "lang", "source", "n_docs")

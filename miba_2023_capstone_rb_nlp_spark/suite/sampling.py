@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from miba_2023_capstone_rb_nlp_spark import catalog
 from miba_2023_capstone_rb_nlp_spark.functions.text import (
     md5_long,
-    winnow_fingerprints,
+    shingle_hashes,
+    winnow_from_hashes,
 )
 from miba_2023_capstone_rb_nlp_spark.suite import register
 
@@ -103,11 +104,20 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 6 tokens shares a fingerprint). Map-only until the explode;
     downstream equi-join on ``fingerprint`` turns this into a
     plagiarism/near-match pair generator with the same shape as the
-    shingle join in dedup/jaccard."""
+    shingle join in dedup/jaccard.
+
+    Two-projection shape on purpose: the shingle-hash array is
+    materialized first so the windowed minima slide over a column
+    reference instead of re-hashing every shingle per window (the
+    inlined form is O(windows × shingles) md5 calls per doc — ~10×
+    slower at sf0.1)."""
     d = catalog.cpu_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.explode(winnow_fingerprints(F.col("text"), n=3, w=4)).alias(
-            "fingerprint"
-        ),
+    return (
+        d.select("doc_id", shingle_hashes(F.col("text"), n=3).alias("_sh"))
+        .select(
+            "doc_id",
+            F.explode(winnow_from_hashes(F.col("_sh"), w=4)).alias(
+                "fingerprint"
+            ),
+        )
     )

@@ -68,6 +68,10 @@ EXPECTED = {
     # sampling / curation
     "stratified_sample_docs",
     "winnowing_fingerprints",
+    "gopher_repetition_flags",
+    "pii_redaction",
+    "contamination_ngram_overlap",
+    "dedup_canonical_corpus",
     # dedup
     "exact_dedup",
     "ngram_jaccard_pairs",
