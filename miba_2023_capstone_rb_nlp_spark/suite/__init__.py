@@ -85,6 +85,8 @@ _MODULES = (
     "text",
     "sampling",
     "curation",
+    "retrieval",
+    "packing",
     "dedup",
     "similarity",
     "events",

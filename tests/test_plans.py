@@ -119,6 +119,51 @@ def test_asof_join_is_single_shuffle_no_join(spark):
     assert "Window" in plan
 
 
+def test_bm25_topk_is_heap_topk_with_broadcast_stats(spark):
+    """BM25 must compile to TakeOrderedAndProject (per-partition heap
+    top-k, never a global sort) with df/avgdl as broadcasts, and the
+    query-term filter must land before the posting aggregation."""
+    df = SUITE["bm25_topk"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # term IN (...) appears below the tf aggregate, not above it
+    assert "spark" in opt and "INSET" in opt or "term#" in opt
+
+
+def test_bigram_topk_single_explode_partial_agg(spark):
+    """One explode (shingles are built with transform, not a
+    per-token explode), map-side combined count, heap top-k."""
+    df = SUITE["bigram_topk"].fn(spark, SF_TEST_DIR)
+    # AQE plan strings repeat the tree under "== Initial Plan ==" —
+    # assert on the final section only
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Generate explode") == 1
+    assert "partial_" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sequence_packing_single_stratum_shuffle(spark):
+    """Packing must shuffle exactly once, on the stratum key."""
+    df = SUITE["sequence_packing"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges and all("lang" in ln for ln in exchanges)
+    assert "Window" in plan
+
+
+def test_hash_split_profile_is_map_plus_one_agg(spark):
+    """Split assignment is a pure map — no window, no join."""
+    plan = _executed_plan(SUITE["hash_split_profile"].fn(spark, SF_TEST_DIR))
+    assert "Window" not in plan and "Join" not in plan
+    assert "partial_" in plan
+
+
 def test_range_join_is_equijoin_not_nested_loop(spark):
     """The bucketed range join must stay an equi-join — a plain
     inequality join would fall back to BroadcastNestedLoopJoin."""

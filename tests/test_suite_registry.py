@@ -72,6 +72,12 @@ EXPECTED = {
     "pii_redaction",
     "contamination_ngram_overlap",
     "dedup_canonical_corpus",
+    # retrieval / packing
+    "bm25_topk",
+    "bigram_topk",
+    "sequence_packing",
+    "hash_split_profile",
+    "temperature_resample",
     # dedup
     "exact_dedup",
     "ngram_jaccard_pairs",
