@@ -4,9 +4,10 @@ runs between crawling and training.
 
 - Gopher-style repetition + quality flags (Rae et al. 2021 §A1.1):
   per-doc token stats and most-frequent-bigram fraction with boolean
-  keep flags. One shuffle pair keyed by (doc_id, gram) → doc_id, both
-  partial-aggregated map-side; the per-doc constants ride through the
-  explode so no join-back is needed.
+  keep flags. Entirely map-only: the per-doc bigram mode is a sorted
+  array scan (array_sort + run-length aggregate, O(m log m) per doc,
+  whole-stage codegen) — a per-doc statistic never needs a corpus
+  shuffle.
 - PII redaction: regex count + redact of emails / phone numbers /
   IPv4 (the corpus carries none, so deterministic PII is fabricated
   per doc_id — the same fabricate-then-verify idiom as
@@ -89,40 +90,60 @@ FROM j
 """
 
 
+def _max_run_length(sorted_arr):
+    """Max run length of equal adjacent elements in a SORTED array —
+    i.e. the count of the array's mode — as a single codegen'd
+    aggregate expression (state: prev element, current run, best run).
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        newrun = (
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        )
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.greatest(acc["best"], newrun).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
 @register("gopher_repetition_flags", oracle=_REP_ORACLE)
 def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition stats + keep flags (Gopher §A1.1 shape).
 
-    The most-frequent-bigram count needs a real aggregation (the
-    per-row array-mode alternative is O(m²) per doc — wrong at
-    scale). The narrow per-doc constants (token counts) ride through
-    the bigram explode and fold with min() so the doc-level result
-    needs no join back to the scan: shuffle 1 on (doc_id, gram),
-    shuffle 2 on doc_id, both with map-side partial aggregation.
-    Flags compare on the 1e-6-floored ratios so the boundary is
-    engine-deterministic."""
+    MAP-ONLY: the most-frequent-bigram count is the mode of the
+    per-doc bigram array, computed as a run-length scan over the
+    sorted array (O(m log m) per doc, all whole-stage codegen) — a
+    per-doc statistic must never cost a corpus-wide (doc_id, gram)
+    shuffle, which at 100 TB would shuffle the entire token stream
+    twice just to throw it away. Docs with no bigrams (< 2 tokens)
+    are dropped, matching the oracle's inner join against the bigram
+    aggregate. Flags compare on the 1e-6-floored ratios so the
+    boundary is engine-deterministic."""
     d = _docs(spark, sf_dir)
     feats = T.quality_features(F.col("text"))
-    ex = d.select(
+    grams = F.array_sort(T.word_ngrams(F.col("text"), 2))
+    per_doc = d.select(
         "doc_id",
         feats["n_tokens"].alias("n_tokens"),
         feats["sum_token_len"].alias("sum_token_len"),
         feats["n_unique"].alias("n_unique"),
-        F.explode(T.word_ngrams(F.col("text"), 2)).alias("gram"),
-    )
-    per_gram = ex.groupBy("doc_id", "gram").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("n_tokens").alias("n_tokens"),
-        F.min("sum_token_len").alias("sum_token_len"),
-        F.min("n_unique").alias("n_unique"),
-    )
-    per_doc = per_gram.groupBy("doc_id").agg(
-        F.max("n").alias("top_n"),
-        F.sum("n").alias("total_bigrams"),
-        F.min("n_tokens").alias("n_tokens"),
-        F.min("sum_token_len").alias("sum_token_len"),
-        F.min("n_unique").alias("n_unique"),
-    )
+        grams.alias("_grams"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "sum_token_len",
+        "n_unique",
+        _max_run_length(F.col("_grams")).alias("top_n"),
+        F.size("_grams").cast("bigint").alias("total_bigrams"),
+    ).filter(F.col("total_bigrams") > 0)
     n_tok = F.col("n_tokens")
     stats = per_doc.select(
         "doc_id",
