@@ -43,6 +43,22 @@ def word_ngrams(c: Column, n: int) -> Column:
     )
 
 
+# GPT-2-style pretokenizer, restricted to the regex subset with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookaheads, ASCII classes, leftmost-first alternation. Matches
+# contractions, space-prefixed letter/digit runs, punctuation runs,
+# and residual whitespace — the standard BPE pre-split shape.
+BPE_PATTERN = r"'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Count of BPE-ish pretokenizer matches (group 0 of BPE_PATTERN).
+
+    Oracle mirror: len(regexp_extract_all(x, <pattern with '' quoting>)).
+    """
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def md5_long(c: Column) -> Column:
     """First 60 bits of md5 as a non-negative BIGINT.
 

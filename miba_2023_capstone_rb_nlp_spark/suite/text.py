@@ -205,6 +205,47 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE-ish token counting ----------------------------------------
+_BPE_SQL_PAT = T.BPE_PATTERN.replace("'", "''")
+_BPE_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_bpe_tokens,
+         length(text) AS text_len
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_ws_tokens AS INT) AS n_ws_tokens,
+       CAST(n_bpe_tokens AS INT) AS n_bpe_tokens,
+       CAST(text_len AS INT) AS text_len,
+       {sql_fixed("CAST(text_len AS DOUBLE) / n_bpe_tokens", 6)}
+         AS chars_per_bpe_token
+FROM s
+"""
+
+
+@register("bpe_token_stats", oracle=_BPE_ORACLE)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish regex: per-doc match count
+    of a GPT-2-shaped pretokenizer (functions/text.BPE_PATTERN) next
+    to the whitespace count, plus chars-per-token — the standard
+    cost-estimation statistic before real BPE. Map-only single pass;
+    the regex runs in codegen (Java regex), the oracle in RE2 — the
+    pattern is restricted to the subset where both agree."""
+    d = _docs(spark, sf_dir)
+    n_bpe = T.bpe_token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.length("text").alias("text_len"),
+        fixed(
+            F.length("text").cast("double") / T.bpe_token_count(F.col("text")), 6
+        ).alias("chars_per_bpe_token"),
+    )
+
+
 # --- F11: lemmatized term counts -----------------------------------
 _LEMMA_SQL = (
     "regexp_replace(regexp_replace(regexp_replace(t, "

@@ -65,6 +65,7 @@ EXPECTED = {
     "top_terms_per_source",
     "sentence_stats",
     "lemma_term_counts",
+    "bpe_token_stats",
     # sampling / curation
     "stratified_sample_docs",
     "winnowing_fingerprints",
