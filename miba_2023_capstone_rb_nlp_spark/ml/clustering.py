@@ -26,11 +26,19 @@ def _with_vector(df: DataFrame, vec_col: str) -> DataFrame:
 
 
 def kmeans_assign(
-    df: DataFrame, vec_col: str, k: int, out_col: str = "cluster"
+    df: DataFrame, vec_col: str, k: int, out_col: str = "cluster",
+    fit_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Fit MLlib KMeans (seeded) and append integer labels."""
+    """Fit MLlib KMeans (seeded) and append integer labels.
+
+    ``fit_df``: optional (typically narrow, right-partitioned) frame
+    with the same rows to fit on — Lloyd's is iterative, so every
+    excess partition is paid once per iteration in task overhead; the
+    transform (one map-only pass) still applies to ``df``.
+    """
     feat = _with_vector(df, vec_col)
-    model = KMeans(k=k, seed=SEED, featuresCol="_features").fit(feat)
+    fit_feat = feat if fit_df is None else _with_vector(fit_df, vec_col)
+    model = KMeans(k=k, seed=SEED, featuresCol="_features").fit(fit_feat)
     return (
         model.transform(feat)
         .withColumnRenamed("prediction", out_col)

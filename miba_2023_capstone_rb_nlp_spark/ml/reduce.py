@@ -21,14 +21,25 @@ def pca_reduce(
     vec_col: str,
     n_components: int = 2,
     out_col: str = "reduced_dimensions",
+    fit_df: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed PCA → array<double> coords. The covariance/SVD runs
     on executors; only the k×d principal-component matrix lives on
-    the driver."""
+    the driver.
+
+    ``fit_df``: optional frame to fit the model on instead of ``df``
+    — pass a persisted upstream base with the same rows (1:1 lineage)
+    so the fit action scans the cache rather than recomputing every
+    enrichment join stacked on top of it. The transform still applies
+    to ``df``.
+    """
     feat = df.withColumn(
         "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    model = PCA(k=n_components, inputCol="_features", outputCol="_pca").fit(feat)
+    fit_feat = feat if fit_df is None else fit_df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+    )
+    model = PCA(k=n_components, inputCol="_features", outputCol="_pca").fit(fit_feat)
     return (
         model.transform(feat)
         .withColumn(out_col, vector_to_array(F.col("_pca")))

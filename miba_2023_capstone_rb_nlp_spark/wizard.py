@@ -140,15 +140,34 @@ class WordWizard:
                            k_max: int = 15, n_med: int = 2) -> "WordWizard":
         """M3 + M5: KMeans (silhouette sweep when k unset) + medoids."""
         self._require(self.embed_col, "create_sentence_embeddings()")
+        # Right-size the iterative-fit input: Lloyd's pays every excess
+        # partition once per iteration, so partition the (persisted)
+        # embedding column by measured cardinality — ~100k rows per
+        # partition — instead of inheriting the ETL shuffle width. The
+        # count doubles as the cache materialization the fit needs
+        # anyway; at 100 TB the same formula yields thousands of
+        # partitions, so this is sizing, not shrinking.
+        n = self.df.count()
+        parts = max(1, -(-n // 100_000))
+        fit_base = self.df.select(self.embed_col)
+        if parts < self.df.rdd.getNumPartitions():
+            fit_base = fit_base.coalesce(parts)
         if k is None:
-            k, _ = choose_k_silhouette(self.df, self.embed_col, k_min, k_max)
-        self.df = kmeans_assign(self.df, self.embed_col, k, out_col=self.cluster_col)
+            k, _ = choose_k_silhouette(fit_base, self.embed_col, k_min, k_max)
+        self.df = kmeans_assign(
+            self.df, self.embed_col, k, out_col=self.cluster_col, fit_df=fit_base
+        )
         self.df = with_medoids(
             self.df, self.embed_col, self.cluster_col, self.id_col,
             n_med=n_med, flag_col=self.medoid_col,
         ).drop("dist")
         # fan-out base for NER / summaries / sentiment / topics
         self.df = self.df.persist()
+        # kept for later model fits: same rows as every enriched
+        # descendant (all enrichments are 1:1 broadcast joins), so a
+        # fit action can scan this cache instead of recomputing them
+        self._cluster_base = self.df
+        self._fit_base = fit_base
         return self
 
     def find_sentiment(self, lean: bool = True) -> "WordWizard":
@@ -229,8 +248,14 @@ class WordWizard:
     def topic_modelling(self, top_n: int = 20) -> "WordWizard":
         """M10: c-TF-IDF per cluster → topics array<struct<word,score>>."""
         self._require(self.cluster_col, "cluster_embeddings()")
+        # aggregate from the persisted cluster base (same rows; every
+        # later enrichment is a 1:1 broadcast join) so this branch
+        # scans the cache instead of re-running those joins
+        base = getattr(self, "_cluster_base", None)
+        if base is None:
+            base = self.df
         topics = ctfidf_topics(
-            self.df, self.cluster_col, self.interest, self.id_col, top_n=top_n
+            base, self.cluster_col, self.interest, self.id_col, top_n=top_n
         )
         nested = topics.groupBy(self.cluster_col).agg(
             F.transform(
@@ -247,7 +272,12 @@ class WordWizard:
         [sic] method name — kept for API parity; see reduce_dimensionality.
         """
         self._require(self.embed_col, "create_sentence_embeddings()")
-        self.df = pca_reduce(self.df, self.embed_col, n_components, REDUCED_COL)
+        fit_df = getattr(self, "_fit_base", None)
+        if fit_df is None:
+            fit_df = getattr(self, "_cluster_base", None)
+        self.df = pca_reduce(
+            self.df, self.embed_col, n_components, REDUCED_COL, fit_df=fit_df
+        )
         return self
 
     reduce_dimensionality = reduce_demensionality
