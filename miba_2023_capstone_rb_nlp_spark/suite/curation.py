@@ -392,3 +392,178 @@ def q_dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         grp, docs["doc_id"] == grp["component"], "inner"
     ).select("doc_id", "lang", "source", "n_docs")
+
+
+# --- end-to-end corpus prep: filter → decontam → dedup → sample ------
+_SAMPLE_PERMILLE = 500  # 50% deterministic hash sample
+
+_PREP_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, lang, source, text
+  FROM documents WHERE doc_id % 10 = 0
+),
+p AS (
+  SELECT doc_id, lang, source, md5(text) AS h,
+         string_split(text, ' ') AS t
+  FROM u
+),
+s AS (
+  SELECT doc_id, lang, source, h, len(t) AS n_tokens,
+         [array_to_string(t[i:i+1], ' ')
+          for i in generate_series(1, len(t) - 1)] AS grams,
+         list_distinct([CAST(('0x' || substr(md5(
+              array_to_string(t[i:i+3], ' ')), 1, 15)) AS BIGINT)
+          for i in generate_series(1, len(t) - 3)]) AS g4
+  FROM p
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM s),
+c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+a AS (SELECT doc_id, max(n) AS top_n, CAST(sum(n) AS BIGINT) AS total
+      FROM c GROUP BY doc_id),
+q AS (
+  SELECT s.*, {sql_fixed("CAST(a.top_n AS DOUBLE) / a.total", 6)} AS tbf
+  FROM s JOIN a USING (doc_id)
+),
+qual AS (
+  SELECT * FROM q
+  WHERE n_tokens >= {_MIN_TOKENS} AND tbf <= {_TOP_BIGRAM_MAX}
+),
+ev AS (SELECT DISTINCT unnest(g4) AS gr FROM s
+       WHERE doc_id % {_EVAL_MOD} = 0),
+contam AS (
+  SELECT DISTINCT q.doc_id
+  FROM (SELECT doc_id, unnest(g4) AS gr FROM qual
+        WHERE doc_id % {_EVAL_MOD} <> 0) q
+  JOIN ev USING (gr)
+),
+clean AS (
+  SELECT * FROM qual
+  WHERE doc_id % {_EVAL_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+dd AS (SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+       FROM clean GROUP BY h),
+reps AS (SELECT c.lang, c.source, c.n_tokens, dd.n_copies, c.doc_id
+         FROM dd JOIN clean c USING (doc_id)),
+samp AS (
+  SELECT * FROM reps
+  WHERE CAST(('0x' || substr(md5('prep:' || doc_id), 1, 15)) AS BIGINT)
+        % 1000 < {_SAMPLE_PERMILLE}
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_copies - 1) AS BIGINT) AS dups_absorbed
+FROM samp GROUP BY lang, source
+"""
+
+
+@register("corpus_prep_chain", oracle=_PREP_ORACLE)
+def q_corpus_prep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation, composed from the curation
+    operators the way a real pretraining pipeline chains them:
+
+      1. Gopher quality filter (map-only mode scan, no shuffle);
+      2. benchmark decontamination (eval 4-gram set → broadcast
+         semi-join; the train side never shuffles);
+      3. exact dedup keeping the min-id representative per md5(text)
+         group, carrying how many copies it absorbed;
+      4. deterministic 50% hash sample (pure filter, pushes to scan);
+      5. the per-(lang, source) corpus card: doc/token/dup totals.
+
+    Duplicates are injected (10% re-keyed copies, the ``exact_dedup``
+    idiom — the synthetic corpus has none) so the dedup stage absorbs
+    real groups; +100000 preserves doc_id % 20 parity, so a copy of
+    an eval doc is excluded exactly like its original.
+
+    One oracle-checked entry proving the stages compose: total
+    shuffles = gram-set distinct + contaminated-id distinct + dedup
+    groupBy + final card groupBy; every per-doc statistic stays
+    map-side. At 100 TB every stage keeps its individual entry's
+    scale shape — nothing in the composition adds a corpus-wide
+    shuffle beyond the dedup groupBy the task inherently needs."""
+    from miba_2023_capstone_rb_nlp_spark.functions.text import md5_long
+
+    d = _docs(spark, sf_dir)
+    feats = T.quality_features(F.col("text"))
+    grams2 = F.array_sort(T.word_ngrams(F.col("text"), 2))
+    g4 = F.array_distinct(
+        F.transform(T.word_ngrams(F.col("text"), 4), T.md5_long)
+    )
+    base0 = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        feats["n_tokens"].alias("n_tokens"),
+        grams2.alias("_g2"),
+        g4.alias("_g4"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "h",
+        "n_tokens",
+        "_g4",
+        _max_run_length(F.col("_g2")).alias("_top_n"),
+        F.size("_g2").cast("bigint").alias("_total"),
+    ).filter(F.col("_total") > 0)
+    # three branches consume this base (eval gram set, train gram
+    # explode, surviving rows) — persist the narrow feature projection
+    # once instead of recomputing the per-doc text passes per branch;
+    # at 100 TB this is the standard materialize-the-working-set step
+    # (persist or a checkpoint table) any multi-branch pipeline needs
+    base0 = base0.persist()
+    # inject the re-keyed copies AFTER the per-doc features and via a
+    # posexplode-free id fan-out rather than a self-union: a copy
+    # carries identical text so its stats are reused, and one scan
+    # replaces two (a self-union here also trips a Catalyst Union
+    # constraint-rewrite bug on the pruned text attribute)
+    ids = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.array(F.col("doc_id"), F.col("doc_id") + 100000),
+    ).otherwise(F.array(F.col("doc_id")))
+    base = base0.select(
+        F.explode(ids).alias("doc_id"),
+        "lang",
+        "source",
+        "h",
+        "n_tokens",
+        "_g4",
+        "_top_n",
+        "_total",
+    )
+    tbf = fixed(F.col("_top_n").cast("double") / F.col("_total"), 6)
+    qual = base.filter(
+        (F.col("n_tokens") >= _MIN_TOKENS) & (tbf <= _TOP_BIGRAM_MAX)
+    )
+    ev = (
+        base.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("_g4").alias("gr"))
+        .distinct()
+    )
+    train = qual.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    contam = (
+        train.select("doc_id", F.explode("_g4").alias("gr"))
+        .join(F.broadcast(ev), "gr", "inner")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contam, "doc_id", "left_anti").drop("_g4")
+    dd = clean.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    reps = dd.select("doc_id", "n_copies").join(clean, "doc_id", "inner")
+    samp = reps.filter(
+        md5_long(F.concat(F.lit("prep:"), F.col("doc_id").cast("string")))
+        % 1000
+        < _SAMPLE_PERMILLE
+    )
+    return samp.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("dups_absorbed"),
+    )

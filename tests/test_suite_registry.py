@@ -73,6 +73,7 @@ EXPECTED = {
     "pii_redaction",
     "contamination_ngram_overlap",
     "dedup_canonical_corpus",
+    "corpus_prep_chain",
     # retrieval / packing
     "bm25_topk",
     "bigram_topk",
