@@ -62,6 +62,20 @@ _DEPRIORITIZED = (
     # anti-join demo that returns 0 rows at every SF — a vacuous
     # driver row; the anti-join plan is pinned by tests/test_plans.py
     "customers_without_orders",
+    # -- round-3 demotions: twins of in-window entries, spilled so the
+    # -- seven §2-core entries evicted in round 2 fit back in the
+    # -- driver's 50-row checked window (VERDICT r2 item #2)
+    "bigram_topk",  # posting-filter machinery ⊂ bm25_topk
+    "order_cube_revenue",  # grouping-sets ⊂ order_rollup_revenue
+    # mapInPandas multimodal plumbing ⊂ media_features; posexplode
+    # order pinned by explode_paragraphs + tests/test_multimodal.py
+    "video_frame_sample",
+    "temperature_resample",  # keyed-md5 rate filter ⊂ stratified_sample_docs
+    "hash_split_profile",  # md5 bucketing ⊂ stratified_sample_docs
+    # streaming state ⊂ events_stateful_running; dedup ⊂ exact_dedup
+    "events_stream_dedup",
+    # rank-window top-n ⊂ pairwise_medoids / order_window_enrich
+    "top_orders_per_customer",
 )
 
 # Entries promoted to the registry head (after the flagship): the

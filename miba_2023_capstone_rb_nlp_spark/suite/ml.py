@@ -238,4 +238,18 @@ def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .topic_modelling()
         .reduce_demensionality()
     )
-    return wiz.viz_summary()
+    out = wiz.viz_summary()
+    # Driver boundary: the rows-only canonicalizer sorts every column
+    # in pandas, and numpy arrays are unhashable — serialize the two
+    # nested columns (entities: array<string>, topics:
+    # array<struct<word,score>>) to JSON strings so the frame hashes.
+    return out.select(
+        "cluster",
+        "size",
+        "x",
+        "y",
+        "sentiment",
+        F.to_json("entities").alias("entities"),
+        F.to_json("topics").alias("topics"),
+        "paragraph",
+    )

@@ -110,6 +110,77 @@ def test_priority_ordering():
     assert names[-len(_DEPRIORITIZED):] == list(_DEPRIORITIZED)
 
 
+# Every SURVEY §2 operator's CANONICAL suite entry. The external
+# driver records correctness for exactly the first 50 registry rows,
+# so these must all sit inside that window — round 2 lost 7 of them
+# to silent eviction (VERDICT r2 "What's wrong" #2). Entries NOT here
+# are engine-addition twins whose machinery an in-window sibling
+# re-proves (see _DEPRIORITIZED comments).
+DRIVER_WINDOW = 50
+CORE_ENTRIES = {
+    "cluster_viz_summary",
+    "wizard_full_chain",
+    "pairwise_medoids",
+    "kmeans_clusters",
+    "pca_coords",
+    "hash_embeddings",
+    "sentiment_distinct_join",
+    "medoid_summaries",
+    "pricing_summary",
+    "region_revenue",
+    "order_priority_semijoin",
+    "nation_set_ops",
+    "order_window_enrich",
+    "argmax_per_flag",
+    "order_rollup_revenue",
+    "salted_join_nation_customers",
+    "price_quantiles",
+    "etl_clean_articles",
+    "explode_paragraphs",
+    "ner_top_orgs",
+    "media_features",
+    "events_session_windows",
+    "events_tumbling_streaming",
+    "events_stateful_running",
+    "events_asof_last_click",
+    "events_range_click_counts",
+    "doc_stats_quality",
+    "lang_id",
+    "top_terms_per_source",
+    "sentence_stats",
+    "bpe_token_stats",
+    "lemma_term_counts",
+    "stratified_sample_docs",
+    "winnowing_fingerprints",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "neardup_components",
+    "gopher_repetition_flags",
+    "pii_redaction",
+    "contamination_ngram_overlap",
+    "dedup_canonical_corpus",
+    "corpus_prep_chain",
+    "bm25_topk",
+    "sequence_packing",
+    "knn_bruteforce",
+    "hyperplane_lsh_pairs",
+    "knn_ivf_multiprobe",
+    "ctfidf_topics_per_lang",
+}
+
+
+def test_core_entries_inside_driver_window():
+    head = set(list(load_suite())[:DRIVER_WINDOW])
+    missing = CORE_ENTRIES - head
+    assert not missing, (
+        f"§2-core entries evicted from the driver's {DRIVER_WINDOW}-row "
+        f"checked window: {sorted(missing)} — adding a new entry requires "
+        "demoting a twin via _DEPRIORITIZED"
+    )
+
+
 def test_broken_suite_module_raises(monkeypatch):
     """An intra-package import failure must propagate, not silently
     shrink the registry (the round-1 hazard)."""
