@@ -144,6 +144,13 @@ def hyperplane_entries(
     entry stream is narrow (no vector payload), so probing multiplies
     a small shuffle, not the vector bytes.
     """
+    if n_planes % rows_per_band != 0:
+        # a remainder would silently drop computed signature bits and
+        # change the recall the caller (and the oracle) reasoned about
+        raise ValueError(
+            f"n_planes ({n_planes}) must be a multiple of "
+            f"rows_per_band ({rows_per_band})"
+        )
     n_bands = n_planes // rows_per_band
     weights = plane_weights(dim, n_planes)
     powers = (1 << np.arange(rows_per_band, dtype=np.int64))

@@ -138,6 +138,67 @@ def test_weighted_agg_same_result_model_vs_gazetteer(spark, section_df):
     assert a  # non-vacuous
 
 
+def test_umap_reduce_plumbing(spark, monkeypatch):
+    """umap_reduce is a gated DRIVER-side fit (collect → fit → join
+    back by id): inject a fake ``umap`` module via sys.modules and
+    assert the collect/join plumbing, schema, and row alignment."""
+    import sys
+    import types
+
+    class FakeUMAP:
+        def __init__(self, n_components=2, **kw):
+            self.n_components = n_components
+
+        def fit_transform(self, vecs):
+            # deterministic: coord = (first element, row L1 norm)
+            return np.array([[v[0], float(np.abs(v).sum())] for v in vecs])
+
+    fake = types.ModuleType("umap")
+    fake.UMAP = FakeUMAP
+    monkeypatch.setitem(sys.modules, "umap", fake)
+
+    from miba_2023_capstone_rb_nlp_spark.ml.reduce import umap_reduce
+
+    rows = [(i, [float(i), 1.0, -2.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "id bigint, emb array<double>").repartition(3)
+    out = umap_reduce(df, "emb", "id")
+    assert dict(out.dtypes)["reduced_dimensions"] == "array<double>"
+    got = {r["id"]: r["reduced_dimensions"] for r in out.collect()}
+    assert len(got) == 10
+    for i in range(10):
+        assert got[i] == [float(i), float(i) + 3.0]
+
+
+def test_hdbscan_assign_plumbing(spark, monkeypatch):
+    """hdbscan_assign (gated driver-side): inject a fake ``hdbscan``
+    module; assert labels (including the −1 noise label,
+    word_wizard.py:288) join back to the right ids."""
+    import sys
+    import types
+
+    class FakeHDBSCAN:
+        def __init__(self, min_cluster_size=5, **kw):
+            self.min_cluster_size = min_cluster_size
+
+        def fit_predict(self, coords):
+            # x < 0 → noise (−1), else cluster = int(x) % 2
+            return np.array(
+                [-1 if c[0] < 0 else int(c[0]) % 2 for c in coords]
+            )
+
+    fake = types.ModuleType("hdbscan")
+    fake.HDBSCAN = FakeHDBSCAN
+    monkeypatch.setitem(sys.modules, "hdbscan", fake)
+
+    from miba_2023_capstone_rb_nlp_spark.ml.clustering import hdbscan_assign
+
+    rows = [(i, [float(i - 2), 0.5]) for i in range(8)]
+    df = spark.createDataFrame(rows, "id bigint, xy array<double>").repartition(2)
+    out = hdbscan_assign(df, "xy", "id")
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    assert got == {i: (-1 if i - 2 < 0 else (i - 2) % 2) for i in range(8)}
+
+
 def test_weighted_agg_plan_unchanged_by_extractor(spark, section_df):
     """Swapping the extractor must not reshape the weighted
     aggregation: same aggregate/window skeleton, the model path only
