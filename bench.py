@@ -25,6 +25,40 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 SKIP: set[str] = set()
 
+# The driver records only the LAST 2000 chars of stdout; round 2's
+# 67-query JSON line ran 2044 chars and lost its head, so the artifact
+# failed to parse. Keep the line safely under the window: compact
+# separators, 2-decimal timings, and — only if still too long — fold
+# the cheapest registry-tail entries into one "other" aggregate.
+LINE_BUDGET = 1900
+
+
+def encode_line(timings: dict[str, float], sf_val: float | str) -> str:
+    def dump(qs: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "suite_total_runtime",
+                "value": round(sum(timings.values()), 2),
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in sorted(qs.items())},
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+
+    qs = dict(timings)
+    line = dump(qs)
+    # fold the LAST-registered (lowest-priority) entries first; their
+    # time still counts in "value" via the untouched `timings` sum
+    fold_order = [k for k in reversed(list(timings)) if k != "other"]
+    folded = 0.0
+    while len(line) > LINE_BUDGET and fold_order:
+        victim = fold_order.pop(0)
+        folded += qs.pop(victim)
+        qs["other"] = round(folded, 2)
+        line = dump(qs)
+    return line
+
 
 def main() -> None:
     spark = get_spark(app_name="miba-bench")
@@ -32,8 +66,11 @@ def main() -> None:
     suite = load_suite()
     # warm the JVM/codegen so query 1 isn't charged for startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # iterate in registry-priority order (load_suite() puts the
+    # driver-checked core first) so encode_line's fold-from-the-end
+    # sacrifices the deprioritized twins, never a core entry
     timings: dict[str, float] = {}
-    for name, q in sorted(suite.items()):
+    for name, q in suite.items():
         if name in SKIP:
             continue
         best = None
@@ -48,18 +85,11 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    line = encode_line(timings, sf_val)
+    # stop Spark BEFORE printing: the JSON line must be the absolute
+    # last stdout so the driver's 2000-char tail window contains it
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -43,13 +43,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet → read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) → truncate to micros,
-        # matching DuckDB's ns→us timestamp cast.
-        from pyspark.sql import functions as F
+        df = normalize_event_ts(df)
+    return df
 
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-TZ TIMESTAMP across testdata
+    generations: TIMESTAMP(NANOS) parquet arrives as long nanos under
+    spark.sql.legacy.parquet.nanosAsLong (→ truncate to micros, same
+    as DuckDB's ns→us cast), TIMESTAMP(MICROS) parquet arrives as
+    timestamp_ntz (→ wall-clock-identity cast under the UTC session
+    conf set in table())."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt in ("bigint", "long"):
         # integer `div`, not `/`: epoch-nanos overflow double precision
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

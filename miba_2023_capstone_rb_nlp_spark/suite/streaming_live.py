@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from miba_2023_capstone_rb_nlp_spark.catalog import normalize_event_ts
 from miba_2023_capstone_rb_nlp_spark.streaming.windows import tumbling_counts
 from miba_2023_capstone_rb_nlp_spark.suite import register
 from miba_2023_capstone_rb_nlp_spark.suite.events import _TUMBLING_ORACLE
@@ -59,8 +60,8 @@ def q_events_tumbling_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(raw_schema)
         .parquet(os.path.join(sf_dir, "events.*"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = normalize_event_ts(stream)
     out = tumbling_counts(stream, window="1 hour", watermark="2 hours")
     with _state_partitions(spark):
         query = (
@@ -96,10 +97,9 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(path).schema
 
     def read():
-        return (
+        return normalize_event_ts(
             spark.readStream.schema(raw_schema)
             .parquet(os.path.join(sf_dir, "events.*"))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
 
     doubled = read().unionByName(read())
@@ -166,8 +166,8 @@ def q_events_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(split_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = normalize_event_ts(stream)
     out = running_user_stats(stream)
     with _state_partitions(spark):
         query = (
