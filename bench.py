@@ -29,8 +29,53 @@ SKIP: set[str] = set()
 # 67-query JSON line ran 2044 chars and lost its head, so the artifact
 # failed to parse. Keep the line safely under the window: compact
 # separators, 2-decimal timings, and — only if still too long — fold
-# the cheapest registry-tail entries into one "other" aggregate.
+# the last-registered (lowest-priority) entries into one "_folded"
+# aggregate, regardless of their cost.
 LINE_BUDGET = 1900
+
+# fold key: leading underscore cannot collide with a registry entry
+# (suite names are importable identifiers chosen without underscore
+# prefixes; enforced at fold time below)
+FOLD_KEY = "_folded"
+
+# Like-for-like guard: per-query times from the last driver-recorded
+# bench artifact (bench_baseline.json, refreshed each round). Any
+# query ≥1.5× slower AND ≥0.5 s absolute is flagged on stderr unless
+# its name carries an inline justification here.
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+REGRESSION_RATIO = 1.5
+REGRESSION_ABS_SEC = 0.5
+JUSTIFIED_REGRESSIONS: dict[str, str] = {
+    # name -> one-line reason, e.g. "recall fix: scores real candidates"
+}
+
+
+def report_regressions(timings: dict[str, float]) -> None:
+    """Print the baseline-vs-now regression table to stderr (stdout is
+    reserved for the single JSON artifact line)."""
+    try:
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)["queries"]
+    except (OSError, KeyError, json.JSONDecodeError):
+        print("bench baseline unavailable; skipping regression check",
+              file=sys.stderr)
+        return
+    rows = []
+    for name, now in timings.items():
+        was = base.get(name)
+        if was is None or was <= 0:
+            continue
+        if now / was >= REGRESSION_RATIO and now - was >= REGRESSION_ABS_SEC:
+            rows.append((name, was, now, now / was,
+                         JUSTIFIED_REGRESSIONS.get(name, "UNEXPLAINED")))
+    if not rows:
+        print("regression check: clean vs baseline", file=sys.stderr)
+        return
+    print(f"{'query':35s} {'base':>7s} {'now':>7s} ratio  why", file=sys.stderr)
+    for name, was, now, ratio, why in sorted(rows, key=lambda r: -r[3]):
+        print(f"{name:35s} {was:7.2f} {now:7.2f} {ratio:5.2f}x {why}",
+              file=sys.stderr)
 
 
 def encode_line(timings: dict[str, float], sf_val: float | str) -> str:
@@ -46,17 +91,24 @@ def encode_line(timings: dict[str, float], sf_val: float | str) -> str:
             separators=(",", ":"),
         )
 
+    assert FOLD_KEY not in timings, f"registry entry shadows {FOLD_KEY!r}"
     qs = dict(timings)
     line = dump(qs)
     # fold the LAST-registered (lowest-priority) entries first; their
     # time still counts in "value" via the untouched `timings` sum
-    fold_order = [k for k in reversed(list(timings)) if k != "other"]
+    fold_order = list(reversed(list(timings)))
     folded = 0.0
     while len(line) > LINE_BUDGET and fold_order:
         victim = fold_order.pop(0)
         folded += qs.pop(victim)
-        qs["other"] = round(folded, 2)
+        qs[FOLD_KEY] = round(folded, 2)
         line = dump(qs)
+    if len(line) > LINE_BUDGET:
+        print(
+            f"warning: bench line still {len(line)} chars > {LINE_BUDGET} "
+            "after folding every entry; driver tail window may truncate it",
+            file=sys.stderr,
+        )
     return line
 
 
@@ -64,8 +116,31 @@ def main() -> None:
     spark = get_spark(app_name="miba-bench")
     spark.sparkContext.setLogLevel("ERROR")
     suite = load_suite()
-    # warm the JVM/codegen so query 1 isn't charged for startup
+    # Warm the JVM so the first registry entries aren't charged for
+    # one-time session init: codegen pipeline, parquet datasource +
+    # footer reader, shuffle/AQE machinery, broadcast exchange, window
+    # exec, and the Python worker pool (reused afterwards). Each is a
+    # fixed per-JVM cost, not a property of any query's plan.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    (
+        nation.join(F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .count()
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("count")),
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
+    nation.mapInPandas(lambda it: it, schema=nation.schema).write.format(
+        "noop"
+    ).mode("overwrite").save()
     # iterate in registry-priority order (load_suite() puts the
     # driver-checked core first) so encode_line's fold-from-the-end
     # sacrifices the deprioritized twins, never a core entry
@@ -86,6 +161,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     line = encode_line(timings, sf_val)
+    report_regressions(timings)
     # stop Spark BEFORE printing: the JSON line must be the absolute
     # last stdout so the driver's 2000-char tail window contains it
     spark.stop()

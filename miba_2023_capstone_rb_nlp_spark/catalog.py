@@ -52,9 +52,12 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     generations: TIMESTAMP(NANOS) parquet arrives as long nanos under
     spark.sql.legacy.parquet.nanosAsLong (→ truncate to micros, same
     as DuckDB's ns→us cast), TIMESTAMP(MICROS) parquet arrives as
-    timestamp_ntz (→ wall-clock-identity cast under the UTC session
-    conf set in table())."""
+    timestamp_ntz (→ wall-clock-identity cast, which requires the UTC
+    session timezone set below — set here, not just in table(), so a
+    direct caller can't get host-TZ-dependent results)."""
     from pyspark.sql import functions as F
+
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
 
     dt = dict(df.dtypes).get("ts")
     if dt in ("bigint", "long"):

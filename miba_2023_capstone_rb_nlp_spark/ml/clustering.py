@@ -27,7 +27,8 @@ def _with_vector(df: DataFrame, vec_col: str) -> DataFrame:
 
 def kmeans_assign(
     df: DataFrame, vec_col: str, k: int, out_col: str = "cluster",
-    fit_df: DataFrame | None = None,
+    fit_df: DataFrame | None = None, init_mode: str | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Fit MLlib KMeans (seeded) and append integer labels.
 
@@ -35,10 +36,22 @@ def kmeans_assign(
     with the same rows to fit on — Lloyd's is iterative, so every
     excess partition is paid once per iteration in task overhead; the
     transform (one map-only pass) still applies to ``df``.
+
+    ``init_mode``: None picks adaptively from ``n_hint`` (row count if
+    the caller already knows it): k-means|| init costs ~2×initSteps
+    extra distributed rounds, which buys convergence quality that only
+    matters at scale — below ~1M fit rows the init rounds dominate the
+    whole fit (measured ~2.5× wall on local[32]) while Lloyd's fully
+    recovers quality, so small fits use "random". At 100 TB (n_hint
+    large or unknown) the default stays "k-means||".
     """
+    if init_mode is None:
+        init_mode = "random" if (n_hint is not None and n_hint < 1_000_000) else "k-means||"
     feat = _with_vector(df, vec_col)
     fit_feat = feat if fit_df is None else _with_vector(fit_df, vec_col)
-    model = KMeans(k=k, seed=SEED, featuresCol="_features").fit(fit_feat)
+    model = KMeans(
+        k=k, seed=SEED, initMode=init_mode, featuresCol="_features"
+    ).fit(fit_feat)
     return (
         model.transform(feat)
         .withColumnRenamed("prediction", out_col)

@@ -1,19 +1,92 @@
-"""Dimensionality reduction (SURVEY M9): MLlib PCA as the distributed
-path; UMAP as a gated driver-side stub (no distributed UMAP exists —
-it needs a global kNN graph; reference runs it in-process,
+"""Dimensionality reduction (SURVEY M9): one-pass distributed PCA as
+the scale path; UMAP as a gated driver-side stub (no distributed UMAP
+exists — it needs a global kNN graph; reference runs it in-process,
 word_wizard.py:513-559).
+
+PCA design (replaces the earlier MLlib ``pyspark.ml.feature.PCA``
+path): the fit is ONE mapInPandas pass emitting per-partition moments
+(n, Σx, XᵀX — a d×d matrix per partition, the classic combiner
+pattern), combined on the driver into the covariance whose
+eigendecomposition is a d×d numpy call. The projection is then a pure
+column expression (whole-stage codegen, no Python) over the input.
+MLlib's RowMatrix path schedules several jobs (tree-aggregated
+covariance + gram) and a row-at-a-time transform; this is one job +
+codegen, and the moments output is ~d² doubles per partition
+regardless of data size, so it holds at 100 TB unchanged.
 
 Output column named ``reduced_dimensions`` — normalizing the
 reference's misleading ``*_word_embeddings`` suffix reuse
-(word_wizard.py:557, documented deviation).
+(word_wizard.py:557, documented deviation). Deviation from MLlib
+transform semantics: coordinates are mean-centered before projection
+(MLlib projects raw vectors), and each component's sign is fixed so
+its largest-magnitude loading is positive — deterministic across
+partitionings.
 """
 
 from __future__ import annotations
 
-from pyspark.ml.feature import PCA
-from pyspark.ml.functions import array_to_vector, vector_to_array
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _moment_pass(fit_df: DataFrame, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
+    """One distributed pass → (n, Σx, XᵀX), combined driver-side.
+    Emits one row of d + d² doubles per partition — constant-size
+    output, so the collect is bounded by partition count, not rows."""
+
+    def moments(batches):
+        import pandas as pd
+
+        n = 0
+        s = None
+        xtx = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            xtx = g if xtx is None else xtx + g
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "xtx": [xtx.ravel().tolist()]}
+        )
+
+    rows = (
+        fit_df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(moments, schema="n long, s array<double>, xtx array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pca_reduce: empty fit input")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    d = s.shape[0]
+    xtx = np.sum([np.asarray(r["xtx"]).reshape(d, d) for r in rows], axis=0)
+    return n, s, xtx
+
+
+def pca_components(
+    fit_df: DataFrame, vec_col: str, n_components: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (mean[d], W[d, k]): top-k covariance eigenvectors, sign-fixed
+    (largest-|loading| entry positive) for determinism."""
+    n, s, xtx = _moment_pass(fit_df, vec_col)
+    mean = s / n
+    denom = max(n - 1, 1)
+    cov = (xtx - np.outer(mean, s)) / denom
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:n_components]
+    w = eigvecs[:, order]
+    for j in range(w.shape[1]):
+        i = int(np.abs(w[:, j]).argmax())
+        if w[i, j] < 0:
+            w[:, j] = -w[:, j]
+    return mean, w
 
 
 def pca_reduce(
@@ -23,9 +96,8 @@ def pca_reduce(
     out_col: str = "reduced_dimensions",
     fit_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Distributed PCA → array<double> coords. The covariance/SVD runs
-    on executors; only the k×d principal-component matrix lives on
-    the driver.
+    """Distributed PCA → array<double> coords (see module docstring
+    for the one-pass design).
 
     ``fit_df``: optional frame to fit the model on instead of ``df``
     — pass a persisted upstream base with the same rows (1:1 lineage)
@@ -33,18 +105,20 @@ def pca_reduce(
     enrichment join stacked on top of it. The transform still applies
     to ``df``.
     """
-    feat = df.withColumn(
-        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    mean, w = pca_components(fit_df if fit_df is not None else df,
+                             vec_col, n_components)
+    d, k = w.shape
+    v = F.col(vec_col).cast("array<double>")
+    coords = F.array(
+        *[
+            sum(
+                (v[i] - F.lit(float(mean[i]))) * F.lit(float(w[i, j]))
+                for i in range(d)
+            )
+            for j in range(k)
+        ]
     )
-    fit_feat = feat if fit_df is None else fit_df.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
-    )
-    model = PCA(k=n_components, inputCol="_features", outputCol="_pca").fit(fit_feat)
-    return (
-        model.transform(feat)
-        .withColumn(out_col, vector_to_array(F.col("_pca")))
-        .drop("_features", "_pca")
-    )
+    return df.withColumn(out_col, coords)
 
 
 def umap_reduce(

@@ -143,7 +143,11 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded MLlib KMeans (M3) — deterministic in Spark, not
     SQL-expressible → rows-only driver check."""
     e = catalog.table(spark, sf_dir, "embeddings")
-    return kmeans_assign(e, "embedding", k=10).select("vec_id", "cluster")
+    # count() is a parquet metadata read — cheap n_hint for the
+    # adaptive init choice (random below 1M fit rows, k-means|| above)
+    return kmeans_assign(
+        e, "embedding", k=10, n_hint=e.count()
+    ).select("vec_id", "cluster")
 
 
 @register("pca_coords", oracle=None)

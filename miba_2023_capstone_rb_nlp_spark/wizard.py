@@ -155,7 +155,8 @@ class WordWizard:
         if k is None:
             k, _ = choose_k_silhouette(fit_base, self.embed_col, k_min, k_max)
         self.df = kmeans_assign(
-            self.df, self.embed_col, k, out_col=self.cluster_col, fit_df=fit_base
+            self.df, self.embed_col, k, out_col=self.cluster_col,
+            fit_df=fit_base, n_hint=n,
         )
         self.df = with_medoids(
             self.df, self.embed_col, self.cluster_col, self.id_col,
@@ -171,13 +172,19 @@ class WordWizard:
         return self
 
     def find_sentiment(self, lean: bool = True) -> "WordWizard":
-        """M7 with the J4 distinct→infer→join rewrite."""
+        """M7. The J4 distinct→infer→join rewrite wraps the REAL model
+        path (lean=False): it pays a distinct + join shuffle to avoid
+        re-running transformer inference on duplicate texts — the right
+        trade whenever per-row cost ≫ shuffle cost (word_wizard.py:
+        410-426; suite entry ``sentiment_distinct_join`` pins it). The
+        lean stub is a single md5 expression, cheaper than any shuffle,
+        so it applies directly as a map — same column, no exchange."""
         out = self.interest + SENTIMENT_SUFFIX
         if lean:
-            infer = lambda d: sentiment_stub(d, self.interest, out_col=out)  # noqa: E731
+            self.df = sentiment_stub(self.df, self.interest, out_col=out)
         else:
             infer = lambda d: sentiment_transformer(d, self.interest, out_col=out)  # noqa: E731
-        self.df = apply_on_distinct(self.df, self.interest, infer, [out])
+            self.df = apply_on_distinct(self.df, self.interest, infer, [out])
         return self
 
     def summarize_medoids(self, lean: bool = True) -> "WordWizard":

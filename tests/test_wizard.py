@@ -77,6 +77,41 @@ def test_body_grain_dedup(spark, clean_df):
     assert "paragraph" not in wiz.df.columns
 
 
+def test_full_chain_body_grain(spark, clean_df):
+    """The reference's interest="body" branch (word_wizard.py:133-137)
+    end-to-end: one row per article, every enrichment column present,
+    and the flagship projection produces rows."""
+    wiz = (
+        WordWizard(clean_df, interest="body")
+        .create_sentence_embeddings()
+        .cluster_embeddings(k=3)
+        .entitiy_recognition()
+        .summarize_medoids()
+        .find_sentiment()
+        .topic_modelling()
+        .reduce_demensionality()
+    )
+    out = wiz.df
+    for col in [
+        "body_sentence_embeddings",
+        "body_sentence_embeddings_clusters",
+        "body_sentence_embeddings_clusters_medoids",
+        "body_sentence_embeddings_clusters_NER",
+        "body_sentence_embeddings_clusters_medoids_summaries",
+        "body_sentiment",
+        "topics",
+        "reduced_dimensions",
+    ]:
+        assert col in out.columns, f"missing {col}"
+    n_articles = clean_df.select("article_index").distinct().count()
+    assert out.count() == n_articles
+    viz = wiz.viz_summary()
+    rows = viz.collect()
+    assert 0 < len(rows) <= 2 * 3
+    # body grain: the projection's "paragraph" column carries the body
+    assert all(r["paragraph"] is not None for r in rows)
+
+
 def test_prerequisite_check(spark, clean_df):
     with pytest.raises(ValueError, match="create_sentence_embeddings"):
         WordWizard(clean_df).cluster_embeddings(k=3)
