@@ -155,6 +155,16 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # Measurement hygiene between entries, OUTSIDE the timed
+        # region: suite queries persist fan-out bases (wizard chain)
+        # and leave shuffle files behind; letting caches pile up
+        # across 67×REPS runs turns late queries into GC/cleanup
+        # victims (measured multi-second spikes on queries that run
+        # ~1.5 s isolated). An explicit driver GC lets ContextCleaner
+        # reclaim shuffle state deterministically rather than
+        # mid-measurement.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)

@@ -54,6 +54,11 @@ def get_spark(
         # The driver's events table carries TIMESTAMP(NANOS) parquet,
         # which Spark rejects; read as long and convert in catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Generated-class cache (default 100 entries): the suite runs
+        # ~70 distinct queries, several codegen stages each — at 100
+        # the cache thrashes and repeat runs recompile (janino) the
+        # wide dim-expanded expressions, costing seconds per query.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -180,6 +180,11 @@ def knn_ivf_multiprobe(
     size. At 100 TB the corpus is laid out bucketed by cell, so
     probing reads ~nprobe/n_cells of the data (partition pruning);
     here the same effect is the isin() pushdown filter.
+
+    Contract (same bound as knn_bruteforce): ``queries`` is the SMALL,
+    driver-collectable side — it is toPandas'd and shipped inside the
+    mapInPandas closure. Size the query set like a broadcast table
+    (≲10⁵ rows); the corpus side never leaves the executors.
     """
     from miba_2023_capstone_rb_nlp_spark.operators.analytics import centroids
 
