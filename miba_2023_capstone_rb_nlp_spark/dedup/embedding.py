@@ -88,7 +88,7 @@ def cosine_pairs(
         .withColumn("_gj", F.greatest("_blk", "_ob"))
     )
 
-    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gi, gj = key
         if gi == gj:
             ids = pdf["_id"].to_numpy()

@@ -126,7 +126,7 @@ def pairwise_medoid_scores(
 
     from miba_2023_capstone_rb_nlp_spark.functions.blas import to_matrix
 
-    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"label": [], "id": [], "mean_dist": []})

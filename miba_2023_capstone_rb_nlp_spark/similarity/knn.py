@@ -135,7 +135,7 @@ def knn_ivf_cells(
         by_cell[int(cell)] = (grp["qid"].to_numpy(), to_matrix(grp["qv"], dim))
     cells = sorted(by_cell)
 
-    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(key[0])
         qids, qmat = by_cell[cell]
         nids = pdf[id_col].to_numpy()

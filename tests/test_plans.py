@@ -97,6 +97,21 @@ def test_etl_cleaning_no_codegen_expression_blowup(spark):
     assert plan.count("regexp_replace") <= 20
 
 
+def test_pca_transform_stays_jvm_side(spark):
+    """pca_reduce's projection must be a pure column expression (the
+    only Python stage is the one-pass moment fit): the transform plan
+    may not contain a pandas/Arrow eval or an MLlib vector UDF."""
+    e = catalog.table(spark, SF_TEST_DIR, "embeddings")
+    from miba_2023_capstone_rb_nlp_spark.ml.reduce import pca_reduce
+
+    out = pca_reduce(e, "embedding", n_components=2)
+    plan = _executed_plan(out.select("vec_id", "reduced_dimensions"))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, f"python stage {marker} in transform plan"
+    # codegen'd stages print as "*(n) Project ..." in the plan string
+    assert "*(1) Project" in plan or "WholeStageCodegen" in plan
+
+
 def test_knn_partial_topk_bounds_shuffle(spark):
     """Brute-force kNN must emit per-batch partial top-k (combiner),
     not ship every candidate pair through the window shuffle."""
