@@ -48,6 +48,11 @@ REGRESSION_RATIO = 1.5
 REGRESSION_ABS_SEC = 0.5
 JUSTIFIED_REGRESSIONS: dict[str, str] = {
     # name -> one-line reason, e.g. "recall fix: scores real candidates"
+    "pca_coords": (
+        "one-pass PCA rewrite: first run pays projection codegen for the "
+        "64-dim expression; fit went from several MLlib jobs to one pass "
+        "and the transform is now pure codegen (wins inside the chain)"
+    ),
 }
 
 
