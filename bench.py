@@ -20,8 +20,11 @@ from miba_2023_capstone_rb_nlp_spark.suite import load_suite  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # best-of-N per query: single-run timings on a shared box carry multi-
-# second GC/load spikes on random queries; min-of-2 measures the plan
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+# second GC/load spikes on random queries, and the FIRST rep of a
+# query pays its one-time codegen compile (measured 2-3× on the wide
+# curation expressions) — min-of-3 reliably lands on a compiled,
+# unspiked run and still keeps the whole suite under ~5 min
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 SKIP: set[str] = set()
 

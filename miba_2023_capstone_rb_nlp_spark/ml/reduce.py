@@ -35,6 +35,10 @@ def _moment_pass(fit_df: DataFrame, vec_col: str) -> tuple[int, np.ndarray, np.n
     Emits one row of d + d² doubles per partition — constant-size
     output, so the collect is bounded by partition count, not rows."""
 
+    # Scale bound: the per-partition payload is d² doubles (8 MB at
+    # d=1000). For very wide embeddings beyond that, replace the
+    # single collect with a treeAggregate-style two-level combine
+    # (partition → executor → driver); the math is unchanged.
     def moments(batches):
         import pandas as pd
 

@@ -224,3 +224,41 @@ def test_weighted_agg_plan_unchanged_by_extractor(spark, section_df):
     model_plan = via_model._jdf.queryExecution().optimizedPlan().toString()
     assert "MapInPandas" not in gaz_plan
     assert model_plan.count("MapInPandas") == 1
+
+
+def test_pca_reduce_math_properties(spark):
+    """One-pass PCA invariants: components orthonormal, projected
+    coords mean-centered (~0), and the first component carries at
+    least as much variance as the second — checked against numpy's
+    full eigendecomposition on the same data."""
+    from miba_2023_capstone_rb_nlp_spark.ml.reduce import (
+        pca_components,
+        pca_reduce,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 5) @ np.diag([5.0, 3.0, 1.0, 0.5, 0.1])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(base)], "id bigint, v array<double>"
+    ).repartition(4)
+
+    mean, w = pca_components(df, "v", 2)
+    assert np.allclose(mean, base.mean(axis=0), atol=1e-9)
+    assert np.allclose(w.T @ w, np.eye(2), atol=1e-9)  # orthonormal
+
+    out = pca_reduce(df, "v", 2, fit_df=df)
+    coords = np.array(
+        [r["reduced_dimensions"] for r in out.orderBy("id").collect()]
+    )
+    assert np.allclose(coords.mean(axis=0), 0.0, atol=1e-8)
+    assert coords[:, 0].var() >= coords[:, 1].var()
+    # parity with numpy eigh on the exact covariance
+    cov = np.cov(base, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, np.argsort(evals)[::-1][:2]]
+    for j in range(2):
+        i = int(np.abs(top[:, j]).argmax())
+        if top[i, j] < 0:
+            top[:, j] = -top[:, j]
+    ref = (base - base.mean(axis=0)) @ top
+    assert np.allclose(coords, ref, atol=1e-8)
