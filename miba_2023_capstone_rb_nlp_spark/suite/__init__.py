@@ -76,6 +76,11 @@ _DEPRIORITIZED = (
     "events_stream_dedup",
     # rank-window top-n ⊂ pairwise_medoids / order_window_enrich
     "top_orders_per_customer",
+    # -- round-4 additions: registered at the tail because the checked
+    # -- window is exactly full of §2-core entries; both are pinned by
+    # -- local parity tests and the bench
+    "doc_chunk_windows",  # map-only explode ⊂ explode_paragraphs shape
+    "url_canonical_dedup",  # canonical-key hash agg ⊂ exact_dedup shape
 )
 
 # Entries promoted to the registry head (after the flagship): the

@@ -567,3 +567,74 @@ def q_corpus_prep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum(F.col("n_copies") - 1).cast("bigint").alias("dups_absorbed"),
     )
+
+
+# --- URL canonicalization + dedup (web-corpus ingest hygiene) -------
+# Fabricated URL variants per underlying article (5 docs share one
+# article id): mixed-case host, http scheme, explicit :443 port,
+# utm tracking params, fragment — the five classic crawl-dup causes.
+_URL_FAB = """
+SELECT doc_id,
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN 'https://News.Example.com/articles/' || art || '/'
+    WHEN 1 THEN 'http://news.example.com/articles/' || art
+    WHEN 2 THEN 'https://news.example.com:443/articles/' || art
+    WHEN 3 THEN 'https://news.example.com/articles/' || art
+                || '?utm_source=feed&utm_medium=rss'
+    ELSE 'https://news.example.com/articles/' || art || '#section-2'
+  END AS url
+FROM (SELECT doc_id,
+             CAST(CAST(floor(doc_id / 5) AS BIGINT) AS STRING) AS art
+      FROM documents)
+"""
+
+_URL_DEDUP_ORACLE = f"""
+WITH urls AS ({_URL_FAB}),
+canon AS (
+  SELECT doc_id,
+    'https://' || lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) ||
+    regexp_replace(
+      regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+(:[0-9]+)?([^?#]*)', 2),
+      '/$', '')
+      AS canonical_url
+  FROM urls
+)
+SELECT canonical_url,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM canon GROUP BY canonical_url
+"""
+
+
+@register("url_canonical_dedup", oracle=_URL_DEDUP_ORACLE)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization → exact dedup: scheme normalization,
+    host lowercasing, default-port and trailing-slash and fragment
+    stripping, tracking-query removal (the fabricated variants only
+    carry utm params, so dropping the query IS the tracking strip;
+    a general cleaner would filter parameter pairs instead).
+    Canonicalization is a pure map (regexp_extract, no backreference
+    replacements — Java `$1` vs RE2 `\\1` replacement syntax differs,
+    extract+concat is engine-portable); dedup is one hash aggregate
+    on the canonical key with map-side partial agg — the same 100 TB
+    shape as ``exact_dedup``."""
+    catalog.table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    urls = spark.sql(_URL_FAB)
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/:?#]+)", 1)),
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[a-zA-Z]+://[^/:?#]+(:[0-9]+)?([^?#]*)", 2),
+            r"/$", "",
+        ),
+    )
+    return (
+        urls.withColumn("canonical_url", canonical)
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("rep_doc"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

@@ -197,3 +197,56 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("expected_draws"),
         )
     )
+
+
+# --- token-window chunking (long-doc → training-sample windows) ----
+CHUNK_WINDOW = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # window step (overlap = WINDOW - STRIDE)
+
+_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(len(w) - 1, 0) + 1, {CHUNK_STRIDE})) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST(floor(st / {CHUNK_STRIDE}.0) AS INT) AS chunk_id,
+       CAST(st AS BIGINT) AS start_tok,
+       CAST(len(w[st + 1: st + {CHUNK_WINDOW}]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(w[st + 1: st + {CHUNK_WINDOW}], ' ')) AS chunk_md5
+FROM s
+"""
+
+
+@register("doc_chunk_windows", oracle=_CHUNK_ORACLE)
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking: long documents become
+    fixed-budget overlapping training samples (window 64, stride 48 →
+    16-token overlap carries context across boundaries). Map-only:
+    tokenize → posexplode a stepped start-index sequence → slice.
+    No shuffle; at 100 TB the fan-out is bounded by ~n_tokens/stride
+    chunks per doc and each chunk row carries an md5 instead of the
+    text, so the exploded output stays narrow. chunk_id derives from
+    the start offset (start/stride) — no window function needed.
+    Complements ``sequence_packing``: chunking splits over-long docs,
+    packing fills under-full sequences."""
+    docs = catalog.cpu_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", w.alias("w")).withColumn(
+        "st",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ),
+    )
+    chunk = F.slice(F.col("w"), F.col("st") + 1, CHUNK_WINDOW)
+    return d.select(
+        "doc_id",
+        F.floor(F.col("st") / float(CHUNK_STRIDE)).cast("int").alias("chunk_id"),
+        F.col("st").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

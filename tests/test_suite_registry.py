@@ -80,6 +80,8 @@ EXPECTED = {
     "sequence_packing",
     "hash_split_profile",
     "temperature_resample",
+    "doc_chunk_windows",
+    "url_canonical_dedup",
     # dedup
     "exact_dedup",
     "ngram_jaccard_pairs",
