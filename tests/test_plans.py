@@ -97,6 +97,26 @@ def test_etl_cleaning_no_codegen_expression_blowup(spark):
     assert plan.count("regexp_replace") <= 20
 
 
+def test_doc_chunk_windows_is_map_only(spark):
+    """Chunking must be generate→slice with NO exchange: the fan-out
+    happens where the doc lives."""
+    plan = _executed_plan(SUITE["doc_chunk_windows"].fn(spark, SF_TEST_DIR))
+    body = plan.split("Exchange RoundRobinPartitioning", 1)[-1]
+    # the only exchange allowed is cpu_table's round-robin spread of
+    # the single-file scan; no shuffle may follow the explode
+    assert "Exchange hashpartitioning" not in body
+    assert "Generate explode" in plan
+
+
+def test_url_canonical_dedup_partial_agg(spark):
+    """Canonical-key dedup must partial-aggregate map-side before its
+    one exchange (the exact_dedup scale shape)."""
+    plan = _executed_plan(SUITE["url_canonical_dedup"].fn(spark, SF_TEST_DIR))
+    final = plan.split("== Initial Plan ==", 1)[0]  # AQE echoes both
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_" in final
+
+
 def test_pca_transform_stays_jvm_side(spark):
     """pca_reduce's projection must be a pure column expression (the
     only Python stage is the one-pass moment fit): the transform plan
