@@ -64,7 +64,14 @@ def choose_k_silhouette(
 ) -> tuple[int, dict[int, float]]:
     """Silhouette sweep k ∈ [2, k_max), floored at k_min (reference
     word_wizard.py:677-687,715). Driver loop over MLlib fits — each
-    fit is distributed; only scores come back to the driver."""
+    fit is distributed; only scores come back to the driver.
+
+    Sweep fits use random init at every scale: the sweep is model
+    SELECTION (relative silhouette ranking), so per-fit init quality
+    is noise the evaluator integrates over — k-means|| would multiply
+    the loop's distributed rounds by ~2×initSteps for nothing. The
+    winning k's PRODUCTION fit (kmeans_assign) still applies the
+    adaptive init rule."""
     feat = _with_vector(df, vec_col).cache()
     evaluator = ClusteringEvaluator(
         featuresCol="_features", metricName="silhouette",
@@ -73,7 +80,9 @@ def choose_k_silhouette(
     scores: dict[int, float] = {}
     try:
         for k in range(2, k_max):
-            model = KMeans(k=k, seed=SEED, featuresCol="_features").fit(feat)
+            model = KMeans(
+                k=k, seed=SEED, initMode="random", featuresCol="_features"
+            ).fit(feat)
             scores[k] = evaluator.evaluate(model.transform(feat))
         best = max(scores, key=lambda k: (scores[k], -k))
         return max(best, k_min), scores

@@ -262,3 +262,24 @@ def test_pca_reduce_math_properties(spark):
             top[:, j] = -top[:, j]
     ref = (base - base.mean(axis=0)) @ top
     assert np.allclose(coords, ref, atol=1e-8)
+
+
+def test_choose_k_silhouette_sweep(spark):
+    """The model-selection sweep returns the k_min floor on clearly
+    3-clustered data (best silhouette k=3 < k_min=5 floors to 5 per
+    word_wizard.py:715), and the raw argmax when unfloored."""
+    from miba_2023_capstone_rb_nlp_spark.ml.clustering import (
+        choose_k_silhouette,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    pts = np.vstack([c + 0.1 * rng.randn(30, 2) for c in centers])
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in pts], "v array<double>"
+    ).coalesce(1)
+
+    k, scores = choose_k_silhouette(df, "v", k_min=2, k_max=6)
+    assert k == 3 and max(scores, key=lambda kk: (scores[kk], -kk)) == 3
+    k_floored, _ = choose_k_silhouette(df, "v", k_min=5, k_max=6)
+    assert k_floored == 5
