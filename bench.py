@@ -41,12 +41,35 @@ LINE_BUDGET = 1900
 # prefixes; enforced at fold time below)
 FOLD_KEY = "_folded"
 
-# Like-for-like guard: per-query times from the last driver-recorded
-# bench artifact (bench_baseline.json, refreshed each round). Any
-# query ≥1.5× slower AND ≥0.5 s absolute is flagged on stderr unless
-# its name carries an inline justification here.
-BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_baseline.json")
+# Like-for-like guard: per-query times from the newest driver-recorded
+# BENCH_r*.json artifact with a parsed payload (bench_baseline.json is
+# the fallback when no artifact parses). Any query ≥1.5× slower AND
+# ≥0.5 s absolute is flagged on stderr unless its name carries an
+# inline justification here.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(_REPO_DIR, "bench_baseline.json")
+
+
+def _baseline_queries() -> dict[str, float] | None:
+    """Newest parseable BENCH_r*.json beats the static fallback — the
+    guard then always compares against the latest round without a
+    manual refresh."""
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed")
+            if parsed and parsed.get("queries"):
+                return parsed["queries"]
+        except (OSError, json.JSONDecodeError):
+            continue
+    try:
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["queries"]
+    except (OSError, KeyError, json.JSONDecodeError):
+        return None
 REGRESSION_RATIO = 1.5
 REGRESSION_ABS_SEC = 0.5
 JUSTIFIED_REGRESSIONS: dict[str, str] = {
@@ -62,10 +85,8 @@ JUSTIFIED_REGRESSIONS: dict[str, str] = {
 def report_regressions(timings: dict[str, float]) -> None:
     """Print the baseline-vs-now regression table to stderr (stdout is
     reserved for the single JSON artifact line)."""
-    try:
-        with open(BASELINE_FILE) as f:
-            base = json.load(f)["queries"]
-    except (OSError, KeyError, json.JSONDecodeError):
+    base = _baseline_queries()
+    if base is None:
         print("bench baseline unavailable; skipping regression check",
               file=sys.stderr)
         return
