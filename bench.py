@@ -50,25 +50,46 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(_REPO_DIR, "bench_baseline.json")
 
 
-def _baseline_queries() -> dict[str, float] | None:
-    """Newest parseable BENCH_r*.json beats the static fallback — the
-    guard then always compares against the latest round without a
-    manual refresh."""
+def _valid_payload(payload, sf_val) -> dict[str, float] | None:
+    """Accept a baseline only if it is shaped right AND was recorded
+    at the SAME scale factor as this run — cross-sf comparisons are
+    meaningless (the r1/r2 vs r3+ testdata differ ~10×)."""
+    if not isinstance(payload, dict):
+        return None
+    if str(payload.get("sf")) != str(sf_val):
+        return None
+    qs = payload.get("queries")
+    if not isinstance(qs, dict) or not qs:
+        return None
+    clean = {k: v for k, v in qs.items()
+             if isinstance(v, (int, float)) and not isinstance(v, bool)}
+    return clean or None
+
+
+def _baseline_queries(sf_val) -> dict[str, float] | None:
+    """Newest parseable same-sf BENCH_r*.json beats the static
+    fallback — the guard then always compares against the latest round
+    without a manual refresh. (Driver round names are zero-padded, so
+    lexicographic sort orders rounds correctly.)"""
     import glob
 
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "BENCH_r*.json")),
                        reverse=True):
         try:
             with open(path) as f:
-                parsed = json.load(f).get("parsed")
-            if parsed and parsed.get("queries"):
-                return parsed["queries"]
+                artifact = json.load(f)
+            qs = _valid_payload(
+                artifact.get("parsed") if isinstance(artifact, dict) else None,
+                sf_val,
+            )
+            if qs:
+                return qs
         except (OSError, json.JSONDecodeError):
             continue
     try:
         with open(BASELINE_FILE) as f:
-            return json.load(f)["queries"]
-    except (OSError, KeyError, json.JSONDecodeError):
+            return _valid_payload(json.load(f), sf_val)
+    except (OSError, json.JSONDecodeError):
         return None
 REGRESSION_RATIO = 1.5
 REGRESSION_ABS_SEC = 0.5
@@ -82,13 +103,13 @@ JUSTIFIED_REGRESSIONS: dict[str, str] = {
 }
 
 
-def report_regressions(timings: dict[str, float]) -> None:
+def report_regressions(timings: dict[str, float], sf_val) -> None:
     """Print the baseline-vs-now regression table to stderr (stdout is
     reserved for the single JSON artifact line)."""
-    base = _baseline_queries()
+    base = _baseline_queries(sf_val)
     if base is None:
-        print("bench baseline unavailable; skipping regression check",
-              file=sys.stderr)
+        print("bench baseline unavailable for this sf; skipping "
+              "regression check", file=sys.stderr)
         return
     rows = []
     for name, now in timings.items():
@@ -200,7 +221,13 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     line = encode_line(timings, sf_val)
-    report_regressions(timings)
+    # The regression table is diagnostics; NOTHING may stand between a
+    # finished suite run and the artifact line — a malformed baseline
+    # file must not cost the run (the driver only records stdout).
+    try:
+        report_regressions(timings, sf_val)
+    except Exception as e:  # noqa: BLE001 - diagnostics must not kill the run
+        print(f"regression check failed: {e!r}", file=sys.stderr)
     # stop Spark BEFORE printing: the JSON line must be the absolute
     # last stdout so the driver's 2000-char tail window contains it
     spark.stop()

@@ -204,7 +204,8 @@ CHUNK_WINDOW = 64  # tokens per chunk
 CHUNK_STRIDE = 48  # window step (overlap = WINDOW - STRIDE)
 
 _CHUNK_ORACLE = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
 s AS (
   SELECT doc_id, w,
          unnest(range(0, greatest(len(w) - 1, 0) + 1, {CHUNK_STRIDE})) AS st
@@ -231,7 +232,14 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the start offset (start/stride) — no window function needed.
     Complements ``sequence_packing``: chunking splits over-long docs,
     packing fills under-full sequences."""
-    docs = catalog.cpu_table(spark, sf_dir, "documents")
+    # NULL text is filtered on BOTH sides: un-filtered, Spark's
+    # concat_ws over a null array yields md5('') where DuckDB's
+    # array_to_string yields NULL — a latent cross-engine divergence
+    # (no current testdata generation has null text, but a future one
+    # might)
+    docs = catalog.cpu_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     w = F.split(F.col("text"), " ")
     d = docs.select("doc_id", w.alias("w")).withColumn(
         "st",
