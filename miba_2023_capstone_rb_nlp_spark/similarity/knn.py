@@ -32,6 +32,35 @@ from miba_2023_capstone_rb_nlp_spark.functions.blas import (
     to_matrix,
 )
 
+# The query side of every kNN variant is collected to the driver and
+# shipped inside the UDF closure — i.e. it is the broadcast side of the
+# join. This bound makes that contract EXECUTABLE instead of advisory:
+# a mis-sized query set fails fast with a clear error instead of
+# OOM-ing the driver at 100× scale. ~10⁵ rows × (id + dim floats) is
+# comfortably inside a broadcast-table budget; override per call when
+# the deployment's driver memory justifies it.
+DEFAULT_MAX_QUERY_ROWS = 100_000
+
+
+def _collect_queries(
+    queries: DataFrame, cols: list, max_query_rows: int | None, caller: str
+) -> pd.DataFrame:
+    """Driver boundary for the query side, guarded. ``limit(bound+1)``
+    keeps the check inside the SAME job as the collect (no extra scan):
+    one overflow row is enough to prove the contract violation."""
+    if max_query_rows is None:
+        return queries.select(*cols).toPandas()
+    qpd = queries.select(*cols).limit(max_query_rows + 1).toPandas()
+    if len(qpd) > max_query_rows:
+        raise ValueError(
+            f"{caller}: query side exceeds max_query_rows="
+            f"{max_query_rows}; it is collected to the driver and "
+            "broadcast to every corpus partition. Swap the roles "
+            "(corpus stays distributed), pre-filter the queries, or "
+            "raise max_query_rows explicitly if driver memory allows."
+        )
+    return qpd
+
 
 def _topk_frame(
     qids: np.ndarray,
@@ -74,17 +103,22 @@ def knn_bruteforce(
     dim: int,
     k: int = 10,
     scale: int = 6,
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """→ [query_id, neighbor_id, cos, rk ≤ k] (self excluded).
 
     Deterministic: quantized cosine, ties broken by neighbor id.
-    The query set is collected to the driver (bounded by contract —
-    it is the broadcast side) and shipped inside the mapInPandas
-    closure; per-batch partial top-k bounds the shuffle.
+    The query set is collected to the driver (bounded by the
+    ``max_query_rows`` guard — it is the broadcast side) and shipped
+    inside the mapInPandas closure; per-batch partial top-k bounds the
+    shuffle.
     """
-    qpd = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).toPandas()
+    qpd = _collect_queries(
+        queries,
+        [F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")],
+        max_query_rows,
+        "knn_bruteforce",
+    )
     qids = qpd["qid"].to_numpy()
     qmat = to_matrix(qpd["qv"], dim)
 
@@ -118,6 +152,7 @@ def knn_ivf_cells(
     dim: int,
     k: int = 10,
     scale: int = 6,
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """IVF-style: only score candidates in the query's cell.
 
@@ -125,11 +160,16 @@ def knn_ivf_cells(
     (partition pruning at scale), then each cell ranks its own
     queries' candidates in one applyInPandas pass.
     """
-    qpd = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        F.col(cell_col).alias("cell"),
-    ).toPandas()
+    qpd = _collect_queries(
+        queries,
+        [
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.col(cell_col).alias("cell"),
+        ],
+        max_query_rows,
+        "knn_ivf_cells",
+    )
     by_cell: dict = {}
     for cell, grp in qpd.groupby("cell"):
         by_cell[int(cell)] = (grp["qid"].to_numpy(), to_matrix(grp["qv"], dim))
@@ -168,6 +208,7 @@ def knn_ivf_multiprobe(
     k: int = 10,
     nprobe: int = 2,
     scale: int = 6,
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """IVF with multi-probe: rank cells by query→centroid cosine and
     scan the top ``nprobe`` cells per query — the standard recall
@@ -181,7 +222,8 @@ def knn_ivf_multiprobe(
     probing reads ~nprobe/n_cells of the data (partition pruning);
     here the same effect is the isin() pushdown filter.
 
-    Contract (same bound as knn_bruteforce): ``queries`` is the SMALL,
+    Contract (same bound as knn_bruteforce, enforced by the
+    ``max_query_rows`` guard): ``queries`` is the SMALL,
     driver-collectable side — it is toPandas'd and shipped inside the
     mapInPandas closure. Size the query set like a broadcast table
     (≲10⁵ rows); the corpus side never leaves the executors.
@@ -192,9 +234,12 @@ def knn_ivf_multiprobe(
     cells = cpd[cell_col].to_numpy()
     cmat = np.stack([np.asarray(v, dtype=np.float64) for v in cpd["centroid"]])
 
-    qpd = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).toPandas()
+    qpd = _collect_queries(
+        queries,
+        [F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")],
+        max_query_rows,
+        "knn_ivf_multiprobe",
+    )
     qids = qpd["qid"].to_numpy()
     qmat = to_matrix(qpd["qv"], dim)
 
