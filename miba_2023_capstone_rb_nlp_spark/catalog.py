@@ -29,7 +29,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Parquet scan → Catalyst gets free column pruning
-    and predicate pushdown; never collect here."""
+    and predicate pushdown; never collect here.
+
+    SIDE EFFECT (intentional, session-global): sets
+    ``spark.sql.session.timeZone=UTC`` (plus nanosAsLong + Arrow) on
+    the passed session. Timestamp semantics of the whole engine are
+    defined against UTC — the oracle compares naive timestamps — so a
+    caller embedding this catalog in a session that deliberately runs
+    another timezone must isolate it in its own SparkSession. The cast
+    correctness depends on the conf at ACTION time (plans are lazy),
+    which is why it is set eagerly here and again in
+    ``normalize_event_ts`` rather than saved/restored around the read.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # defensive conf for EXTERNAL sessions (the driver calls entry()/
@@ -54,7 +65,12 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     as DuckDB's ns→us cast), TIMESTAMP(MICROS) parquet arrives as
     timestamp_ntz (→ wall-clock-identity cast, which requires the UTC
     session timezone set below — set here, not just in table(), so a
-    direct caller can't get host-TZ-dependent results)."""
+    direct caller can't get host-TZ-dependent results).
+
+    Shares table()'s session-global UTC side effect (see its
+    docstring): the conf must hold at action time for the ntz cast to
+    be wall-clock-identical, so it cannot be saved/restored around
+    this lazy transformation."""
     from pyspark.sql import functions as F
 
     df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")

@@ -12,7 +12,11 @@ column expression (whole-stage codegen, no Python) over the input.
 MLlib's RowMatrix path schedules several jobs (tree-aggregated
 covariance + gram) and a row-at-a-time transform; this is one job +
 codegen, and the moments output is ~d² doubles per partition
-regardless of data size, so it holds at 100 TB unchanged.
+regardless of data size, so it holds at 100 TB unchanged. Dimension
+bounds: the moment pass carries d² doubles per partition (see
+``_moment_pass``), and the expression-tree projection is used only
+while d×k ≤ ``MAX_CODEGEN_DIM_TERMS`` — wider embeddings project via
+an Arrow-batched pandas UDF with identical accumulation order.
 
 Output column named ``reduced_dimensions`` — normalizing the
 reference's misleading ``*_word_embeddings`` suffix reuse
@@ -26,8 +30,19 @@ partitionings.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Codegen ceiling for the expanded projection expression: each output
+# component is a d-term multiply-add chain, so the expression tree has
+# d×k leaf pairs. Past a few hundred dims the generated method risks
+# the JVM's 64 KB bytecode-per-method limit and Spark silently falls
+# back out of whole-stage codegen (SURVEY notes the same hazard for
+# the 64-dim blas expressions). Above this bound the projection runs
+# as ONE Arrow-batched pandas UDF instead — same accumulation order
+# (left-assoc over dims), so results are bit-identical across paths.
+MAX_CODEGEN_DIM_TERMS = 2048  # d × k budget for the expression path
 
 
 def _moment_pass(fit_df: DataFrame, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
@@ -103,6 +118,10 @@ def pca_reduce(
     """Distributed PCA → array<double> coords (see module docstring
     for the one-pass design).
 
+    Bad-input contract: NULL vectors are excluded from the fit, and
+    the transform emits NULL (whole array) for NULL or wrong-length
+    vectors — never a silent array-of-nulls row.
+
     ``fit_df``: optional frame to fit the model on instead of ``df``
     — pass a persisted upstream base with the same rows (1:1 lineage)
     so the fit action scans the cache rather than recomputing every
@@ -113,6 +132,8 @@ def pca_reduce(
                              vec_col, n_components)
     d, k = w.shape
     v = F.col(vec_col).cast("array<double>")
+    if d * k > MAX_CODEGEN_DIM_TERMS:
+        return _project_pandas(df, vec_col, out_col, mean, w)
     coords = F.array(
         *[
             sum(
@@ -122,7 +143,50 @@ def pca_reduce(
             for j in range(k)
         ]
     )
-    return df.withColumn(out_col, coords)
+    # Null semantics (explicit, both paths): a NULL or wrong-length
+    # vector yields a NULL output array — never a silent array of
+    # nulls (the fit already excludes NULL vectors; the old behavior
+    # produced garbage rows where MLlib failed loudly). Interior NULL
+    # elements still propagate per-component, as in any SQL sum.
+    return df.withColumn(
+        out_col,
+        F.when(v.isNotNull() & (F.size(v) == F.lit(d)), coords),
+    )
+
+
+def _project_pandas(
+    df: DataFrame, vec_col: str, out_col: str, mean: np.ndarray, w: np.ndarray
+) -> DataFrame:
+    """Arrow-batched projection for wide embeddings (d×k above the
+    codegen budget). Accumulates component sums dim-by-dim in the same
+    left-assoc order as the expression path, so the two paths are
+    bit-identical; NULL/wrong-length vectors yield NULL (same contract
+    as the expression path)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    d, k = w.shape
+    mean_l, w_l = mean.tolist(), w.tolist()  # ship plain lists, not np
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def proj(s: pd.Series) -> pd.Series:
+        m = np.asarray(mean_l)
+        ww = np.asarray(w_l)
+        valid = np.array(
+            [vec is not None and len(vec) == d for vec in s], dtype=bool
+        )
+        out = [None] * len(s)
+        if valid.any():
+            x = np.stack(
+                [np.asarray(vec, dtype=np.float64) for vec in s[valid]]
+            )
+            acc = np.zeros((x.shape[0], k))
+            for i in range(d):  # left-assoc over dims == codegen order
+                acc = acc + (x[:, i] - m[i])[:, None] * ww[i]
+            for pos, row in zip(np.nonzero(valid)[0], acc):
+                out[pos] = row.tolist()
+        return pd.Series(out)
+
+    return df.withColumn(out_col, proj(F.col(vec_col).cast("array<double>")))
 
 
 def umap_reduce(

@@ -264,6 +264,53 @@ def test_pca_reduce_math_properties(spark):
     assert np.allclose(coords, ref, atol=1e-8)
 
 
+def test_pca_reduce_null_and_shortvec_semantics(spark):
+    """ADVICE r4: NULL / wrong-length vectors must yield a NULL output
+    array (explicit contract), not a silent array of per-element
+    nulls; valid rows are unaffected by the presence of bad rows in
+    the transform input."""
+    from miba_2023_capstone_rb_nlp_spark.ml.reduce import pca_reduce
+
+    good = [(i, [float(i), 1.0, -1.0]) for i in range(6)]
+    bad = [(100, None), (101, [1.0])]  # null + wrong length
+    df = spark.createDataFrame(good + bad, "id bigint, v array<double>")
+    fit = spark.createDataFrame(good, "id bigint, v array<double>")
+    out = {r["id"]: r["reduced_dimensions"]
+           for r in pca_reduce(df, "v", 2, fit_df=fit).collect()}
+    assert out[100] is None and out[101] is None
+    for i in range(6):
+        assert out[i] is not None and len(out[i]) == 2
+        assert all(x is not None for x in out[i])
+
+
+def test_pca_pandas_fallback_matches_codegen_path(spark, monkeypatch):
+    """Wide-embedding projection (d×k over the codegen budget) must be
+    bit-identical to the expression path — same left-assoc
+    accumulation order — and carry the same NULL contract."""
+    import miba_2023_capstone_rb_nlp_spark.ml.reduce as reduce_mod
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 16)
+    rows = [(i, row.tolist()) for i, row in enumerate(base)]
+    rows += [(100, None), (101, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>").repartition(3)
+    fit = spark.createDataFrame(rows[:60], "id bigint, v array<double>")
+
+    via_expr = {r["id"]: r["reduced_dimensions"]
+                for r in reduce_mod.pca_reduce(df, "v", 3, fit_df=fit).collect()}
+    monkeypatch.setattr(reduce_mod, "MAX_CODEGEN_DIM_TERMS", 1)
+    via_pandas = {r["id"]: r["reduced_dimensions"]
+                  for r in reduce_mod.pca_reduce(df, "v", 3, fit_df=fit).collect()}
+    assert via_pandas[100] is None and via_pandas[101] is None
+    assert set(via_expr) == set(via_pandas)
+    for i in range(60):
+        assert via_expr[i] == via_pandas[i]  # bit-identical, not approx
+
+    plan = reduce_mod.pca_reduce(df, "v", 3, fit_df=fit)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # fallback really is the Arrow UDF
+
+
 def test_choose_k_silhouette_sweep(spark):
     """The model-selection sweep returns the k_min floor on clearly
     3-clustered data (best silhouette k=3 < k_min=5 floors to 5 per
