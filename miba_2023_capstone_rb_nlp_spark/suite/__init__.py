@@ -45,6 +45,15 @@ def register(name: str, oracle: str | None = None):
 # (frames ⊂ order_window_enrich's window machinery, sliding ⊂
 # tumbling, salted_agg ⊂ salted_join's invariance proof, HLL++ is
 # rows-only anyway).
+#
+# STANDING ROTATION POLICY (VERDICT r4 #1): each round, 2-4 long-
+# stable in-window entries (≥2 rounds of driver-green evidence, with
+# an in-window machinery sibling) rotate OUT to make room for entries
+# that have never had driver evidence, so every oracle-backed entry
+# re-earns a driver-green CORRECTNESS row within a few rounds.
+# tests/test_suite_registry.py enforces the precondition: an entry may
+# only be rotation-demoted if CORRECTNESS_r*.json artifacts show it
+# hash-green in ≥2 prior rounds.
 _DEPRIORITIZED = (
     "events_tumbling_hourly",  # same oracle re-proven by _streaming twin
     "knn_ivf_cells",  # strictly generalized by knn_ivf_multiprobe
@@ -72,15 +81,17 @@ _DEPRIORITIZED = (
     "video_frame_sample",
     "temperature_resample",  # keyed-md5 rate filter ⊂ stratified_sample_docs
     "hash_split_profile",  # md5 bucketing ⊂ stratified_sample_docs
-    # streaming state ⊂ events_stateful_running; dedup ⊂ exact_dedup
-    "events_stream_dedup",
     # rank-window top-n ⊂ pairwise_medoids / order_window_enrich
     "top_orders_per_customer",
-    # -- round-4 additions: registered at the tail because the checked
-    # -- window is exactly full of §2-core entries; both are pinned by
-    # -- local parity tests and the bench
-    "doc_chunk_windows",  # map-only explode ⊂ explode_paragraphs shape
-    "url_canonical_dedup",  # canonical-key hash agg ⊂ exact_dedup shape
+    # -- round-5 rotation: these four are r4-green with ≥3 rounds of
+    # -- driver history each; demoted one round so the never-checked
+    # -- r4 additions (doc_chunk_windows, url_canonical_dedup), the
+    # -- §2.10 north-star events_stream_dedup (last evidence r2), and
+    # -- the new wizard_chain_stages get driver-green rows
+    "simhash_pairs",  # banded self-join ⊂ minhash_lsh/hyperplane_lsh
+    "winnowing_fingerprints",  # map-only rolling scan ⊂ gopher_repetition
+    "lemma_term_counts",  # text map+agg ⊂ sentence_stats/bpe_token_stats
+    "doc_stats_quality",  # map-only text kernel ⊂ lang_id/gopher flags
 )
 
 # Entries promoted to the registry head (after the flagship): the

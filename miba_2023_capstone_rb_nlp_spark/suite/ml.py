@@ -217,6 +217,85 @@ def q_pairwise_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- wizard chain, SQL-expressible stages (VERDICT r4 #6) -----------
+def _wizard_stages_oracle() -> str:
+    """Oracle for the chain's label-invariant stages: the full ETL
+    cleaning oracle feeds the wizard's content-hash row id, the
+    per-paragraph hash embedding, and the sentiment stand-in — i.e.
+    every stage of the flagship chain EXCEPT the KMeans-dependent
+    ones, composed exactly as WordWizard composes them."""
+    from miba_2023_capstone_rb_nlp_spark.suite.cleaning import _build_oracle
+
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN hv % {DIM} = {d} THEN sgn ELSE 0 END) AS s{d}"
+        for d in range(DIM)
+    )
+    norm = " + ".join(f"CAST(s{d} AS DOUBLE) * s{d}" for d in range(DIM))
+    elems = ",\n       ".join(
+        f"CASE WHEN _n > 0 THEN floor((s{d} / _n) * 1000000.0) / 1000000.0 "
+        f"ELSE 0.0 END AS e{d}"
+        for d in range(DIM)
+    )
+    return f"""
+WITH clean AS (
+  SELECT * FROM ({_build_oracle()}) q
+),
+base AS (
+  SELECT CAST(('0x' || substr(md5(CAST(article_index AS VARCHAR)
+                                  || chr(31) || paragraph), 1, 15)) AS BIGINT)
+           AS row_id,
+         article_index, paragraph
+  FROM clean
+),
+tok AS (SELECT row_id, unnest(string_split(paragraph, ' ')) AS t FROM base),
+h AS (
+  SELECT row_id, hv,
+         CASE WHEN (hv >> 10) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT row_id,
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+        FROM tok)
+),
+s AS (SELECT row_id, {sums} FROM h GROUP BY row_id),
+n AS (SELECT *, sqrt({norm}) AS _n FROM s),
+emb AS (SELECT row_id, {elems} FROM n)
+SELECT b.row_id, b.article_index, b.paragraph,
+       CAST(CAST(('0x' || substr(md5(b.paragraph), 1, 15)) AS BIGINT) % 3
+            AS DOUBLE) AS sentiment,
+       {", ".join(f"e.e{d}" for d in range(DIM))}
+FROM base b JOIN emb e USING (row_id)
+"""
+
+
+@register("wizard_chain_stages", oracle=_wizard_stages_oracle())
+def q_wizard_chain_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable slice of the flagship chain: ETL clean →
+    WordWizard(paragraph) row-id → create_sentence_embeddings →
+    find_sentiment, THROUGH the real wizard machinery (same
+    constructor, same persisted embedding base, same lean stages the
+    full chain uses). Only the KMeans-dependent stages (clusters,
+    medoids, topics, reduction) are excluded — those stay rows-only in
+    ``wizard_full_chain``; this entry turns the chain's composition
+    itself into oracle-checked evidence."""
+    from miba_2023_capstone_rb_nlp_spark.suite.cleaning import (
+        q_etl_clean_articles,
+    )
+    from miba_2023_capstone_rb_nlp_spark.wizard import WordWizard
+
+    clean = q_etl_clean_articles(spark, sf_dir)
+    wiz = WordWizard(clean, interest="paragraph").create_sentence_embeddings()
+    wiz = wiz.find_sentiment()
+    return wiz.df.select(
+        F.col("_row_id").alias("row_id"),
+        "article_index",
+        "paragraph",
+        F.col("paragraph_sentiment").alias("sentiment"),
+        *[
+            F.element_at("paragraph_sentence_embeddings", d + 1).alias(f"e{d}")
+            for d in range(DIM)
+        ],
+    )
+
+
 # --- full WordWizard chain (flagship fluent API, MVP.ipynb cell-8) --
 @register("wizard_full_chain", oracle=None)
 def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,7 @@ EXPECTED = {
     # flagship + wizard chain + ml
     "cluster_viz_summary",
     "wizard_full_chain",
+    "wizard_chain_stages",
     "pairwise_medoids",
     "kmeans_clusters",
     "pca_coords",
@@ -118,7 +119,19 @@ def test_priority_ordering():
 # to silent eviction (VERDICT r2 "What's wrong" #2). Entries NOT here
 # are engine-addition twins whose machinery an in-window sibling
 # re-proves (see _DEPRIORITIZED comments).
+#
+# ROTATION (VERDICT r4 #1): core entries may be temporarily demoted —
+# listed in ROTATED_OUT below — to let never-driver-checked entries
+# earn evidence. test_rotated_out_entries_have_driver_evidence makes
+# the precondition executable: only entries hash-green in ≥2 prior
+# CORRECTNESS_r*.json rounds may rotate out.
 DRIVER_WINDOW = 50
+ROTATED_OUT = {
+    "simhash_pairs",
+    "winnowing_fingerprints",
+    "lemma_term_counts",
+    "doc_stats_quality",
+}
 CORE_ENTRIES = {
     "cluster_viz_summary",
     "wizard_full_chain",
@@ -175,12 +188,65 @@ CORE_ENTRIES = {
 
 def test_core_entries_inside_driver_window():
     head = set(list(load_suite())[:DRIVER_WINDOW])
-    missing = CORE_ENTRIES - head
+    missing = (CORE_ENTRIES - ROTATED_OUT) - head
     assert not missing, (
         f"§2-core entries evicted from the driver's {DRIVER_WINDOW}-row "
         f"checked window: {sorted(missing)} — adding a new entry requires "
         "demoting a twin via _DEPRIORITIZED"
     )
+    # the round-5 promotions must actually be in the window
+    promoted = {
+        "doc_chunk_windows",
+        "url_canonical_dedup",
+        "events_stream_dedup",
+        "wizard_chain_stages",
+    }
+    assert promoted <= head, sorted(promoted - head)
+
+
+def _driver_green_rounds(name: str) -> int:
+    """How many CORRECTNESS_r*.json artifacts show this entry fully
+    hash-green."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n = 0
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        e = rows.get(name)
+        if e and e.get("hash_match") and e.get("rows_match") and e.get("schema_match"):
+            n += 1
+    return n
+
+
+def test_rotated_out_entries_have_driver_evidence():
+    """The rotation policy's precondition, executable: an entry may
+    only be rotation-demoted from the checked window if the committed
+    driver artifacts show it hash-green in at least 2 prior rounds."""
+    for name in sorted(ROTATED_OUT):
+        assert _driver_green_rounds(name) >= 2, (
+            f"{name} rotated out with <2 rounds of driver-green "
+            "evidence — it must stay in the checked window"
+        )
+
+
+def test_rows_only_entries_pinned():
+    """Exactly these entries lack a DuckDB oracle (VERDICT r4 #8) —
+    a future entry cannot silently ship oracle-less."""
+    suite = load_suite()
+    no_oracle = {name for name, q in suite.items() if q.oracle is None}
+    assert no_oracle == {
+        "wizard_full_chain",  # crosses MLlib KMeans (labels not SQL)
+        "kmeans_clusters",  # MLlib fit — deterministic but not SQL
+        "pca_coords",  # eigendecomposition not SQL-expressible
+        "approx_distinct_parts",  # HLL++ sketch estimate, engine-specific
+    }
 
 
 def test_broken_suite_module_raises(monkeypatch):
