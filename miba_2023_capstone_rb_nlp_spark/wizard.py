@@ -111,8 +111,11 @@ class WordWizard:
         return self.cluster_col + MEDOID_SUFFIX
 
     # -- chain stages -------------------------------------------------
-    def create_sentence_embeddings(self, lean: bool = True, dim: int = 8) -> "WordWizard":
-        """M2. lean → deterministic hash embedding; full → MiniLM.
+    def create_sentence_embeddings(self, lean: bool = True, dim: int = 8,
+                                   model_loader=None) -> "WordWizard":
+        """M2. lean → deterministic hash embedding; full → MiniLM
+        (``model_loader`` overrides the gated sentence-transformers
+        loader — tests inject fakes through the identical plumbing).
 
         The result is persisted: the embedding column feeds the KMeans
         fit (an action) AND every downstream branch (clusters, NER,
@@ -127,7 +130,8 @@ class WordWizard:
             )
         else:
             self.df = transformer_embeddings(
-                self.df, self.interest, out_col=self.embed_col
+                self.df, self.interest, out_col=self.embed_col,
+                model_loader=model_loader,
             )
         self.df = self.df.persist()
         return self
@@ -171,7 +175,7 @@ class WordWizard:
         self._fit_base = fit_base
         return self
 
-    def find_sentiment(self, lean: bool = True) -> "WordWizard":
+    def find_sentiment(self, lean: bool = True, model_loader=None) -> "WordWizard":
         """M7. The J4 distinct→infer→join rewrite wraps the REAL model
         path (lean=False): it pays a distinct + join shuffle to avoid
         re-running transformer inference on duplicate texts — the right
@@ -183,18 +187,21 @@ class WordWizard:
         if lean:
             self.df = sentiment_stub(self.df, self.interest, out_col=out)
         else:
-            infer = lambda d: sentiment_transformer(d, self.interest, out_col=out)  # noqa: E731
+            infer = lambda d: sentiment_transformer(  # noqa: E731
+                d, self.interest, out_col=out, model_loader=model_loader
+            )
             self.df = apply_on_distinct(self.df, self.interest, infer, [out])
         return self
 
-    def summarize_medoids(self, lean: bool = True) -> "WordWizard":
+    def summarize_medoids(self, lean: bool = True, model_loader=None) -> "WordWizard":
         """M6: summaries only on medoid rows."""
         self._require(self.medoid_col, "cluster_embeddings()")
         out = self.medoid_col + SUMMARY_SUFFIX
+        kw = {} if lean else {"model_loader": model_loader}
         fn = summarize_medoids_stub if lean else summarize_medoids_transformer
         self.df = fn(
             self.df, self.interest, self.id_col,
-            medoid_col=self.medoid_col, out_col=out,
+            medoid_col=self.medoid_col, out_col=out, **kw,
         )
         return self
 

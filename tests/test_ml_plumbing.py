@@ -311,6 +311,162 @@ def test_pca_pandas_fallback_matches_codegen_path(spark, monkeypatch):
     assert "ArrowEvalPython" in plan  # fallback really is the Arrow UDF
 
 
+def test_model_loader_called_once_per_partition_across_batches(spark, tmp_path):
+    """The iterator-UDF contract the gated paths rely on: the model
+    loads ONCE per mapInPandas task (per executor in practice) and is
+    reused across every Arrow batch — the reference re-ran per row
+    (word_wizard.py:191). Marker files count loader vs batch calls on
+    the shared local FS."""
+    marker_dir = str(tmp_path)
+
+    def loader(name):
+        import pathlib
+        import uuid
+
+        pathlib.Path(marker_dir, f"load-{uuid.uuid4().hex}").touch()
+
+        class M:
+            def encode(self, texts, batch_size=64, convert_to_numpy=True):
+                pathlib.Path(marker_dir, f"batch-{uuid.uuid4().hex}").touch()
+                return np.array([[float(len(t))] for t in texts], dtype=np.float32)
+
+        return M()
+
+    rows = [(i, f"some text number {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, text string").repartition(2)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        assert transformer_embeddings(df, "text", model_loader=loader).count() == 40
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    loads = len(list(tmp_path.glob("load-*")))
+    batches = len(list(tmp_path.glob("batch-*")))
+    assert loads == 2, f"model loaded {loads}x for 2 partitions"
+    assert batches >= 4 and batches > loads  # many batches rode one load
+
+
+def test_apply_on_distinct_infers_each_distinct_text_once(spark, tmp_path):
+    """J4 fan-out through the REAL model plumbing: inference runs once
+    per DISTINCT text (not per row), and the joined-back frame equals
+    the stand-in exactly (the fake classifier replicates the stub's
+    md5%3 math)."""
+    import hashlib
+
+    from miba_2023_capstone_rb_nlp_spark.ml.inference import (
+        apply_on_distinct,
+        sentiment_stub,
+    )
+
+    marker_dir = str(tmp_path)
+
+    def loader(name):
+        def classify(texts):
+            import pathlib
+            import uuid
+
+            for _ in texts:
+                pathlib.Path(marker_dir, f"scored-{uuid.uuid4().hex}").touch()
+            return [
+                float(int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 3)
+                for t in texts
+            ]
+
+        return classify
+
+    rows = [(i, f"repeated text {i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "id bigint, text string").repartition(4)
+    out = apply_on_distinct(
+        df,
+        "text",
+        lambda d: sentiment_transformer(d, "text", model_loader=loader),
+        ["sentiment"],
+    )
+    via_model = sorted((r["id"], r["sentiment"]) for r in out.collect())
+    via_stub = sorted(
+        (r["id"], r["sentiment"]) for r in sentiment_stub(df, "text").collect()
+    )
+    assert via_model == via_stub  # exact, incl. every duplicate row
+    scored = len(list(tmp_path.glob("scored-*")))
+    assert scored == 3, f"inference ran {scored}x for 3 distinct texts"
+
+
+def test_wizard_chain_model_path_equals_stub_path(spark):
+    """Full-chain equivalence (VERDICT r4 #4): run the wizard chain
+    with lean stand-ins vs with the GATED model paths fed fake loaders
+    that replicate the stand-ins' math — identical viz_summary frames.
+    This executes the gated halves (distinct→infer→join sentiment,
+    medoid-only summarization, model-extractor NER) end-to-end inside
+    the real chain."""
+    import hashlib
+    import re
+
+    from miba_2023_capstone_rb_nlp_spark.operators.ner import ORG_PATTERN
+    from miba_2023_capstone_rb_nlp_spark.wizard import WordWizard
+
+    lex = ["spark", "customer", "stream", "window", "vector", "quiet"]
+    rows = []
+    for a in range(8):
+        for p in range(3):
+            words = [lex[(a + p + j) % len(lex)] for j in range(6)]
+            rows.append(
+                (
+                    a,
+                    f"title {lex[a % len(lex)]} item {a}",
+                    f"description {lex[(a + 1) % len(lex)]} body {a}",
+                    f"paragraph {a} {p} " + " ".join(words),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "article_index bigint, title string, description string, paragraph string"
+    ).repartition(3)
+
+    pat = ORG_PATTERN  # ship the pattern by value into the fakes
+
+    def ner_loader(name):
+        return lambda texts: [re.findall(pat, t) for t in texts]
+
+    def bart_loader(name):
+        return lambda texts, truncation=True: [
+            {"summary_text": " ".join(t.split(" ")[:12])} for t in texts
+        ]
+
+    def sent_loader(name):
+        return lambda texts: [
+            float(int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 3)
+            for t in texts
+        ]
+
+    def run(model_path: bool):
+        wiz = WordWizard(df, interest="paragraph").create_sentence_embeddings()
+        wiz = wiz.cluster_embeddings(k=3)
+        if model_path:
+            wiz = (
+                wiz.entitiy_recognition(lean=False, model_loader=ner_loader)
+                .summarize_medoids(lean=False, model_loader=bart_loader)
+                .find_sentiment(lean=False, model_loader=sent_loader)
+            )
+        else:
+            wiz = wiz.entitiy_recognition().summarize_medoids().find_sentiment()
+        wiz = wiz.topic_modelling().reduce_demensionality()
+        out = wiz.viz_summary()
+        return sorted(
+            map(
+                tuple,
+                out.select(
+                    "cluster", "size", "x", "y", "sentiment",
+                    F.to_json("entities").alias("entities"),
+                    F.to_json("topics").alias("topics"),
+                    "paragraph",
+                ).collect(),
+            )
+        )
+
+    via_stub = run(False)
+    via_model = run(True)
+    assert via_stub == via_model
+    assert via_stub  # non-vacuous
+
+
 def test_choose_k_silhouette_sweep(spark):
     """The model-selection sweep returns the k_min floor on clearly
     3-clustered data (best silhouette k=3 < k_min=5 floors to 5 per
