@@ -22,7 +22,9 @@ Output column named ``reduced_dimensions`` — normalizing the
 reference's misleading ``*_word_embeddings`` suffix reuse
 (word_wizard.py:557, documented deviation). Deviation from MLlib
 transform semantics: coordinates are mean-centered before projection
-(MLlib projects raw vectors), and each component's sign is fixed so
+(MLlib projects raw vectors; here the centering is algebraically
+folded into per-component constant offsets so the projection is a
+pure dot-product expression), and each component's sign is fixed so
 its largest-magnitude loading is positive — deterministic across
 partitionings.
 """
@@ -131,15 +133,28 @@ def pca_reduce(
     mean, w = pca_components(fit_df if fit_df is not None else df,
                              vec_col, n_components)
     d, k = w.shape
-    v = F.col(vec_col).cast("array<double>")
+    # Mean-centering folded into per-component constants:
+    #   Σᵢ (vᵢ−mᵢ)·wᵢⱼ ≡ Σᵢ vᵢ·wᵢⱼ − Σᵢ mᵢ·wᵢⱼ
+    # The offsets are computed ONCE here (left-assoc, the same order
+    # both execution paths accumulate in), halving the projection
+    # expression — plan compile time is the dominant cost of this
+    # query at bench scale, and every term removed is compile saved.
+    offsets = []
+    for j in range(k):
+        acc = 0.0
+        for i in range(d):
+            acc = acc + float(mean[i]) * float(w[i, j])
+        offsets.append(acc)
     if d * k > MAX_CODEGEN_DIM_TERMS:
-        return _project_pandas(df, vec_col, out_col, mean, w)
+        return _project_pandas(df, vec_col, out_col, w, offsets)
+    # cast the array ONCE into a temp column — inlining the cast into
+    # every v[i] reference would repeat it d×k times in the plan
+    tmp = "_pca_cast_tmp"
+    v = F.col(tmp)
     coords = F.array(
         *[
-            sum(
-                (v[i] - F.lit(float(mean[i]))) * F.lit(float(w[i, j]))
-                for i in range(d)
-            )
+            sum(v[i] * F.lit(float(w[i, j])) for i in range(d))
+            - F.lit(offsets[j])
             for j in range(k)
         ]
     )
@@ -148,29 +163,34 @@ def pca_reduce(
     # nulls (the fit already excludes NULL vectors; the old behavior
     # produced garbage rows where MLlib failed loudly). Interior NULL
     # elements still propagate per-component, as in any SQL sum.
-    return df.withColumn(
-        out_col,
-        F.when(v.isNotNull() & (F.size(v) == F.lit(d)), coords),
+    return (
+        df.withColumn(tmp, F.col(vec_col).cast("array<double>"))
+        .withColumn(
+            out_col,
+            F.when(v.isNotNull() & (F.size(v) == F.lit(d)), coords),
+        )
+        .drop(tmp)
     )
 
 
 def _project_pandas(
-    df: DataFrame, vec_col: str, out_col: str, mean: np.ndarray, w: np.ndarray
+    df: DataFrame, vec_col: str, out_col: str, w: np.ndarray, offsets: list
 ) -> DataFrame:
     """Arrow-batched projection for wide embeddings (d×k above the
     codegen budget). Accumulates component sums dim-by-dim in the same
-    left-assoc order as the expression path, so the two paths are
-    bit-identical; NULL/wrong-length vectors yield NULL (same contract
-    as the expression path)."""
+    left-assoc order as the expression path and subtracts the same
+    driver-computed mean offsets, so the two paths are bit-identical;
+    NULL/wrong-length vectors yield NULL (same contract as the
+    expression path)."""
     from pyspark.sql.types import ArrayType, DoubleType
 
     d, k = w.shape
-    mean_l, w_l = mean.tolist(), w.tolist()  # ship plain lists, not np
+    w_l, off_l = w.tolist(), list(offsets)  # ship plain lists, not np
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def proj(s: pd.Series) -> pd.Series:
-        m = np.asarray(mean_l)
         ww = np.asarray(w_l)
+        off = np.asarray(off_l)
         valid = np.array(
             [vec is not None and len(vec) == d for vec in s], dtype=bool
         )
@@ -181,7 +201,8 @@ def _project_pandas(
             )
             acc = np.zeros((x.shape[0], k))
             for i in range(d):  # left-assoc over dims == codegen order
-                acc = acc + (x[:, i] - m[i])[:, None] * ww[i]
+                acc = acc + x[:, i][:, None] * ww[i]
+            acc = acc - off
             for pos, row in zip(np.nonzero(valid)[0], acc):
                 out[pos] = row.tolist()
         return pd.Series(out)
