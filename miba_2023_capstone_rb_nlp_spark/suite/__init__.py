@@ -92,6 +92,17 @@ _DEPRIORITIZED = (
     "winnowing_fingerprints",  # map-only rolling scan ⊂ gopher_repetition
     "lemma_term_counts",  # text map+agg ⊂ sentence_stats/bpe_token_stats
     "doc_stats_quality",  # map-only text kernel ⊂ lang_id/gopher flags
+    # -- round-5 second wave: three more multiply-evidenced entries
+    # -- (4, 4 and 3 green rounds) demoted so the NEW span-dedup /
+    # -- rebuild / quality-representative operators earn driver rows
+    # -- in their first round instead of waiting in the tail
+    "ngram_jaccard_pairs",  # O(n²) precision oracle; minhash_lsh_pairs
+    # is the in-window scale path and dedup_canonical_corpus exercises
+    # the same shared-shingle machinery in-window
+    "knn_bruteforce",  # cosine kernel + partial top-k combiner ⊂
+    # knn_ivf_multiprobe (in-window)
+    "pii_redaction",  # map-only regex kernel ⊂ lang_id/sentence_stats/
+    # gopher_repetition_flags (all in-window)
 )
 
 # Entries promoted to the registry head (after the flagship): the

@@ -394,6 +394,99 @@ def q_dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_docs")
 
 
+# --- quality-argmax representative per near-dup group ----------------
+# Same component graph as dedup_canonical_corpus, but the kept doc is
+# the HIGHEST-QUALITY member, not the min-id one — the policy real
+# corpus pipelines use (keep the longest/cleanest copy). Quality =
+# distinct-token count: an INTEGER, so the cross-engine argmax cannot
+# be perturbed by float rounding; ties break to the larger doc_id in
+# both engines (struct-max in Spark, explicit ORDER BY in SQL).
+_QREP_ORACLE = f"""
+WITH RECURSIVE sh0 AS ({_SHINGLES}),
+sh AS (
+  SELECT doc, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hs FROM sh0
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS da, b.doc AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT da, db FROM inter
+  JOIN sizes na ON inter.da = na.doc JOIN sizes nb ON inter.db = nb.doc
+  WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.1
+),
+sym AS (
+  SELECT da AS s, db AS d FROM pairs
+  UNION ALL
+  SELECT db AS s, da AS d FROM pairs
+),
+cc(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT sym.d, cc.lbl FROM cc JOIN sym ON cc.id = sym.s
+),
+comp AS (SELECT id AS doc_id, min(lbl) AS component FROM cc GROUP BY id),
+qual AS (
+  SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n_unique
+  FROM documents
+),
+ranked AS (
+  SELECT comp.component, comp.doc_id, qual.n_unique,
+         count(*) OVER (PARTITION BY comp.component) AS n_docs,
+         row_number() OVER (
+           PARTITION BY comp.component
+           ORDER BY qual.n_unique DESC, comp.doc_id DESC) AS rk
+  FROM comp JOIN qual USING (doc_id)
+)
+SELECT component, doc_id AS rep_doc_id,
+       CAST(n_unique AS INT) AS rep_quality,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs - 1 AS BIGINT) AS dups_removed
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("quality_representative_dedup", oracle=_QREP_ORACLE)
+def q_quality_representative_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups keep their best member: jaccard pairs →
+    large-star/small-star CC → per-component argmax on distinct-token
+    count via a single struct-max aggregate (no window sort, no
+    per-component shuffle beyond the one groupBy). The oracle ranks
+    with row_number; integer quality keeps both argmaxes identical."""
+    from miba_2023_capstone_rb_nlp_spark.dedup.components import (
+        connected_components_star,
+    )
+    from miba_2023_capstone_rb_nlp_spark.dedup.jaccard import jaccard_pairs
+    from miba_2023_capstone_rb_nlp_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    edges = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    comp = connected_components_star(
+        docs.select("doc_id"), edges, id_col="doc_id", src="da", dst="db"
+    )
+    qual = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(tokens(F.col("text")))).alias("n_unique"),
+    )
+    return (
+        comp.join(qual, "doc_id", "inner")
+        .groupBy("component")
+        .agg(
+            F.max(F.struct("n_unique", "doc_id")).alias("_m"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "component",
+            F.col("_m.doc_id").alias("rep_doc_id"),
+            F.col("_m.n_unique").alias("rep_quality"),
+            "n_docs",
+            (F.col("n_docs") - 1).alias("dups_removed"),
+        )
+    )
+
+
 # --- end-to-end corpus prep: filter → decontam → dedup → sample ------
 _SAMPLE_PERMILLE = 500  # 50% deterministic hash sample
 

@@ -17,6 +17,7 @@ from miba_2023_capstone_rb_nlp_spark.dedup.minhash import (
     lsh_candidate_pairs,
 )
 from miba_2023_capstone_rb_nlp_spark.dedup.simhash import simhash_pairs
+from miba_2023_capstone_rb_nlp_spark.functions.numeric import sql_fixed
 from miba_2023_capstone_rb_nlp_spark.suite import register
 
 
@@ -228,4 +229,98 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("comp_size"))
     return comp.join(sizes, "component", "inner").select(
         "doc_id", "component", "comp_size"
+    )
+
+
+# --- exact-substring span dedup (Lee et al. 2022 shape) -------------
+_SPAN_W = 8
+_SPAN_ORACLE = f"""
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (
+  SELECT doc_id,
+         [array_to_string(t[i:i+{_SPAN_W - 1}], ' ')
+          for i in generate_series(1, len(t) - {_SPAN_W - 1})] AS spans
+  FROM p
+),
+e AS (SELECT doc_id, unnest(spans) AS span FROM w),
+d AS (SELECT span FROM e GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT e.doc_id, count(*) AS n_dup FROM e JOIN d USING (span)
+  GROUP BY e.doc_id
+),
+base AS (SELECT doc_id, len(spans) AS n_spans FROM w)
+SELECT base.doc_id, CAST(base.n_spans AS INT) AS n_spans,
+       CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       {sql_fixed(
+           "CAST(coalesce(per.n_dup, 0) AS DOUBLE)"
+           " / greatest(base.n_spans, 1)", 6)} AS dup_span_frac,
+       CAST(coalesce(per.n_dup, 0) AS DOUBLE)
+         / greatest(base.n_spans, 1) <= 0.5 AS keep
+FROM base LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("duplicate_span_flags", oracle=_SPAN_ORACLE)
+def q_duplicate_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup detection (Lee et al. 2022): per doc,
+    the fraction of stride-1 8-token windows whose text also occurs
+    verbatim in ANOTHER document; keep = frac ≤ 0.5. Hash-only
+    shuffles (dedup/spans.py docstring has the 100 TB notes)."""
+    from miba_2023_capstone_rb_nlp_spark.dedup.spans import (
+        duplicate_span_stats,
+    )
+
+    return duplicate_span_stats(
+        _docs(spark, sf_dir), "text", "doc_id", width=_SPAN_W
+    )
+
+
+# --- C4-style repeated-chunk removal + document reassembly ----------
+_CHUNK_C = 5
+_CHUNK_MIN = 3
+_LINE_DEDUP_ORACLE = f"""
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (
+  SELECT doc_id,
+         [array_to_string(t[(i-1)*{_CHUNK_C}+1:i*{_CHUNK_C}], ' ')
+          for i in generate_series(
+              1, CAST(ceil(len(t) / {_CHUNK_C}.0) AS BIGINT))] AS chunks
+  FROM p
+),
+e AS (
+  SELECT doc_id, unnest(chunks) AS chunk,
+         generate_subscripts(chunks, 1) AS pos
+  FROM w
+),
+f AS (SELECT chunk FROM e GROUP BY chunk HAVING count(*) >= {_CHUNK_MIN}),
+kept AS (SELECT e.* FROM e ANTI JOIN f USING (chunk)),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, len(chunks) AS n_chunks FROM w)
+SELECT base.doc_id, CAST(base.n_chunks AS INT) AS n_chunks,
+       CAST(base.n_chunks - coalesce(rebuilt.n_kept, 0) AS INT) AS n_removed,
+       coalesce(rebuilt.clean_text, '') AS clean_text
+FROM base LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
+@register("line_dedup_rebuild", oracle=_LINE_DEDUP_ORACLE)
+def q_line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style removal (Raffel et al. 2020 §2.2): delete every
+    5-token chunk occurring ≥3 times corpus-wide and REASSEMBLE each
+    doc from survivors in original order — the one text-carrying
+    shuffle is the groupBy(doc_id) rebuild, which IS the output."""
+    from miba_2023_capstone_rb_nlp_spark.dedup.spans import (
+        remove_repeated_chunks,
+    )
+
+    return remove_repeated_chunks(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        chunk_tokens=_CHUNK_C,
+        min_count=_CHUNK_MIN,
     )

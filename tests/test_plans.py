@@ -205,3 +205,37 @@ def test_range_join_is_equijoin_not_nested_loop(spark):
     plan = _executed_plan(SUITE["events_range_click_counts"].fn(spark, SF_TEST_DIR))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_duplicate_span_flags_hash_only_semi_join(spark):
+    """Span dedup detection: the frequency lookup is a LeftSemi on
+    the 8-byte hash (never span text), the counts are partial aggs,
+    and no sort-based argmax sneaks in."""
+    plan = _executed_plan(SUITE["duplicate_span_flags"].fn(spark, SF_TEST_DIR))
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan or "partial_" in plan
+    # text column is pruned out before any exchange: only the hash
+    # array explode carries data, so 'text' may appear solely in the
+    # scan/project stage, never in a shuffle's output attributes
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_dedup_rebuild_anti_join_and_order_restoring_agg(spark):
+    """C4-style rebuild: frequent-chunk removal is a LeftAnti on the
+    hash key; reassembly is ONE order-restoring aggregate (array_sort
+    over collect_list), not a global Sort + window."""
+    plan = _executed_plan(SUITE["line_dedup_rebuild"].fn(spark, SF_TEST_DIR))
+    assert "LeftAnti" in plan
+    assert "collect_list" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_representative_is_struct_max_not_window(spark):
+    """Per-component argmax is a single max(struct) aggregate — no
+    per-component window sort, no extra shuffle beyond CC + groupBy."""
+    plan = _executed_plan(
+        SUITE["quality_representative_dedup"].fn(spark, SF_TEST_DIR)
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -89,6 +89,9 @@ EXPECTED = {
     "minhash_lsh_pairs",
     "simhash_pairs",
     "neardup_components",
+    "duplicate_span_flags",
+    "line_dedup_rebuild",
+    "quality_representative_dedup",
     # similarity
     "knn_bruteforce",
     "knn_ivf_cells",
@@ -131,6 +134,10 @@ ROTATED_OUT = {
     "winnowing_fingerprints",
     "lemma_term_counts",
     "doc_stats_quality",
+    # second wave: demoted for the round-5 span-dedup additions
+    "ngram_jaccard_pairs",
+    "knn_bruteforce",
+    "pii_redaction",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -200,6 +207,11 @@ def test_core_entries_inside_driver_window():
         "url_canonical_dedup",
         "events_stream_dedup",
         "wizard_chain_stages",
+        # round-5 new operators — never driver-checked, must debut
+        # inside the window, not in the tail
+        "duplicate_span_flags",
+        "line_dedup_rebuild",
+        "quality_representative_dedup",
     }
     assert promoted <= head, sorted(promoted - head)
 
