@@ -103,6 +103,10 @@ _DEPRIORITIZED = (
     # knn_ivf_multiprobe (in-window)
     "pii_redaction",  # map-only regex kernel ⊂ lang_id/sentence_stats/
     # gopher_repetition_flags (all in-window)
+    "events_tumbling_streaming",  # 4 green rounds; identical oracle to
+    # events_tumbling_hourly, and the streaming source/sink/watermark
+    # machinery stays in-window via events_stream_dedup,
+    # events_stateful_running and the NEW events_stream_stream_join
 )
 
 # Entries promoted to the registry head (after the flagship): the

@@ -183,3 +183,60 @@ def q_events_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("sum_value", "n_events").alias("sum_value"),
     )
+
+
+_SSJ_TABLE = "events_stream_stream_join_result"
+
+_SSJ_ORACLE = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '2 hours'
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
+@register("events_stream_stream_join", oracle=_SSJ_ORACLE)
+def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/joins.py):
+    every view matched to the same user's clicks within the next 2
+    hours, run under the streaming engine as a
+    StreamingSymmetricHashJoin with watermark-bounded state on both
+    sides, append-mode output. AvailableNow drains the source, so the
+    emitted pairs equal the batch/oracle interval join exactly."""
+    from miba_2023_capstone_rb_nlp_spark.streaming.joins import interval_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(path).schema
+
+    def read(event_type):
+        s = normalize_event_ts(
+            spark.readStream.schema(raw_schema)
+            .parquet(os.path.join(sf_dir, "events.*"))
+        )
+        # two independent source scans (not one filtered twice): a
+        # streaming self-join must not share one source node
+        return s.filter(F.col("event_type") == event_type).select(
+            "event_id", "ts", "user_id"
+        )
+
+    joined = interval_join(
+        read("view"), read("click"), key="user_id",
+        max_lag="2 hours", watermark="4 hours",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    with _state_partitions(spark):
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(_SSJ_TABLE)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(_SSJ_TABLE)

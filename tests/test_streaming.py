@@ -101,3 +101,54 @@ def test_streaming_session_windows_run(spark, tmp_path):
     # sessions are disjoint per user and end >= start + nothing negative
     bad = got.filter(F.col("session_end") <= F.col("session_start")).count()
     assert bad == 0
+
+
+def test_stream_stream_interval_join_plan_and_batch_parity(spark, tmp_path):
+    """The interval join must compile to a StreamingSymmetricHashJoin
+    (watermark-bounded state on both sides), and its drained output
+    must equal the same helper run on batch frames."""
+    from miba_2023_capstone_rb_nlp_spark.streaming.joins import interval_join
+
+    ev = catalog.table(spark, SF_TEST_DIR, "events")
+    path = str(tmp_path / "events_parquet3")
+    ev.write.parquet(path)
+
+    def read(event_type):
+        s = spark.readStream.schema(ev.schema).parquet(path)
+        return s.filter(F.col("event_type") == event_type).select(
+            "event_id", "ts", "user_id"
+        )
+
+    joined = interval_join(
+        read("view"), read("click"), key="user_id"
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    plan = q._jsq.explainInternal(True)
+    assert "StreamingSymmetricHashJoin" in plan
+    got = spark.sql("select * from ssj_test").collect()
+
+    def batch(event_type):
+        return ev.filter(F.col("event_type") == event_type).select(
+            "event_id", "ts", "user_id"
+        )
+
+    want = (
+        interval_join(batch("view"), batch("click"), key="user_id")
+        .select(
+            F.col("l.event_id").alias("view_id"),
+            F.col("r.event_id").alias("click_id"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0

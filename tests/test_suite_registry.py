@@ -58,6 +58,7 @@ EXPECTED = {
     "events_tumbling_streaming",
     "events_stream_dedup",
     "events_stateful_running",
+    "events_stream_stream_join",
     "events_asof_last_click",
     "events_range_click_counts",
     # text
@@ -138,6 +139,10 @@ ROTATED_OUT = {
     "ngram_jaccard_pairs",
     "knn_bruteforce",
     "pii_redaction",
+    # third wave: demoted for the round-5 stream-stream join (its
+    # oracle is events_tumbling_hourly's; streaming machinery stays
+    # in-window via the other three streaming entries)
+    "events_tumbling_streaming",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -212,6 +217,7 @@ def test_core_entries_inside_driver_window():
         "duplicate_span_flags",
         "line_dedup_rebuild",
         "quality_representative_dedup",
+        "events_stream_stream_join",
     }
     assert promoted <= head, sorted(promoted - head)
 
