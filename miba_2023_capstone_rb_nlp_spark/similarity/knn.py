@@ -278,3 +278,105 @@ def knn_ivf_multiprobe(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )
+
+
+# int8 quantization scale: embeddings here live in roughly [-2, 2],
+# so floor(x*64) uses most of the int8 range; clamp guards outliers.
+# The scale is part of the operator contract (the oracle mirrors it).
+INT8_SCALE = 64.0
+
+
+def quantize_int8(mat: np.ndarray) -> np.ndarray:
+    """float64 (n,d) → int64 matrix of int8-range values:
+    clamp(floor(x * 64), -127, 127). floor-then-clamp is exactly
+    mirrorable in SQL; values stay exact in float64 before the cast."""
+    return np.clip(np.floor(mat * INT8_SCALE), -127.0, 127.0).astype(np.int64)
+
+
+def knn_int8_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 10,
+    n_candidates: int = 25,
+    scale: int = 6,
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Quantized candidate generation + exact re-rank — the memory-
+    bound ANN scale path (a product-quantization-lite): candidates are
+    ranked by the INTEGER dot product of int8-quantized vectors (4×
+    smaller scan/cache footprint than float32; 16× vs float64), then
+    only the global top-``n_candidates`` per query are re-scored with
+    the exact float cosine and cut to top-``k``.
+
+    → [query_id, neighbor_id, int_score, cos, rk ≤ k]
+
+    Determinism is *stronger* than the float kernels: integer addition
+    is associative, so the candidate scores are exact regardless of
+    accumulation order — no fold-order contract needed (the re-rank
+    cosine still uses the sequential-fold blas kernel + fixed-point
+    quantization like knn_bruteforce). Candidate ties break on
+    neighbor_id; per-batch partial top-n_candidates bounds the shuffle
+    exactly as in knn_bruteforce (global top-c ⊆ union of per-batch
+    top-cs under the same (score desc, id asc) key). At 100 TB the
+    int8 corpus representation is the resident working set; the float
+    vectors are touched only for ~q×n_candidates rows.
+    """
+    qpd = _collect_queries(
+        queries,
+        [F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")],
+        max_query_rows,
+        "knn_int8_rerank",
+    )
+    qids = qpd["qid"].to_numpy()
+    qmat = to_matrix(qpd["qv"], dim)
+    qint = quantize_int8(qmat)
+
+    def score(batches):
+        for pdf in batches:
+            nids = pdf[id_col].to_numpy()
+            cmat = to_matrix(pdf[vec_col], dim)
+            cint = quantize_int8(cmat)
+            iscore = qint @ cint.T  # exact int64, order-free
+            rows = {"query_id": [], "neighbor_id": [], "int_score": [],
+                    "cos": []}
+            for qi in range(len(qids)):
+                keep = nids != qids[qi]  # self-exclude
+                if not keep.any():
+                    continue
+                cand_ids = nids[keep]
+                cand_scores = iscore[qi][keep]
+                # partial top-c by (int_score desc, neighbor_id asc)
+                order = np.lexsort((cand_ids, -cand_scores))[:n_candidates]
+                sel_ids = cand_ids[order]
+                # exact cosine only for emitted candidates
+                sel_mat = cmat[keep][order]
+                cos = fixed_np(
+                    cos_matrix(qmat[qi : qi + 1], sel_mat)[0], scale
+                )
+                rows["query_id"].extend([qids[qi]] * len(order))
+                rows["neighbor_id"].extend(sel_ids)
+                rows["int_score"].extend(cand_scores[order])
+                rows["cos"].extend(cos)
+            yield pd.DataFrame(rows)
+
+    partial = corpus.mapInPandas(
+        score,
+        schema="query_id bigint, neighbor_id bigint, int_score bigint,"
+        " cos double",
+    )
+    w_int = Window.partitionBy("query_id").orderBy(
+        F.col("int_score").desc(), F.col("neighbor_id").asc()
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rk_i", F.row_number().over(w_int))
+        .filter(F.col("rk_i") <= n_candidates)
+        .withColumn("rk", F.row_number().over(w_cos))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "int_score", "cos", "rk")
+    )

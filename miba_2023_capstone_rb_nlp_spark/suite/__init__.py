@@ -107,6 +107,10 @@ _DEPRIORITIZED = (
     # events_tumbling_hourly, and the streaming source/sink/watermark
     # machinery stays in-window via events_stream_dedup,
     # events_stateful_running and the NEW events_stream_stream_join
+    "hash_embeddings",  # 3 green rounds; the hash-embedding kernel's
+    # full vector output is re-proven in-window by wizard_chain_stages
+    # (e0..e63 through the same wizard machinery); demoted for the NEW
+    # knn_int8_rerank
 )
 
 # Entries promoted to the registry head (after the flagship): the

@@ -1,6 +1,7 @@
 """Similarity-search suite over ``embeddings``: brute-force cosine
 top-k, IVF cell-restricted top-k, embedding-cosine near-dup pairs,
-hyperplane-LSH bucketed pairs."""
+hyperplane-LSH bucketed pairs, int8-quantized candidate generation
+with exact re-rank."""
 
 from __future__ import annotations
 
@@ -14,6 +15,7 @@ from miba_2023_capstone_rb_nlp_spark.dedup.embedding import (
 )
 from miba_2023_capstone_rb_nlp_spark.similarity.knn import (
     knn_bruteforce,
+    knn_int8_rerank,
     knn_ivf_cells,
 )
 from miba_2023_capstone_rb_nlp_spark.suite import register
@@ -207,4 +209,57 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return knn_ivf_multiprobe(
         e, queries, "embedding", "vec_id", "label", dim=DIM, k=10, nprobe=2
+    )
+
+
+# --- int8-quantized candidate gen + exact re-rank -------------------
+_N_CAND = 25
+_INT8_VEC = (
+    "[CAST(GREATEST(-127.0, LEAST(127.0, floor(embedding[i] * 64.0)))"
+    " AS BIGINT) for i in generate_series(1, {dim})]"
+).format(dim=DIM)
+_KNN_INT8_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_INT8_VEC} AS iv
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         CAST(list_sum([a.iv[i]*q.iv[i]
+                        for i in generate_series(1, {DIM})]) AS BIGINT)
+           AS int_score,
+         floor(({_COS}) * 1000000.0) / 1000000.0 AS cos
+  FROM e a, q WHERE q.vec_id <> a.vec_id
+),
+shortlist AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY int_score DESC, neighbor_id ASC) AS rk_i
+  FROM cand
+),
+rerank AS (
+  SELECT query_id, neighbor_id, int_score, cos,
+         row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM shortlist WHERE rk_i <= {_N_CAND}
+)
+SELECT query_id, neighbor_id, int_score, cos, CAST(rk AS INT) AS rk
+FROM rerank WHERE rk <= 10
+"""
+
+
+@register("knn_int8_rerank", oracle=_KNN_INT8_ORACLE)
+def q_knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-lite ANN: int8-quantized integer-dot candidate shortlist
+    (4× smaller resident corpus than float32) cut to the global
+    top-25 per query, then exact float-cosine re-rank to top-10.
+    Integer candidate scores are exact in ANY accumulation order, so
+    this stage needs no fold-order contract at all — see
+    similarity/knn.py knn_int8_rerank."""
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return knn_int8_rerank(
+        e, queries, "embedding", "vec_id", dim=DIM, k=10,
+        n_candidates=_N_CAND,
     )

@@ -88,3 +88,15 @@ def test_rebuild_preserves_order_of_survivors(spark):
     }
     assert out[1]["clean_text"] == "a1 a2 a3 a4 a5 z1 z2 z3 z4 z5"
     assert out[1]["n_removed"] == 1
+
+
+def test_int8_quantize_clamps_and_floors():
+    import numpy as np
+
+    from miba_2023_capstone_rb_nlp_spark.similarity.knn import quantize_int8
+
+    x = np.array([[0.0, 1.0, -1.0, 2.5, -2.5, 0.015, -0.015]])
+    out = quantize_int8(x)
+    assert out.dtype == np.int64
+    # floor(x*64) then clamp to [-127, 127]
+    assert out.tolist() == [[0, 64, -64, 127, -127, 0, -1]]

@@ -95,6 +95,7 @@ EXPECTED = {
     "quality_representative_dedup",
     # similarity
     "knn_bruteforce",
+    "knn_int8_rerank",
     "knn_ivf_cells",
     "knn_ivf_multiprobe",
     "embedding_neardup_pairs",
@@ -143,6 +144,9 @@ ROTATED_OUT = {
     # oracle is events_tumbling_hourly's; streaming machinery stays
     # in-window via the other three streaming entries)
     "events_tumbling_streaming",
+    # fourth wave: demoted for knn_int8_rerank; the hash-embedding
+    # vectors are re-proven in-window by wizard_chain_stages
+    "hash_embeddings",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -218,6 +222,7 @@ def test_core_entries_inside_driver_window():
         "line_dedup_rebuild",
         "quality_representative_dedup",
         "events_stream_stream_join",
+        "knn_int8_rerank",
     }
     assert promoted <= head, sorted(promoted - head)
 
