@@ -111,6 +111,9 @@ _DEPRIORITIZED = (
     # full vector output is re-proven in-window by wizard_chain_stages
     # (e0..e63 through the same wizard machinery); demoted for the NEW
     # knn_int8_rerank
+    "contamination_ngram_overlap",  # 3 green rounds; the 4-gram
+    # decontam machinery runs inside corpus_prep_chain's in-window
+    # oracle; demoted for the NEW dsir_importance_select
 )
 
 # Entries promoted to the registry head (after the flagship): the

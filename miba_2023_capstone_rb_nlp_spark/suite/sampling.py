@@ -121,3 +121,129 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- DSIR-style importance selection (Xie et al. 2023) --------------
+# Hashed-unigram importance weights: per token-bucket b,
+#   lw(b) = ln( p_target(b) / p_corpus(b) )  with add-one smoothing
+# over _DSIR_BUCKETS hashed buckets (hashing is what bounds the
+# feature table at ANY corpus size — the paper's own device); a doc's
+# score is the sum of its tokens' lw, and selection is the threshold
+# rule score > corpus-mean score ("more target-like than the average
+# document") — the mean is ONE 1-row aggregate broadcast back, so the
+# selection step is a map-only decision with no global sort (the
+# paper's Gumbel resampling needs a global order; the threshold
+# variant is the scale-shaped analog). An absolute score > 0 rule
+# would be vacuous here: the bucket smoothing dominates the tiny
+# synthetic counts and pushes every score negative.
+#
+# Determinism across engines: the only transcendental (ln) is applied
+# to an IEEE-identical double ratio once per BUCKET (≤4096 rows), and
+# its output is floor-quantized at 1e-4 BEFORE the per-doc sum, which
+# is an exact DECIMAL sum (order-free). Spark F.log == DuckDB ln
+# (natural log) on identical input doubles.
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET = "src0"
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_DSIR_BUCKETS}
+           AS b
+  FROM tok
+),
+counts AS (
+  SELECT b,
+         count(*) FILTER (WHERE source = '{_DSIR_TARGET}') AS ct,
+         count(*) AS cs
+  FROM tb GROUP BY b
+),
+tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM counts),
+feat AS (
+  SELECT b,
+         floor(ln(((ct + 1.0) / (tt + {_DSIR_BUCKETS}.0)) /
+                  ((cs + 1.0) / (ts + {_DSIR_BUCKETS}.0))) * 10000.0)
+           / 10000.0 AS lw
+  FROM counts, tot
+),
+per AS (
+  SELECT tb.doc_id, tb.source,
+         count(*) AS n_tokens,
+         CAST(sum(CAST(feat.lw AS DECIMAL(18,4))) AS DOUBLE) AS score
+  FROM tb JOIN feat USING (b)
+  GROUP BY tb.doc_id, tb.source
+),
+mean AS (
+  SELECT floor(CAST(sum(CAST(score AS DECIMAL(18,4))) AS DOUBLE)
+               / count(score) * 1000000.0) / 1000000.0 AS thr
+  FROM per
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       score, score > thr AS selected
+FROM per, mean
+"""
+
+
+@register("dsir_importance_select", oracle=_DSIR_ORACLE)
+def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection for LM pretraining via importance weights:
+    hashed-unigram log-likelihood ratio of a target domain
+    (source = src0) vs the whole corpus, summed per doc (exact
+    decimal sum of per-bucket quantized weights), selected when
+    above the corpus-mean score. Plan: ONE count exchange over
+    exploded token buckets, a 1-row totals broadcast, the ≤4096-row
+    feature table broadcast back to the token stream, ONE per-doc
+    agg, a 1-row mean broadcast — the feature and threshold sides
+    are bounded by construction, so the corpus never shuffles
+    twice."""
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import davg, dsum
+    from miba_2023_capstone_rb_nlp_spark.functions.text import tokens
+
+    docs = catalog.cpu_table(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        (md5_long(F.col("w")) % _DSIR_BUCKETS).alias("b"),
+    )
+    counts = tb.groupBy("b").agg(
+        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("ct"),
+        F.count(F.lit(1)).alias("cs"),
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cs").alias("ts")
+    )
+    nb = float(_DSIR_BUCKETS)
+    feat = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.floor(
+                F.log(
+                    ((F.col("ct") + 1.0) / (F.col("tt") + nb))
+                    / ((F.col("cs") + 1.0) / (F.col("ts") + nb))
+                )
+                * 10000.0
+            )
+            / 10000.0
+        ).alias("lw"),
+    )
+    per = (
+        tb.join(F.broadcast(feat), "b", "inner")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dsum("lw", 4).alias("score"),
+        )
+    )
+    mean = per.agg(davg("score", scale_in=4, scale_out=6).alias("thr"))
+    return per.crossJoin(F.broadcast(mean)).select(
+        "doc_id", "source", "n_tokens", "score",
+        (F.col("score") > F.col("thr")).alias("selected"),
+    )

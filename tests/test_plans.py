@@ -239,3 +239,15 @@ def test_quality_representative_is_struct_max_not_window(spark):
     )
     assert "Window" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_feature_table_broadcast_no_global_sort(spark):
+    """DSIR selection: the bucket feature table and the 1-row
+    totals/mean frames join back via broadcast (corpus shuffles only
+    for its own aggs), and the threshold select adds no global sort."""
+    plan = _executed_plan(SUITE["dsir_importance_select"].fn(spark, SF_TEST_DIR))
+    assert plan.count("BroadcastExchange") + plan.count(
+        "BroadcastQueryStage"
+    ) >= 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

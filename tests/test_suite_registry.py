@@ -70,6 +70,7 @@ EXPECTED = {
     "bpe_token_stats",
     # sampling / curation
     "stratified_sample_docs",
+    "dsir_importance_select",
     "winnowing_fingerprints",
     "gopher_repetition_flags",
     "pii_redaction",
@@ -147,6 +148,9 @@ ROTATED_OUT = {
     # fourth wave: demoted for knn_int8_rerank; the hash-embedding
     # vectors are re-proven in-window by wizard_chain_stages
     "hash_embeddings",
+    # fifth wave: demoted for dsir_importance_select; the decontam
+    # machinery runs inside corpus_prep_chain's in-window oracle
+    "contamination_ngram_overlap",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -223,6 +227,7 @@ def test_core_entries_inside_driver_window():
         "quality_representative_dedup",
         "events_stream_stream_join",
         "knn_int8_rerank",
+        "dsir_importance_select",
     }
     assert promoted <= head, sorted(promoted - head)
 
