@@ -114,6 +114,12 @@ _DEPRIORITIZED = (
     "contamination_ngram_overlap",  # 3 green rounds; the 4-gram
     # decontam machinery runs inside corpus_prep_chain's in-window
     # oracle; demoted for the NEW dsir_importance_select
+    "argmax_per_flag",  # 4 green rounds; the struct-max argmax is
+    # re-proven in-window by quality_representative_dedup; demoted
+    # for the NEW events_type_pivot
+    "order_window_enrich",  # 4 green rounds; rank windows in-window
+    # via pairwise_medoids, partition-window aggs via
+    # cluster_viz_summary; demoted for the NEW orders_upsert_merge
 )
 
 # Entries promoted to the registry head (after the flagship): the

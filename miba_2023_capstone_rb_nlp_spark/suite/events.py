@@ -136,3 +136,57 @@ def q_events_json_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# --- pivot: event_type → columns ------------------------------------
+_TYPES = ("click", "view", "purchase", "signup", "error")
+# sum_value mirrors the engine's pivot shape: per-type exact decimal
+# sums surfaced as doubles, then added LEFT-TO-RIGHT in declared type
+# order (the one IEEE addition chain both engines share) — NOT one
+# global decimal sum, which could differ by final-rounding ULPs.
+_PIVOT_SUM = " + ".join(
+    "COALESCE(CAST(sum(CAST(value AS DECIMAL(18,2)))"
+    f" FILTER (WHERE event_type = '{t}') AS DOUBLE), 0.0)"
+    for t in _TYPES
+)
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {', '.join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                  for t in _TYPES)},
+       {_PIVOT_SUM} AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("events_type_pivot", oracle=_PIVOT_ORACLE)
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event counts, one column per event
+    type, plus the exact value total. The pivot values are DECLARED
+    (not discovered), which matters at scale twice over: Spark skips
+    the extra distinct-scan JOB it otherwise runs to enumerate pivot
+    keys, and the output width is fixed at plan time instead of
+    data-dependent. Plan: ONE scan, a (user_id, event_type) pre-agg
+    exchange, then the pivotfirst agg on user_id — both phases
+    map-side partial, so the shuffles carry one row per (user, type)
+    and per user respectively, never per event."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_TYPES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("v"),
+        )
+    )
+    total = None
+    for t in _TYPES:
+        col = F.coalesce(F.col(f"{t}_v"), F.lit(0.0))
+        total = col if total is None else total + col
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}")
+            for t in _TYPES
+        ],
+        total.alias("sum_value"),
+    )

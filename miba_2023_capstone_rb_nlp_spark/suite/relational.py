@@ -489,3 +489,82 @@ def q_customer_order_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_sum"),
     )
+
+
+# --- MERGE INTO semantics (upsert via one full-outer join) ----------
+# A warehouse engine needs MERGE; without a transactional table
+# format the batch-equivalent is: base FULL OUTER changes on the key,
+# coalesce changed columns, classify the action. The changes side is
+# fabricated deterministically from orders (every 7th key updated,
+# every 13th re-keyed as an insert) so all three actions occur.
+_MERGE_ORACLE = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, 'X-UPDATED' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate,
+         'X-NEW' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+changes AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+merged AS (
+  SELECT coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+         coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+         coalesce(c.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+         CASE WHEN b.o_custkey IS NULL THEN 'insert'
+              WHEN c.o_custkey IS NULL THEN 'keep'
+              ELSE 'update' END AS action
+  FROM orders b FULL OUTER JOIN changes c USING (o_orderkey)
+)
+SELECT o_orderpriority, action, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM merged GROUP BY o_orderpriority, action
+"""
+
+
+@register("orders_upsert_merge", oracle=_MERGE_ORACLE)
+def q_orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a single co-partitioned full-outer join: apply an
+    update+insert changes feed to orders, classify every row as
+    insert/update/keep, fingerprint the merged table per
+    (priority, action) with exact decimal sums.
+
+    Scale: a full-outer join can never broadcast (unmatched rows must
+    surface from BOTH sides), so the base shuffles on the merge key
+    once per merge — at 100 TB you bucket base AND changes by the key
+    at rest (tests/test_bucketing.py shape) so neither re-shuffles,
+    which is exactly what Delta/Iceberg merge does under the hood."""
+    base = _t(spark, sf_dir, "orders")
+    upd = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderpriority", F.lit("X-UPDATED")
+    )
+    ins = (
+        base.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderpriority", F.lit("X-NEW"))
+    )
+    changes = upd.unionByName(ins)
+    b, c = base.alias("b"), changes.alias("c")
+    merged = b.join(c, "o_orderkey", "full_outer").select(
+        F.coalesce(F.col("c.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("c.o_totalprice"), F.col("b.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.coalesce(
+            F.col("c.o_orderpriority"), F.col("b.o_orderpriority")
+        ).alias("o_orderpriority"),
+        F.when(F.col("b.o_custkey").isNull(), F.lit("insert"))
+        .when(F.col("c.o_custkey").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+    return merged.groupBy("o_orderpriority", "action").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

@@ -251,3 +251,26 @@ def test_dsir_feature_table_broadcast_no_global_sort(spark):
     ) >= 2
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pivot_two_phase_agg_declared_values(spark):
+    """Pivot with DECLARED values: ONE scan of events (no extra
+    distinct-scan job for key discovery), a (user, type) pre-agg
+    exchange plus the pivotfirst exchange on user — both map-side
+    partial."""
+    df = SUITE["events_type_pivot"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 2
+    assert "partial_pivotfirst" in final
+    assert final.count("Scan parquet") == 1
+
+
+def test_merge_full_outer_is_single_join_no_broadcast(spark):
+    """MERGE: one full-outer sort-merge join on the key (full outer
+    can never broadcast), base scanned for changes + base sides only."""
+    df = SUITE["orders_upsert_merge"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -36,6 +36,7 @@ EXPECTED = {
     "order_window_enrich",
     "argmax_per_flag",
     "order_rollup_revenue",
+    "orders_upsert_merge",
     "approx_distinct_parts",
     "salted_join_nation_customers",
     "salted_agg_priority_revenue",
@@ -59,6 +60,7 @@ EXPECTED = {
     "events_stream_dedup",
     "events_stateful_running",
     "events_stream_stream_join",
+    "events_type_pivot",
     "events_asof_last_click",
     "events_range_click_counts",
     # text
@@ -151,6 +153,11 @@ ROTATED_OUT = {
     # fifth wave: demoted for dsir_importance_select; the decontam
     # machinery runs inside corpus_prep_chain's in-window oracle
     "contamination_ngram_overlap",
+    # sixth wave: demoted for events_type_pivot / orders_upsert_merge;
+    # struct-max argmax re-proven by quality_representative_dedup,
+    # windows by pairwise_medoids + cluster_viz_summary
+    "argmax_per_flag",
+    "order_window_enrich",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -228,6 +235,8 @@ def test_core_entries_inside_driver_window():
         "events_stream_stream_join",
         "knn_int8_rerank",
         "dsir_importance_select",
+        "events_type_pivot",
+        "orders_upsert_merge",
     }
     assert promoted <= head, sorted(promoted - head)
 
