@@ -178,3 +178,22 @@ def test_star_components_match_propagation(spark):
     ga = sorted((r["doc_id"], r["component"]) for r in a.collect())
     gb = sorted((r["doc_id"], r["component"]) for r in b.collect())
     assert ga == gb
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=1,
+        max_size=32,
+    )
+)
+@settings(max_examples=200)
+def test_quantize_int8_matches_scalar_model(xs):
+    """clamp(floor(x*64), -127, 127) per element, exact int64 —
+    the SQL mirror is GREATEST(-127, LEAST(127, floor(x*64.0)))."""
+    from miba_2023_capstone_rb_nlp_spark.similarity.knn import quantize_int8
+
+    out = quantize_int8(np.array([xs], dtype=np.float64))[0]
+    for x, got in zip(xs, out):
+        want = int(min(127.0, max(-127.0, math.floor(x * 64.0))))
+        assert got == want
