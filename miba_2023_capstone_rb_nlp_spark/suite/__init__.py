@@ -120,6 +120,9 @@ _DEPRIORITIZED = (
     "order_window_enrich",  # 4 green rounds; rank windows in-window
     # via pairwise_medoids, partition-window aggs via
     # cluster_viz_summary; demoted for the NEW orders_upsert_merge
+    "sentence_stats",  # 4 green rounds; map+agg text kernel re-proven
+    # in-window by bpe_token_stats + lang_id; demoted for the NEW
+    # events_funnel_stages
 )
 
 # Entries promoted to the registry head (after the flagship): the

@@ -190,3 +190,104 @@ def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         total.alias("sum_value"),
     )
+
+
+# --- conversion funnel (view → click → purchase) --------------------
+# Each stage must happen strictly after the previous one and within
+# a 24 h conversion deadline of it. Classic event analytics; the SQL
+# formulation is THREE join-aggregate rounds over the event table,
+# the engine plan is ONE exchange: per-user sorted event array + a
+# JVM-side fold (no Python, no self-joins). Timestamps are compared
+# as exact microsecond BIGINTs in both engines, so the deadline
+# arithmetic cannot diverge.
+_FUNNEL_US = 24 * 3600 * 1_000_000  # 24 h in microseconds
+
+_FUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+t1 AS (
+  SELECT user_id, min(us) AS tv FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(us) AS tc FROM e JOIN t1 USING (user_id)
+  WHERE event_type = 'click' AND us > tv AND us <= tv + {_FUNNEL_US}
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(us) AS tp FROM e JOIN t2 USING (user_id)
+  WHERE event_type = 'purchase' AND us > tc AND us <= tc + {_FUNNEL_US}
+  GROUP BY e.user_id
+)
+SELECT t1.user_id, tv AS tv_us, tc AS tc_us, tp AS tp_us,
+       CASE WHEN tp IS NOT NULL THEN 3
+            WHEN tc IS NOT NULL THEN 2 ELSE 1 END AS stage
+FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+"""
+
+
+@register("events_funnel_stages", oracle=_FUNNEL_ORACLE)
+def q_events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: first view, first click within 24 h after it,
+    first purchase within 24 h after that. ONE hash exchange
+    (groupBy user collects the time-sorted event array), then a
+    whole-stage-codegen'd F.aggregate fold walks each user's events
+    once — the three self-joins of the SQL formulation collapse into
+    a linear scan. At 100 TB the per-user array is bounded by the
+    analysis window (scope the scan's time predicate), and ties at
+    identical microseconds resolve identically to the SQL min-filter
+    semantics (strict > excludes same-instant conversions)."""
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.col("event_type").alias("et"),
+        )
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "et"))).alias("_seq")
+    )
+    nolong = F.lit(None).cast("bigint")
+    init = F.struct(
+        nolong.alias("tv"), nolong.alias("tc"), nolong.alias("tp")
+    )
+
+    def step(acc, x):
+        tv = F.when(
+            acc["tv"].isNull() & (x["et"] == "view"), x["us"]
+        ).otherwise(acc["tv"])
+        tc = F.when(
+            acc["tc"].isNull()
+            & (x["et"] == "click")
+            & acc["tv"].isNotNull()
+            & (x["us"] > acc["tv"])
+            & (x["us"] <= acc["tv"] + _FUNNEL_US),
+            x["us"],
+        ).otherwise(acc["tc"])
+        tp = F.when(
+            acc["tp"].isNull()
+            & (x["et"] == "purchase")
+            & acc["tc"].isNotNull()
+            & (x["us"] > acc["tc"])
+            & (x["us"] <= acc["tc"] + _FUNNEL_US),
+            x["us"],
+        ).otherwise(acc["tp"])
+        return F.struct(tv.alias("tv"), tc.alias("tc"), tp.alias("tp"))
+
+    folded = seq.select(
+        "user_id", F.aggregate("_seq", init, step).alias("f")
+    ).filter(F.col("f.tv").isNotNull())
+    return folded.select(
+        "user_id",
+        F.col("f.tv").alias("tv_us"),
+        F.col("f.tc").alias("tc_us"),
+        F.col("f.tp").alias("tp_us"),
+        F.when(F.col("f.tp").isNotNull(), 3)
+        .when(F.col("f.tc").isNotNull(), 2)
+        .otherwise(1)
+        .alias("stage"),
+    )

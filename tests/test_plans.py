@@ -274,3 +274,13 @@ def test_merge_full_outer_is_single_join_no_broadcast(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_exchange_no_joins(spark):
+    """The funnel is ONE hash exchange + a codegen'd array fold — the
+    SQL formulation's three self-joins must not appear."""
+    df = SUITE["events_funnel_stages"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Join" not in final
+    assert final.count("Scan parquet") == 1

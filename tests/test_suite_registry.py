@@ -61,6 +61,7 @@ EXPECTED = {
     "events_stateful_running",
     "events_stream_stream_join",
     "events_type_pivot",
+    "events_funnel_stages",
     "events_asof_last_click",
     "events_range_click_counts",
     # text
@@ -158,6 +159,9 @@ ROTATED_OUT = {
     # windows by pairwise_medoids + cluster_viz_summary
     "argmax_per_flag",
     "order_window_enrich",
+    # seventh wave: demoted for events_funnel_stages; text map+agg
+    # kernel re-proven in-window by bpe_token_stats + lang_id
+    "sentence_stats",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -237,6 +241,7 @@ def test_core_entries_inside_driver_window():
         "dsir_importance_select",
         "events_type_pivot",
         "orders_upsert_merge",
+        "events_funnel_stages",
     }
     assert promoted <= head, sorted(promoted - head)
 
