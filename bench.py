@@ -103,6 +103,13 @@ JUSTIFIED_REGRESSIONS: dict[str, str] = {
         "a fresh plan, amortized to zero at real scale (the same "
         "rewrite wins 6.4x inside wizard_full_chain)"
     ),
+    "top_terms_per_source": (
+        "profiled r5 solo at ~1.0s steady (vs 0.53s r3 baseline): the "
+        "plan is unchanged and already the target shape (pinned "
+        "WindowGroupLimit partial top-k + map-side partial aggs, 2 "
+        "exchanges); the delta is fixed per-stage task overhead at "
+        "tiny data on a noisy box, not a data-scaling cost"
+    ),
 }
 
 
