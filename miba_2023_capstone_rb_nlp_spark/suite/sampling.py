@@ -194,13 +194,17 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-unigram log-likelihood ratio of a target domain
     (source = src0) vs the whole corpus, summed per doc (exact
     decimal sum of per-bucket quantized weights), selected when
-    above the corpus-mean score. Plan: ONE count exchange over
-    exploded token buckets, a 1-row totals broadcast, the ≤4096-row
-    feature table broadcast back to the token stream, ONE per-doc
-    agg, a 1-row mean broadcast — the feature and threshold sides
-    are bounded by construction, so the corpus never shuffles
-    twice."""
-    from miba_2023_capstone_rb_nlp_spark.functions.numeric import davg, dsum
+    above the corpus-mean score. Plan: tokenize+md5 the corpus ONCE
+    into a persisted per-doc bucket-count table (the paper's own
+    materialization — a hashed doc-feature matrix, ≤ n_docs × 4096
+    rows regardless of corpus size); both the global bucket counts
+    and the per-doc scores derive from that table, so the raw token
+    stream is scanned exactly once. Downstream: a 1-row totals
+    broadcast, the ≤4096-row feature table broadcast back, ONE
+    per-doc agg, a 1-row mean broadcast."""
+    from pyspark import StorageLevel
+
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import davg, dec
     from miba_2023_capstone_rb_nlp_spark.functions.text import tokens
 
     docs = catalog.cpu_table(spark, sf_dir, "documents")
@@ -213,9 +217,17 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (md5_long(F.col("w")) % _DSIR_BUCKETS).alias("b"),
     )
-    counts = tb.groupBy("b").agg(
-        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("ct"),
-        F.count(F.lit(1)).alias("cs"),
+    # per-doc hashed feature counts: the ONE exchange the token
+    # stream pays (map-side combine collapses tokens to doc×bucket
+    # pairs before the shuffle)
+    per_db = (
+        tb.groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = per_db.groupBy("b").agg(
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, F.col("c")).otherwise(0)).alias("ct"),
+        F.sum("c").alias("cs"),
     )
     tot = counts.agg(
         F.sum("ct").alias("tt"), F.sum("cs").alias("ts")
@@ -234,12 +246,15 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("lw"),
     )
+    # score = Σ_tokens lw = Σ_buckets c·lw; c × DECIMAL(18,4) is an
+    # exact decimal product, so the sum equals the oracle's
+    # token-row decimal sum bit-for-bit
     per = (
-        tb.join(F.broadcast(feat), "b", "inner")
+        per_db.join(F.broadcast(feat), "b", "inner")
         .groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            dsum("lw", 4).alias("score"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * dec("lw", 4)).cast("double").alias("score"),
         )
     )
     mean = per.agg(davg("score", scale_in=4, scale_out=6).alias("thr"))

@@ -251,6 +251,10 @@ def test_dsir_feature_table_broadcast_no_global_sort(spark):
     ) >= 2
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+    # the raw token stream is tokenized+hashed ONCE: every reuse of
+    # the per-doc bucket-count feature matrix reads the persisted
+    # copy, never re-explodes the corpus
+    assert "InMemoryTableScan" in plan
 
 
 def test_pivot_two_phase_agg_declared_values(spark):
