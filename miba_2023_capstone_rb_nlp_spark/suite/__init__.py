@@ -123,6 +123,20 @@ _DEPRIORITIZED = (
     "sentence_stats",  # 4 green rounds; map+agg text kernel re-proven
     # in-window by bpe_token_stats + lang_id; demoted for the NEW
     # events_funnel_stages
+    # -- round-5 third wave: five 4-green-round entries demoted so the
+    # -- NEW LM-perplexity / decayed-value / affinity / MAD-outlier /
+    # -- phrase-search operators debut inside the checked window
+    "region_revenue",  # broadcast-dim join+agg ⊂ pricing_summary +
+    # salted_join_nation_customers + order_priority_semijoin
+    "price_quantiles",  # exact-percentile machinery re-proven
+    # in-window by the NEW event_outliers_mad (median + MAD fence)
+    "lang_id",  # map-only text kernel ⊂ bpe_token_stats +
+    # gopher_repetition_flags + the NEW bigram_lm_perplexity
+    "explode_paragraphs",  # posexplode order/position machinery
+    # re-proven in-window by the NEW phrase_match_docs (positional
+    # postings) + doc_chunk_windows
+    "top_terms_per_source",  # weighted top-k explode ⊂ ner_top_orgs
+    # + ctfidf_topics_per_lang (both in-window)
 )
 
 # Entries promoted to the registry head (after the flagship): the

@@ -291,3 +291,153 @@ def q_events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("stage"),
     )
+
+
+# --- exponentially time-decayed user value --------------------------
+# The feature-store staple: a per-user engagement score where each
+# event's value decays with a 7-day half-life measured from the
+# corpus "now" (global max event date). Determinism across engines:
+# the only transcendental (exp) runs once per DISTINCT day-lag (rows
+# bounded by the time span in days at ANY event volume), quantized at
+# 1e-9; each event's contribution value·w is a product of
+# bit-identical doubles (IEEE multiply is deterministic), quantized
+# at 1e-6 and summed as exact DECIMAL.
+_DECAY_ORACLE = """
+WITH mx AS (
+  SELECT max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS now FROM events
+),
+ev AS (
+  SELECT user_id, value,
+         date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE), now) AS d
+  FROM events, mx
+),
+wt AS (
+  SELECT d, floor(exp(-ln(2.0) / 7.0 * d) * 1000000000.0)
+              / 1000000000.0 AS w
+  FROM (SELECT DISTINCT d FROM ev)
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * w * 1000000.0) / 1000000.0
+                     AS DECIMAL(18,6))) AS DOUBLE) AS decayed_value
+FROM ev JOIN wt USING (d)
+GROUP BY user_id
+"""
+
+
+@register("user_decayed_value", oracle=_DECAY_ORACLE)
+def q_user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed value (7-day half-life).
+
+    Plan: a 1-row max-date agg broadcast, a distinct-day weight table
+    (map-side partial agg collapses the exchange to ≤ span-in-days
+    rows) built so exp() never runs per event row, broadcast back,
+    then ONE groupBy-user exchange with map-side combine — the event
+    stream shuffles exactly once no matter the volume. The same
+    weight-join shape runs incrementally under Structured Streaming
+    with the day-lag computed against a watermark clock.
+
+    Engine addition (no reference counterpart): SURVEY §2.12
+    temporal feature engineering.
+    """
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import dsum, fixed
+
+    ev = _events(spark, sf_dir)
+    mx = ev.agg(F.max(F.to_date("ts")).alias("now"))
+    evd = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "value",
+        F.datediff("now", F.to_date("ts")).alias("d"),
+    )
+    wt = (
+        evd.select("d")
+        .distinct()
+        .select(
+            "d",
+            fixed(F.exp(F.lit(-0.09902102579427789) * F.col("d")), 9).alias("w"),
+        )
+    )
+    return (
+        evd.join(F.broadcast(wt), "d")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(fixed(F.col("value") * F.col("w"), 6), 6).alias("decayed_value"),
+        )
+    )
+
+
+# --- robust outlier detection per event type (median + MAD) ---------
+# Monitoring/data-validation staple: flag events whose value sits
+# more than 3 scaled-MADs from the per-type median. Median is exact
+# interpolated percentile in BOTH engines (Spark F.percentile ==
+# DuckDB quantile_cont on identical doubles — same lower+(higher-
+# lower)·frac arithmetic); both medians are floor-quantized at 1e-6
+# before any downstream compare so a ulp divergence in the
+# interpolation cannot flip a threshold decision (numeric.py recipe).
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type,
+         floor(quantile_cont(value, 0.5) * 1000000.0) / 1000000.0
+           AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, med.med,
+         abs(e.value - med.med) AS ad
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         floor(quantile_cont(ad, 0.5) * 1000000.0) / 1000000.0 AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN dev.ad > 3.0 * 1.4826 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       any_value(dev.med) AS med,
+       any_value(mad.mad) AS mad
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+@register("event_outliers_mad", oracle=_MAD_ORACLE)
+def q_event_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier counts via median/MAD (3·1.4826·MAD
+    fence — the consistent-estimator z-score analog).
+
+    Plan: exact medians need two passes by definition (the second
+    operates on deviations from the first) — each is ONE groupBy-type
+    exchange with the |types|-row result broadcast back, so the event
+    stream is scanned twice but shuffled only into per-type
+    percentile state, never globally sorted. At 100 TB the exact
+    percentile swaps for percentile_approx in the same plan shape
+    (sketch merge, one pass each) — kept exact here for the oracle.
+    """
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        fixed(F.percentile("value", 0.5), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        fixed(F.percentile("ad", 0.5), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("ad") > 3.0 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+        )
+    )

@@ -568,3 +568,112 @@ def q_orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+# --- item-item co-occurrence affinity (market-basket top-k) ---------
+# The recommender-system staple: for every part, the top-3 parts most
+# often co-ordered with it, ranked by pair count with lift as the
+# strength signal. The pair generation is a self-join of lineitem on
+# l_orderkey — bounded, not quadratic in the table: TPC-H baskets hold
+# ≤ ~13 lines, so the join emits ≤ C(13,2) ≈ 78 pairs per order and
+# scales linearly with order count. Lift's ratio is computed in a
+# fixed textual order and floor-quantized (numeric.py recipe).
+_AFFINITY_ORACLE = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS no FROM lineitem),
+part_n AS (
+  SELECT l_partkey, count(*) AS pn FROM basket GROUP BY 1
+),
+pair AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_pair
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT p1 AS part, p2 AS other, n_pair FROM pair
+  UNION ALL
+  SELECT p2 AS part, p1 AS other, n_pair FROM pair
+),
+scored AS (
+  SELECT sym.part, sym.other, sym.n_pair,
+         floor(CAST(sym.n_pair AS DOUBLE) * no
+               / (pa.pn * CAST(pb.pn AS DOUBLE)) * 10000.0) / 10000.0
+           AS lift
+  FROM sym
+  JOIN part_n pa ON pa.l_partkey = sym.part
+  JOIN part_n pb ON pb.l_partkey = sym.other, n_orders
+),
+ranked AS (
+  SELECT part, other, n_pair, lift,
+         row_number() OVER (PARTITION BY part
+                            ORDER BY n_pair DESC, other) AS rk
+  FROM scored
+)
+SELECT part, other, n_pair, lift, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("part_affinity_topk", oracle=_AFFINITY_ORACLE)
+def q_part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 co-ordered parts per part with lift scores.
+
+    Plan: distinct (order, part) baskets → ONE self-equi-join on
+    l_orderkey (output linear in orders: basket sizes are bounded,
+    the co-occurrence safety condition — an unbounded-basket corpus
+    needs a per-key cap first), pair counts with map-side combine,
+    symmetrize via union (no second join), two broadcast joins for
+    the per-part margins (part_n is |parts|-bounded), rank window
+    partitioned by part — no global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("no"))
+    part_n = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pn"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    sym = pair.select(
+        F.col("p1").alias("part"), F.col("p2").alias("other"), "n_pair"
+    ).unionAll(
+        pair.select(
+            F.col("p2").alias("part"), F.col("p1").alias("other"), "n_pair"
+        )
+    )
+    pa = part_n.select(F.col("l_partkey").alias("part"), F.col("pn").alias("pn_a"))
+    pb = part_n.select(F.col("l_partkey").alias("other"), F.col("pn").alias("pn_b"))
+    scored = (
+        sym.join(F.broadcast(pa), "part")
+        .join(F.broadcast(pb), "other")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part",
+            "other",
+            "n_pair",
+            fixed(
+                F.col("n_pair").cast("double")
+                * F.col("no")
+                / (F.col("pn_a") * F.col("pn_b").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("n_pair"), F.asc("other"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("part", "other", "n_pair", "lift", "rk")
+    )

@@ -155,3 +155,70 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(BIGRAM_TOP_K)
     )
+
+
+# --- positional inverted index: exact phrase search -----------------
+# The postings-with-positions primitive BM25 lacks: find documents
+# containing the exact phrase, by adjacency-joining per-term position
+# lists. The term filters land BEFORE the explode output shuffles, so
+# at any corpus size only the phrase terms' postings move — the join
+# graph is |phrase|-1 equi-joins on (doc_id, pos±k), each bounded by
+# the rarest term's posting list.
+PHRASE = ("slow", "hash", "batch")
+
+_PHRASE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS p, l[i] AS w
+  FROM tok, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) r
+  WHERE l[i] IN ('{PHRASE[0]}', '{PHRASE[1]}', '{PHRASE[2]}')
+),
+hits AS (
+  SELECT t0.doc_id, t0.p AS start_pos
+  FROM pos t0
+  JOIN pos t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+  JOIN pos t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2
+  WHERE t0.w = '{PHRASE[0]}' AND t1.w = '{PHRASE[1]}'
+    AND t2.w = '{PHRASE[2]}'
+)
+SELECT doc_id, count(*) AS n_matches,
+       CAST(min(start_pos) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id
+"""
+
+
+@register("phrase_match_docs", oracle=_PHRASE_ORACLE)
+def q_phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-term phrase search over a positional posting list.
+
+    Plan: posexplode builds (doc, pos, term) postings; the IN-filter
+    on the three phrase terms prunes the stream BEFORE any exchange
+    (pushed into the generate's output, so non-phrase tokens never
+    shuffle); two self-equi-joins on (doc_id, pos+offset) assemble
+    adjacency; ONE per-doc count agg. 1-indexed positions match the
+    SQL oracle's list indexing.
+    """
+    from miba_2023_capstone_rb_nlp_spark.functions.text import tokens
+
+    docs = catalog.cpu_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("p0", "w")
+        )
+        .filter(F.col("w").isin(*PHRASE))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    )
+    t0 = pos.filter(F.col("w") == PHRASE[0]).select("doc_id", "p")
+    t1 = pos.filter(F.col("w") == PHRASE[1]).select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    t2 = pos.filter(F.col("w") == PHRASE[2]).select(
+        "doc_id", (F.col("p") - 2).alias("p")
+    )
+    hits = t0.join(t1, ["doc_id", "p"]).join(t2, ["doc_id", "p"])
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("p").cast("bigint").alias("first_pos"),
+    )

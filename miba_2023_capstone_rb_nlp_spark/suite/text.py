@@ -291,3 +291,136 @@ def q_lemma_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("lemma", "n", "rk")
     )
+
+
+# --- bigram-LM perplexity proxy (CCNet-style quality filter) --------
+# A smoothed bigram language model fit on the corpus itself scores
+# each document by average log-probability; documents far below the
+# corpus mean read as boilerplate/garbled (the CCNet/KenLM filtering
+# recipe, re-expressed relationally). Determinism: the only ln() is
+# applied once per bigram TYPE (vocab²-bounded rows), floor-quantized
+# at 1e-4 before the per-doc sum, which is an exact DECIMAL sum of
+# count-weighted per-type weights; the per-doc average is quantized
+# at 1e-6 (same recipe as dsir_importance_select).
+_BIGRAM_LM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+bg AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM tok, LATERAL (SELECT unnest(range(1, len(l))) AS i) r
+),
+per_db AS (
+  SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3
+),
+c2 AS (
+  SELECT w1, w2, sum(c) AS n2 FROM per_db GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1
+),
+vocab AS (
+  SELECT count(DISTINCT w2) AS v FROM c2
+),
+feat AS (
+  SELECT c2.w1, c2.w2,
+         floor(ln((c2.n2 + 1.0) / (c1.n1 + v)) * 10000.0) / 10000.0
+           AS logp
+  FROM c2 JOIN c1 USING (w1), vocab
+),
+per AS (
+  SELECT per_db.doc_id,
+         sum(per_db.c) AS n_bigrams,
+         CAST(sum(per_db.c * CAST(feat.logp AS DECIMAL(18,4)))
+              AS DOUBLE) AS sum_logp
+  FROM per_db JOIN feat USING (w1, w2)
+  GROUP BY per_db.doc_id
+),
+scored AS (
+  SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         floor(sum_logp / n_bigrams * 1000000.0) / 1000000.0
+           AS avg_logp
+  FROM per
+),
+mean AS (
+  SELECT floor(CAST(sum(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) * 1000000.0) / 1000000.0 AS thr
+  FROM scored
+)
+SELECT doc_id, n_bigrams, avg_logp, avg_logp < thr AS flagged
+FROM scored, mean
+"""
+
+
+@register("bigram_lm_perplexity", oracle=_BIGRAM_LM_ORACLE)
+def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: fit an add-one-smoothed
+    bigram LM on the corpus (one pass), score every document by its
+    average log-prob, flag documents below the corpus mean.
+
+    Plan (the DSIR single-scan shape): tokenize ONCE into a persisted
+    per-doc bigram-count matrix — slice+zip builds bigrams map-only,
+    no posexplode self-join — then the LM's count tables (bigram,
+    context, vocab) all derive from that matrix. The model join-back
+    is a broadcast here (vocab²-bounded feature table); on an open
+    vocabulary it degrades gracefully to a shuffle equi-join on
+    (w1, w2) — the corpus side still moves only once.
+
+    Engine addition (no reference counterpart): SURVEY §2.12 quality
+    scoring, the model-based complement of doc_stats_quality's
+    surface heuristics.
+    """
+    from pyspark import StorageLevel
+
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec
+
+    docs = _docs(spark, sf_dir)
+    t = T.tokens(F.col("text"))
+    n = F.size(t)
+    pairs = F.arrays_zip(
+        F.slice(t, 1, n - 1).alias("w1"), F.slice(t, 2, n - 1).alias("w2")
+    )
+    per_db = (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c2 = per_db.groupBy("w1", "w2").agg(F.sum("c").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    vocab = c2.agg(F.countDistinct("w2").alias("v"))
+    feat = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            fixed(F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("v"))), 4)
+            .alias("logp"),
+        )
+    )
+    scored = (
+        per_db.join(F.broadcast(feat), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * dec("logp", 4)).cast("double").alias("sum_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            fixed(F.col("sum_logp") / F.col("n_bigrams"), 6).alias("avg_logp"),
+        )
+    )
+    mean = scored.agg(
+        fixed(
+            F.sum(dec("avg_logp", 6)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("thr")
+    )
+    return scored.crossJoin(F.broadcast(mean)).select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logp",
+        (F.col("avg_logp") < F.col("thr")).alias("flagged"),
+    )

@@ -37,6 +37,7 @@ EXPECTED = {
     "argmax_per_flag",
     "order_rollup_revenue",
     "orders_upsert_merge",
+    "part_affinity_topk",
     "approx_distinct_parts",
     "salted_join_nation_customers",
     "salted_agg_priority_revenue",
@@ -64,6 +65,8 @@ EXPECTED = {
     "events_funnel_stages",
     "events_asof_last_click",
     "events_range_click_counts",
+    "user_decayed_value",
+    "event_outliers_mad",
     # text
     "doc_stats_quality",
     "lang_id",
@@ -71,6 +74,7 @@ EXPECTED = {
     "sentence_stats",
     "lemma_term_counts",
     "bpe_token_stats",
+    "bigram_lm_perplexity",
     # sampling / curation
     "stratified_sample_docs",
     "dsir_importance_select",
@@ -83,6 +87,7 @@ EXPECTED = {
     # retrieval / packing
     "bm25_topk",
     "bigram_topk",
+    "phrase_match_docs",
     "sequence_packing",
     "hash_split_profile",
     "temperature_resample",
@@ -162,6 +167,14 @@ ROTATED_OUT = {
     # seventh wave: demoted for events_funnel_stages; text map+agg
     # kernel re-proven in-window by bpe_token_stats + lang_id
     "sentence_stats",
+    # eighth wave: demoted for the round-5 LM-perplexity / decayed-
+    # value / affinity / MAD-outlier / phrase-search debuts; each
+    # kernel named an in-window sibling in _DEPRIORITIZED
+    "region_revenue",
+    "price_quantiles",
+    "lang_id",
+    "explode_paragraphs",
+    "top_terms_per_source",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -242,6 +255,11 @@ def test_core_entries_inside_driver_window():
         "events_type_pivot",
         "orders_upsert_merge",
         "events_funnel_stages",
+        "bigram_lm_perplexity",
+        "user_decayed_value",
+        "event_outliers_mad",
+        "part_affinity_topk",
+        "phrase_match_docs",
     }
     assert promoted <= head, sorted(promoted - head)
 
