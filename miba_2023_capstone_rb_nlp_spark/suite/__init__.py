@@ -137,6 +137,18 @@ _DEPRIORITIZED = (
     # postings) + doc_chunk_windows
     "top_terms_per_source",  # weighted top-k explode ⊂ ner_top_orgs
     # + ctfidf_topics_per_lang (both in-window)
+    # -- round-5 fourth wave: four more multi-green entries demoted so
+    # -- the NEW WAU / retention / vocab-overlap / pagerank operators
+    # -- debut inside the checked window
+    "order_priority_semijoin",  # LeftSemi pinned by test_plans.py;
+    # semi/anti machinery in-window via corpus_prep_chain decontam
+    "nation_set_ops",  # union/intersect/except ⊂ etl_clean_articles
+    # S7 union-dedup + part_affinity_topk's unionAll symmetrize
+    "exact_dedup",  # md5-groupBy dedup kernel ⊂ url_canonical_dedup
+    # + stratified_sample_docs (both in-window)
+    "medoid_summaries",  # distinct→stub-infer→join ⊂
+    # sentiment_distinct_join; medoid machinery in-window via
+    # pairwise_medoids + cluster_viz_summary
 )
 
 # Entries promoted to the registry head (after the flagship): the
@@ -167,6 +179,7 @@ _MODULES = (
     "events",
     "temporal",
     "topics",
+    "graph",
     "ml",
 )
 

@@ -393,7 +393,7 @@ mad AS (
 )
 SELECT dev.event_type,
        count(*) AS n,
-       CAST(sum(CASE WHEN dev.ad > 3.0 * 1.4826 * mad.mad
+       CAST(sum(CASE WHEN dev.ad > CAST(4.4478 AS DOUBLE) * mad.mad
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        any_value(dev.med) AS med,
        any_value(mad.mad) AS mad
@@ -434,10 +434,121 @@ def q_event_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 F.when(
-                    F.col("ad") > 3.0 * 1.4826 * F.col("mad"), 1
+                    F.col("ad") > F.lit(4.4478) * F.col("mad"), 1
                 ).otherwise(0)
             ).alias("n_outliers"),
             F.first("med").alias("med"),
             F.first("mad").alias("mad"),
         )
+    )
+
+
+# --- rolling 7-day active users (DAU/WAU analytics) -----------------
+# Sliding distinct-count: for each calendar day, how many distinct
+# users were active in the trailing 7 days. Expressed as the sliding-
+# window twin of events_sliding_hourly but with DISTINCT aggregation:
+# each event contributes to exactly 7 day-buckets (explode factor is
+# the window/slide ratio, a constant), then ONE partial-distinct
+# aggregate per (day, user) feeds the per-day count — Spark plans
+# countDistinct as a two-phase agg (dedup exchange then count), both
+# map-side combined.
+_WAU_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+),
+contrib AS (
+  SELECT DISTINCT user_id, d + CAST(o AS INT) AS day
+  FROM ev, LATERAL (SELECT unnest(range(0, 7)) AS o) r
+),
+span AS (SELECT min(d) AS lo, max(d) AS hi FROM ev)
+SELECT CAST(day AS TIMESTAMP) AS day, count(*) AS wau
+FROM contrib, span
+WHERE day BETWEEN lo AND hi
+GROUP BY 1
+"""
+
+
+@register("weekly_active_users", oracle=_WAU_ORACLE)
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day.
+
+    Plan: a constant-factor-7 date fan-out (sequence + explode,
+    map-only), distinct on (user, day) — the ONE real exchange, with
+    partial dedup map-side — then a per-day count that rides the same
+    partitioning. Days outside the observed span are clipped via a
+    2-value broadcast so leading windows match the oracle exactly.
+    """
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"), F.to_date("ts").alias("d")
+    )
+    span = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    contrib = (
+        ev.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("day"),
+        )
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("day").between(F.col("lo"), F.col("hi")))
+        .select("user_id", "day")
+        .distinct()
+    )
+    return (
+        contrib.groupBy(F.col("day").cast("timestamp").alias("day"))
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+
+
+# --- weekly retention cohort matrix ---------------------------------
+# Growth-analytics staple: users grouped by first-activity week
+# (cohort), tracked by how many are active in each subsequent week.
+# Weeks are day-number buckets from the corpus start (epoch-stable,
+# TZ-free integer arithmetic — identical in both engines).
+_RETENTION_ORACLE = """
+WITH start AS (
+  SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0 FROM events
+),
+ev AS (
+  SELECT user_id,
+         date_diff('day', d0, CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7
+           AS week
+  FROM events, start
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, week FROM ev)
+SELECT cohort.cohort_week, active.week,
+       count(*) AS n_users
+FROM active JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("retention_cohorts", oracle=_RETENTION_ORACLE)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention: distinct users per (cohort week, active week).
+
+    Plan: ONE exchange on user_id computes the cohort (min week) AND
+    the distinct active-week set in the SAME aggregate (the set is
+    bounded by the corpus span in weeks, not by event volume — the
+    per-user partial agg dedups weeks map-side), so there is no
+    cohort join at all; the exploded (cohort, week) pairs feed the
+    only other shuffle. The corpus-start scalar is a 1-row broadcast.
+    """
+    ev = _events(spark, sf_dir)
+    start = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    weeks = ev.crossJoin(F.broadcast(start)).select(
+        "user_id",
+        F.floor(F.datediff(F.to_date("ts"), F.col("d0")) / 7).alias("week"),
+    )
+    per_user = weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"),
+        F.collect_set("week").alias("wks"),
+    )
+    return (
+        per_user.select("cohort_week", F.explode("wks").alias("week"))
+        .groupBy("cohort_week", "week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )

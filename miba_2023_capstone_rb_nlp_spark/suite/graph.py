@@ -1,0 +1,163 @@
+"""Graph analytics over relational data: fixed-iteration weighted
+PageRank on the part co-occurrence graph (parts linked when ordered
+together, edge weight = co-order count).
+
+Iterative algorithms join the oracle-checked suite by fixing the
+iteration count and quantizing between rounds: each round's rank is
+floor-quantized at 1e-9 and each edge contribution at 1e-12 before an
+exact DECIMAL sum, so both engines walk bit-identical states and the
+SQL oracle is the same recursion unrolled (the dedup/components.py
+convergence machinery handles the run-to-fixpoint variants; this
+module pins the deterministic fixed-round shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miba_2023_capstone_rb_nlp_spark import catalog
+from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec, fixed
+from miba_2023_capstone_rb_nlp_spark.suite import register
+
+DAMPING = 0.85
+ROUNDS = 3
+
+# The recursion unrolled: edges/norms once, then ROUNDS copies of the
+# same contribution-sum step. `norm` is computed ONCE as w / w_out and
+# reused so both engines multiply pr * norm in the identical order.
+_PAGERANK_ORACLE = f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pair AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT p1 AS src, p2 AS dst, w FROM pair
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst, w FROM pair
+),
+outw AS (SELECT src, sum(w) AS w_out FROM edges GROUP BY src),
+norme AS (
+  SELECT e.src, e.dst, e.w / CAST(outw.w_out AS DOUBLE) AS norm
+  FROM edges e JOIN outw USING (src)
+),
+nn AS (SELECT count(DISTINCT src) AS n FROM edges),
+r0 AS (
+  SELECT DISTINCT src AS node,
+         floor(CAST(1.0 AS DOUBLE) / n * 1000000000.0)
+           / 1000000000.0 AS pr
+  FROM edges, nn
+),
+r1 AS (
+  SELECT norme.dst AS node,
+         floor(((CAST(0.15 AS DOUBLE)) / n
+                 + CAST({DAMPING} AS DOUBLE) * CAST(sum(
+           CAST(floor(r0.pr * norme.norm * 1e12) / 1e12
+                AS DECIMAL(18,12))) AS DOUBLE)) * 1000000000.0)
+           / 1000000000.0 AS pr
+  FROM norme JOIN r0 ON r0.node = norme.src, nn
+  GROUP BY norme.dst, n
+),
+r2 AS (
+  SELECT norme.dst AS node,
+         floor(((CAST(0.15 AS DOUBLE)) / n
+                 + CAST({DAMPING} AS DOUBLE) * CAST(sum(
+           CAST(floor(r1.pr * norme.norm * 1e12) / 1e12
+                AS DECIMAL(18,12))) AS DOUBLE)) * 1000000000.0)
+           / 1000000000.0 AS pr
+  FROM norme JOIN r1 ON r1.node = norme.src, nn
+  GROUP BY norme.dst, n
+),
+r3 AS (
+  SELECT norme.dst AS node,
+         floor(((CAST(0.15 AS DOUBLE)) / n
+                 + CAST({DAMPING} AS DOUBLE) * CAST(sum(
+           CAST(floor(r2.pr * norme.norm * 1e12) / 1e12
+                AS DECIMAL(18,12))) AS DOUBLE)) * 1000000000.0)
+           / 1000000000.0 AS pr
+  FROM norme JOIN r2 ON r2.node = norme.src, nn
+  GROUP BY norme.dst, n
+)
+SELECT node AS part, pr FROM r3
+"""
+
+
+@register("part_pagerank", oracle=_PAGERANK_ORACLE)
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d=0.85, 3 rounds) over co-ordered parts.
+
+    Plan: the normalized edge list is built ONCE and persisted (the
+    basket self-join is l_orderkey-bounded, see part_affinity_topk);
+    each round is edges ⋈ broadcast(ranks) → per-dst agg — the rank
+    vector is |V| rows, broadcast back so the edge table never
+    re-shuffles on src (at a |V| too large to broadcast the same loop
+    runs as a co-partitioned shuffle join on src; the round structure
+    is unchanged). Isolated parts (never co-ordered) have no edges
+    and are excluded — the standard dangling-node convention.
+    """
+    from pyspark import StorageLevel
+
+    li = catalog.table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pair.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst"), "w"
+    ).unionAll(pair.select(F.col("p2").alias("src"), F.col("p1").alias("dst"), "w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    norme = (
+        edges.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("w") / F.col("w_out").cast("double")).alias("norm"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nn = edges.select("src").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ranks = (
+        norme.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("src").alias("node"),
+            fixed(F.lit(1.0) / F.col("n"), 9).alias("pr"),
+        )
+    )
+    for _ in range(ROUNDS):
+        contrib = norme.join(
+            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+        ).select(
+            "dst", fixed(F.col("pr") * F.col("norm"), 12).alias("contrib")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum(dec("contrib", 12)).cast("double").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                fixed(
+                    F.lit(0.15) / F.col("n") + DAMPING * F.col("s"),
+                    9,
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(F.col("node").alias("part"), "pr")

@@ -424,3 +424,80 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_logp",
         (F.col("avg_logp") < F.col("thr")).alias("flagged"),
     )
+
+
+# --- pairwise source-vocabulary Jaccard overlap ---------------------
+# Corpus cartography: how lexically similar are the sources feeding a
+# training mix? Jaccard over each source's token vocabulary. The
+# |sources|² output is tiny; the work is bounded by the DISTINCT
+# (source, token) table — dedup happens map-side before the one
+# vocabulary exchange, so raw token volume never shuffles.
+_VOCAB_OVERLAP_ORACLE = """
+WITH vocab AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+margin AS (
+  SELECT source, count(*) AS nv FROM vocab GROUP BY source
+),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT inter.s1, inter.s2, inter.n_common,
+       ma.nv AS nv1, mb.nv AS nv2,
+       floor(CAST(inter.n_common AS DOUBLE)
+             / (ma.nv + mb.nv - inter.n_common) * 1000000.0)
+         / 1000000.0 AS jaccard
+FROM inter
+JOIN margin ma ON ma.source = inter.s1
+JOIN margin mb ON mb.source = inter.s2
+"""
+
+
+@register("source_vocab_overlap", oracle=_VOCAB_OVERLAP_ORACLE)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity between source vocabularies.
+
+    Plan: explode → DISTINCT (source, token) with map-side partial
+    dedup (the only pass over raw tokens), then a self-equi-join on
+    the token — each token's bucket holds ≤ |sources| rows, so the
+    join output is Σ_token (sources containing it choose 2), bounded
+    by |vocab|·|sources|² — margins broadcast back, ratio quantized.
+    """
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    margin = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ma = margin.select(F.col("source").alias("s1"), F.col("nv").alias("nv1"))
+    mb = margin.select(F.col("source").alias("s2"), F.col("nv").alias("nv2"))
+    return (
+        inter.join(F.broadcast(ma), "s1")
+        .join(F.broadcast(mb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            "nv1",
+            "nv2",
+            fixed(
+                F.col("n_common").cast("double")
+                / (F.col("nv1") + F.col("nv2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -347,3 +347,47 @@ def test_phrase_match_filter_before_exchange(spark):
     # the IN-filter is attached directly to the generate's output
     import re
     assert re.search(r"Filter .*w#\d+ IN \(slow,hash,batch\)", plan) or "IN (slow,hash,batch)" in plan
+
+
+def test_wau_single_distinct_exchange(spark):
+    """Rolling 7-day actives: the date fan-out is map-only (sequence +
+    explode, constant factor 7); dedup happens via partial aggregate
+    before the one (user, day) exchange — no join, no window."""
+    plan = _executed_plan(SUITE["weekly_active_users"].fn(spark, SF_TEST_DIR))
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "Generate explode" in final
+    assert "Window" not in final
+    assert "SortMergeJoin" not in final
+    assert "partial_" in final or "HashAggregate" in final
+
+
+def test_retention_no_cohort_join(spark):
+    """Retention matrix: cohort min-week and the distinct active-week
+    set come out of the SAME user_id aggregate — the plan has no join
+    between an activity table and a cohort table at all."""
+    plan = _executed_plan(SUITE["retention_cohorts"].fn(spark, SF_TEST_DIR))
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "SortMergeJoin" not in final
+    assert "collect_set" in final
+    # only the 1-row corpus-start broadcast joins anything
+    assert final.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_vocab_overlap_dedups_before_join(spark):
+    """Source-vocab Jaccard: the (source, token) distinct collapses
+    map-side BEFORE the vocabulary self-join — raw token volume never
+    shuffles twice — and margins broadcast back."""
+    plan = _executed_plan(SUITE["source_vocab_overlap"].fn(spark, SF_TEST_DIR))
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "CartesianProduct" not in final
+    assert plan.count("BroadcastExchange") + plan.count("BroadcastQueryStage") >= 2
+
+
+def test_pagerank_persists_edges_broadcasts_ranks(spark):
+    """PageRank: the normalized edge table is persisted (every round
+    reads InMemoryTableScan, never re-runs the basket self-join) and
+    the rank vector joins back via broadcast each round."""
+    plan = _executed_plan(SUITE["part_pagerank"].fn(spark, SF_TEST_DIR))
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastExchange") + plan.count("BroadcastQueryStage") >= 3
+    assert "CartesianProduct" not in plan

@@ -38,6 +38,7 @@ EXPECTED = {
     "order_rollup_revenue",
     "orders_upsert_merge",
     "part_affinity_topk",
+    "part_pagerank",
     "approx_distinct_parts",
     "salted_join_nation_customers",
     "salted_agg_priority_revenue",
@@ -67,6 +68,8 @@ EXPECTED = {
     "events_range_click_counts",
     "user_decayed_value",
     "event_outliers_mad",
+    "weekly_active_users",
+    "retention_cohorts",
     # text
     "doc_stats_quality",
     "lang_id",
@@ -75,6 +78,7 @@ EXPECTED = {
     "lemma_term_counts",
     "bpe_token_stats",
     "bigram_lm_perplexity",
+    "source_vocab_overlap",
     # sampling / curation
     "stratified_sample_docs",
     "dsir_importance_select",
@@ -175,6 +179,12 @@ ROTATED_OUT = {
     "lang_id",
     "explode_paragraphs",
     "top_terms_per_source",
+    # ninth wave: demoted for the WAU / retention / vocab-overlap /
+    # pagerank debuts (siblings named in _DEPRIORITIZED)
+    "order_priority_semijoin",
+    "nation_set_ops",
+    "exact_dedup",
+    "medoid_summaries",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -256,9 +266,11 @@ def test_core_entries_inside_driver_window():
         "orders_upsert_merge",
         "events_funnel_stages",
         "bigram_lm_perplexity",
+    "source_vocab_overlap",
         "user_decayed_value",
         "event_outliers_mad",
         "part_affinity_topk",
+    "part_pagerank",
         "phrase_match_docs",
     }
     assert promoted <= head, sorted(promoted - head)
