@@ -130,17 +130,15 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nn = edges.select("src").distinct().agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    ranks = (
-        norme.select("src")
-        .distinct()
-        .crossJoin(F.broadcast(nn))
-        .select(
-            F.col("src").alias("node"),
-            fixed(F.lit(1.0) / F.col("n"), 9).alias("pr"),
-        )
+    # per-round localCheckpoint (the components.py device): without
+    # it the ROUNDS aggregates nest into one plan where every round's
+    # broadcast subtree re-plans all earlier rounds — analysis cost
+    # and stage count grow per round instead of staying O(1)
+    nodes = norme.select("src").distinct().localCheckpoint(eager=True)
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"),
+        fixed(F.lit(1.0) / F.col("n"), 9).alias("pr"),
     )
     for _ in range(ROUNDS):
         contrib = norme.join(
@@ -159,5 +157,6 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     9,
                 ).alias("pr"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("node").alias("part"), "pr")

@@ -383,11 +383,15 @@ def test_vocab_overlap_dedups_before_join(spark):
     assert plan.count("BroadcastExchange") + plan.count("BroadcastQueryStage") >= 2
 
 
-def test_pagerank_persists_edges_broadcasts_ranks(spark):
-    """PageRank: the normalized edge table is persisted (every round
-    reads InMemoryTableScan, never re-runs the basket self-join) and
-    the rank vector joins back via broadcast each round."""
-    plan = _executed_plan(SUITE["part_pagerank"].fn(spark, SF_TEST_DIR))
-    assert "InMemoryTableScan" in plan
-    assert plan.count("BroadcastExchange") + plan.count("BroadcastQueryStage") >= 3
-    assert "CartesianProduct" not in plan
+def test_pagerank_rounds_are_checkpointed_leaves(spark):
+    """PageRank: every round ends in an eager localCheckpoint (the
+    components.py device), so the RESULT plan is a leaf scan over the
+    final round's materialized rank vector — re-materializing the
+    result must not re-run any join/aggregate round — and each
+    round's own plan reads the persisted edge table and broadcasts
+    the previous rank vector."""
+    df = SUITE["part_pagerank"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "Scan ExistingRDD" in plan
+    for marker in ("Join", "Exchange", "HashAggregate"):
+        assert marker not in plan, f"round work leaked into result plan: {marker}"
