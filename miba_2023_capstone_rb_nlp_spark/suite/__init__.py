@@ -149,6 +149,15 @@ _DEPRIORITIZED = (
     "medoid_summaries",  # distinct→stub-infer→join ⊂
     # sentiment_distinct_join; medoid machinery in-window via
     # pairwise_medoids + cluster_viz_summary
+    # -- round-5 fifth wave: three more multi-green demotions so the
+    # -- NEW validation / incremental-merge / transition operators
+    # -- debut inside the checked window
+    "minhash_lsh_pairs",  # banded LSH self-join ⊂
+    # hyperplane_lsh_pairs (in-window, same banding machinery)
+    "neardup_components",  # min-label CC ⊂ dedup_canonical_corpus
+    # (in-window: star CC + canonical emission over the same graph)
+    "bpe_token_stats",  # map+agg text kernel ⊂ gopher_repetition_flags
+    # + bigram_lm_perplexity (both in-window)
 )
 
 # Entries promoted to the registry head (after the flagship): the

@@ -552,3 +552,58 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --- next-event Markov transition matrix ----------------------------
+# Product-analytics staple: P(next event type | current event type),
+# estimated from per-user event sequences. Ties in ts are broken by
+# event_id so both engines walk identical sequences; the probability
+# is one double division quantized at 1e-6.
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS nxt
+  FROM events
+),
+pair AS (
+  SELECT cur, nxt, count(*) AS n_pair FROM seq
+  WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+margin AS (
+  SELECT cur, sum(n_pair) AS n_cur FROM pair GROUP BY cur
+)
+SELECT pair.cur, pair.nxt, pair.n_pair,
+       floor(CAST(pair.n_pair AS DOUBLE) / margin.n_cur * 1000000.0)
+         / 1000000.0 AS p
+FROM pair JOIN margin USING (cur)
+"""
+
+
+@register("event_transition_matrix", oracle=_TRANSITION_ORACLE)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type next-event transition probabilities (first-order
+    Markov estimate over per-user sequences).
+
+    Plan: ONE exchange on user_id for the lead window (the only pass
+    over raw events), then a (cur, nxt) count — |types|²-bounded —
+    whose margin joins back via broadcast. Deterministic sequence
+    order via the (ts, event_id) tie-break.
+    """
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pair = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n_pair"))
+    margin = pair.groupBy("cur").agg(F.sum("n_pair").alias("n_cur"))
+    return pair.join(F.broadcast(margin), "cur").select(
+        "cur",
+        "nxt",
+        "n_pair",
+        fixed(F.col("n_pair").cast("double") / F.col("n_cur"), 6).alias("p"),
+    )

@@ -677,3 +677,158 @@ def q_part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("part", "other", "n_pair", "lift", "rk")
     )
+
+
+# --- data-quality constraint report (Deequ-style validation) --------
+# The pre-ingestion gate a production pipeline runs before trusting a
+# batch: uniqueness, completeness, referential integrity, and range
+# constraints, emitted as one (check, metric, passed) report table.
+# Ratios are computed in a fixed textual order and floor-quantized
+# (numeric.py recipe).
+_DQ_ORACLE = """
+WITH o AS (
+  SELECT count(*) AS n,
+         count(DISTINCT o_orderkey) AS n_keys,
+         count(o_custkey) AS n_cust,
+         sum(CASE WHEN o_totalprice > 0.0 THEN 1 ELSE 0 END) AS n_pos
+  FROM orders
+),
+fk AS (
+  SELECT count(*) AS n_matched
+  FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)
+)
+SELECT 'orderkey_unique' AS check_name,
+       floor(CAST(n_keys AS DOUBLE) / n * 1000000.0) / 1000000.0
+         AS metric,
+       n_keys = n AS passed
+FROM o
+UNION ALL
+SELECT 'custkey_complete',
+       floor(CAST(n_cust AS DOUBLE) / n * 1000000.0) / 1000000.0,
+       n_cust = n
+FROM o
+UNION ALL
+SELECT 'custkey_fk_integrity',
+       floor(CAST(n_matched AS DOUBLE) / o.n * 1000000.0) / 1000000.0,
+       n_matched = o.n
+FROM fk, o
+UNION ALL
+SELECT 'totalprice_positive',
+       floor(CAST(n_pos AS DOUBLE) / n * 1000000.0) / 1000000.0,
+       n_pos = n
+FROM o
+"""
+
+
+@register("data_quality_report", oracle=_DQ_ORACLE)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report over orders: key uniqueness,
+    completeness, FK integrity vs customer, value range.
+
+    Plan: ONE aggregate pass over orders collects every row-local
+    metric (count/distinct/non-null/range simultaneously — no scan
+    per check); the FK check is a broadcast LEFT SEMI join counted in
+    a second pass (at TPC-H ratios customer keys broadcast; a too-big
+    dimension degrades to one shuffle). The report itself is a union
+    of 1-row frames — constant size at any input scale.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.count("o_custkey").alias("n_cust"),
+        F.sum(F.when(F.col("o_totalprice") > 0.0, 1).otherwise(0)).alias(
+            "n_pos"
+        ),
+    )
+    fk = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == c["c_custkey"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+
+    def row(name, num, passed):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            fixed(F.col(num).cast("double") / F.col("n"), 6).alias("metric"),
+            passed.alias("passed"),
+        )
+
+    b = base.crossJoin(F.broadcast(fk))
+    checks = b.select(
+        F.explode(
+            F.array(
+                row("orderkey_unique", "n_keys", F.col("n_keys") == F.col("n")),
+                row("custkey_complete", "n_cust", F.col("n_cust") == F.col("n")),
+                row(
+                    "custkey_fk_integrity",
+                    "n_matched",
+                    F.col("n_matched") == F.col("n"),
+                ),
+                row("totalprice_positive", "n_pos", F.col("n_pos") == F.col("n")),
+            )
+        ).alias("r")
+    )
+    return checks.select("r.check_name", "r.metric", "r.passed")
+
+
+# --- incremental aggregation: partial-state merge -------------------
+# The materialized-view / streaming-sink foundation: a base batch and
+# a delta batch are aggregated INDEPENDENTLY into mergeable partial
+# states (decimal sum + count), then merged by a second-level
+# aggregate — and the result must equal a from-scratch aggregation
+# of the full table, which is exactly what the oracle computes. The
+# split is a date predicate, mimicking a daily incremental load.
+_INC_SPLIT = "1997-01-01"
+_INC_ORACLE = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue,
+       {sql_davg('o_totalprice', 2, 4)} AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("incremental_revenue_merge", oracle=_INC_ORACLE)
+def q_incremental_revenue_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation: base + delta partial states merged.
+
+    The oracle recomputes from scratch — equality IS the correctness
+    property of the partial-state design (decimal sums and counts are
+    associative-commutative, so merge order cannot matter; avg is
+    derived only AFTER the merge, never averaged-of-averages).
+
+    Plan: two disjoint predicate scans (both push the date filter to
+    parquet), each one partial agg, union, final merge agg — at
+    scale the delta side is a day's partition while the base state
+    is a tiny saved table, so the merge touches O(groups) rows.
+    """
+    o = _t(spark, sf_dir, "orders")
+    split = F.lit(_INC_SPLIT).cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(dec("o_totalprice", 2)).alias("psum"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < split))
+    delta = partial(o.filter(F.col("o_orderdate") >= split))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("pn").alias("n_orders"), F.sum("psum").alias("ssum"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("ssum").cast("double").alias("revenue"),
+        fixed(
+            F.col("ssum").cast("double") / F.col("n_orders"), 4
+        ).alias("avg_price"),
+    )

@@ -395,3 +395,34 @@ def test_pagerank_rounds_are_checkpointed_leaves(spark):
     assert "Scan ExistingRDD" in plan
     for marker in ("Join", "Exchange", "HashAggregate"):
         assert marker not in plan, f"round work leaked into result plan: {marker}"
+
+
+def test_data_quality_single_metric_pass(spark):
+    """DQ report: all row-local metrics come from ONE aggregate over
+    orders (no scan per check), the FK probe is a broadcast semi
+    join, and the report assembly adds no shuffle."""
+    plan = _executed_plan(SUITE["data_quality_report"].fn(spark, SF_TEST_DIR))
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "LeftSemi" in final
+    assert final.count("Scan parquet") <= 3  # orders ×2 passes + customer
+
+
+def test_incremental_merge_pushes_both_predicates(spark):
+    """Incremental merge: both the base and delta scans push their
+    date predicate to parquet, and the merge is aggregate-over-union
+    (no join)."""
+    df = SUITE["incremental_revenue_merge"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert plan.count("PushedFilters: [IsNotNull(o_orderdate)") >= 2
+    assert "Join" not in plan.split("== Initial Plan ==", 1)[0]
+
+
+def test_transition_matrix_one_window_pass(spark):
+    """Transition matrix: one user_id window pass over events, the
+    |types|²-bounded pair table aggregates with map-side combine and
+    its margin joins back via broadcast."""
+    plan = _executed_plan(SUITE["event_transition_matrix"].fn(spark, SF_TEST_DIR))
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert final.count("Window") == 1
+    assert "SortMergeJoin" not in final
+    assert plan.count("BroadcastExchange") + plan.count("BroadcastQueryStage") >= 1

@@ -39,6 +39,8 @@ EXPECTED = {
     "orders_upsert_merge",
     "part_affinity_topk",
     "part_pagerank",
+    "data_quality_report",
+    "incremental_revenue_merge",
     "approx_distinct_parts",
     "salted_join_nation_customers",
     "salted_agg_priority_revenue",
@@ -70,6 +72,7 @@ EXPECTED = {
     "event_outliers_mad",
     "weekly_active_users",
     "retention_cohorts",
+    "event_transition_matrix",
     # text
     "doc_stats_quality",
     "lang_id",
@@ -185,6 +188,11 @@ ROTATED_OUT = {
     "nation_set_ops",
     "exact_dedup",
     "medoid_summaries",
+    # tenth wave: demoted for the validation / incremental-merge /
+    # transition-matrix debuts (siblings named in _DEPRIORITIZED)
+    "minhash_lsh_pairs",
+    "neardup_components",
+    "bpe_token_stats",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -271,6 +279,8 @@ def test_core_entries_inside_driver_window():
         "event_outliers_mad",
         "part_affinity_topk",
     "part_pagerank",
+    "data_quality_report",
+    "incremental_revenue_merge",
         "phrase_match_docs",
     }
     assert promoted <= head, sorted(promoted - head)
