@@ -158,6 +158,9 @@ _DEPRIORITIZED = (
     # (in-window: star CC + canonical emission over the same graph)
     "bpe_token_stats",  # map+agg text kernel ⊂ gopher_repetition_flags
     # + bigram_lm_perplexity (both in-window)
+    "stratified_sample_docs",  # 3 green rounds; keyed-md5 rate/bucket
+    # kernel ⊂ dsir_importance_select's md5 bucketing (in-window);
+    # demoted for the NEW events_asof_cogroup (§2.11 cogroup surface)
 )
 
 # Entries promoted to the registry head (after the flagship): the

@@ -128,3 +128,79 @@ def q_events_range_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
         F.coalesce("sum_click_value", F.lit(0.0)).alias("sum_click_value"),
     )
+
+
+_ASOF_COGROUP_SCHEMA = (
+    "purchase_id bigint, user_id bigint, purchase_ts timestamp, "
+    "click_id bigint, click_ts timestamp, gap_us bigint"
+)
+
+
+def _merge_asof_groups(left, right):
+    """Per-user pandas merge_asof (backward): the Arrow-batched twin
+    of the relational as-of compile. Runs once per cogrouped user."""
+    import pandas as pd
+
+    if len(left) == 0:
+        return pd.DataFrame(
+            columns=[
+                "purchase_id",
+                "user_id",
+                "purchase_ts",
+                "click_id",
+                "click_ts",
+                "gap_us",
+            ]
+        )
+    left = left.sort_values(["purchase_ts", "purchase_id"])
+    if len(right) == 0:
+        out = left.assign(click_id=pd.NA, click_ts=pd.NaT)
+    else:
+        right = right.sort_values(["click_ts", "click_id"])
+        out = pd.merge_asof(
+            left,
+            right.drop(columns=["user_id"]),
+            left_on="purchase_ts",
+            right_on="click_ts",
+            direction="backward",
+        )
+    out = out.dropna(subset=["click_id"])  # inner semantics
+    gap = out["purchase_ts"].astype("int64") - out["click_ts"].astype("int64")
+    out = out.assign(gap_us=gap // 1000)  # ns → µs, exact int math
+    return out[
+        ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "gap_us"]
+    ]
+
+
+@register("events_asof_cogroup", oracle=_ASOF_ORACLE)
+def q_events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join via ``cogroup().applyInPandas`` — the SAME
+    query (and oracle) as events_asof_last_click, solved with the
+    other physical strategy Spark offers: co-partition both event
+    streams on user_id and run pandas merge_asof per key in one
+    Arrow-batched stage.
+
+    When to pick which: the relational compile (union + window) is
+    one shuffle and stays whole-stage-codegen'd — the default. The
+    cogroup form pays Arrow transfer but generalizes to per-key
+    logic SQL can't express (tolerance windows with custom
+    tie-breaks, per-key model scoring); this entry pins the API
+    surface (§2.11) and proves both strategies return identical
+    frames against one oracle.
+    """
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(_merge_asof_groups, schema=_ASOF_COGROUP_SCHEMA)
+    )

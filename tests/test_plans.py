@@ -426,3 +426,15 @@ def test_transition_matrix_one_window_pass(spark):
     assert final.count("Window") == 1
     assert "SortMergeJoin" not in final
     assert plan.count("BroadcastExchange") + plan.count("BroadcastQueryStage") >= 1
+
+
+def test_asof_cogroup_copartitions_both_sides(spark):
+    """Cogroup as-of: one FlatMapCoGroupsInPandas stage fed by both
+    sides exchanged on user_id — no join operator, no extra shuffle
+    after the pandas stage."""
+    plan = _executed_plan(SUITE["events_asof_cogroup"].fn(spark, SF_TEST_DIR))
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "FlatMapCoGroupsInPandas" in final
+    assert "Join" not in final
+    exchanges = [ln for ln in final.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exchanges and all("user_id" in ln for ln in exchanges)

@@ -67,6 +67,7 @@ EXPECTED = {
     "events_type_pivot",
     "events_funnel_stages",
     "events_asof_last_click",
+    "events_asof_cogroup",
     "events_range_click_counts",
     "user_decayed_value",
     "event_outliers_mad",
@@ -193,6 +194,8 @@ ROTATED_OUT = {
     "minhash_lsh_pairs",
     "neardup_components",
     "bpe_token_stats",
+    # eleventh wave: demoted for the cogroup as-of debut
+    "stratified_sample_docs",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -220,6 +223,7 @@ CORE_ENTRIES = {
     "events_tumbling_streaming",
     "events_stateful_running",
     "events_asof_last_click",
+    "events_asof_cogroup",
     "events_range_click_counts",
     "doc_stats_quality",
     "lang_id",
