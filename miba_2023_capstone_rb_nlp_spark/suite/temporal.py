@@ -137,8 +137,12 @@ _ASOF_COGROUP_SCHEMA = (
 
 
 def _merge_asof_groups(left, right):
-    """Per-user pandas merge_asof (backward): the Arrow-batched twin
-    of the relational as-of compile. Runs once per cogrouped user."""
+    """Bucket-level pandas merge_asof (backward, by=user_id): the
+    Arrow-batched twin of the relational as-of compile. Cogrouping on
+    a HASH BUCKET rather than the raw user keeps the number of
+    Python calls constant (n_buckets) while merge_asof's ``by=``
+    still matches within each user — the pattern that makes pandas
+    cogroup survive high-cardinality keys."""
     import pandas as pd
 
     if len(left) == 0:
@@ -159,9 +163,10 @@ def _merge_asof_groups(left, right):
         right = right.sort_values(["click_ts", "click_id"])
         out = pd.merge_asof(
             left,
-            right.drop(columns=["user_id"]),
+            right,
             left_on="purchase_ts",
             right_on="click_ts",
+            by="user_id",
             direction="backward",
         )
     out = out.dropna(subset=["click_id"])  # inner semantics
@@ -177,8 +182,12 @@ def q_events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The as-of join via ``cogroup().applyInPandas`` — the SAME
     query (and oracle) as events_asof_last_click, solved with the
     other physical strategy Spark offers: co-partition both event
-    streams on user_id and run pandas merge_asof per key in one
-    Arrow-batched stage.
+    streams on a 64-way user-hash bucket and run pandas merge_asof
+    (``by=user_id``) per bucket in one Arrow-batched stage. The
+    bucket indirection is the load-bearing scale choice: cogrouping
+    on the raw user would make one Python call per user (measured
+    10× slower at 6k users); bucketing keeps the call count constant
+    while ``by=`` preserves exact per-user matching.
 
     When to pick which: the relational compile (union + window) is
     one shuffle and stays whole-stage-codegen'd — the default. The
@@ -199,8 +208,10 @@ def q_events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("click_ts"),
     )
+    bucket = F.pmod(F.col("user_id"), F.lit(64)).alias("b")
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.withColumn("b", bucket)
+        .groupBy("b")
+        .cogroup(clicks.withColumn("b", bucket).groupBy("b"))
         .applyInPandas(_merge_asof_groups, schema=_ASOF_COGROUP_SCHEMA)
     )

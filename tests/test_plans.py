@@ -430,11 +430,12 @@ def test_transition_matrix_one_window_pass(spark):
 
 def test_asof_cogroup_copartitions_both_sides(spark):
     """Cogroup as-of: one FlatMapCoGroupsInPandas stage fed by both
-    sides exchanged on user_id — no join operator, no extra shuffle
-    after the pandas stage."""
+    sides exchanged on the HASH BUCKET (constant python-call count at
+    any user cardinality) — no join operator, no extra shuffle after
+    the pandas stage."""
     plan = _executed_plan(SUITE["events_asof_cogroup"].fn(spark, SF_TEST_DIR))
     final = plan.split("== Initial Plan ==", 1)[0]
     assert "FlatMapCoGroupsInPandas" in final
     assert "Join" not in final
     exchanges = [ln for ln in final.splitlines() if "Exchange hashpartitioning" in ln]
-    assert exchanges and all("user_id" in ln for ln in exchanges)
+    assert exchanges and all("b#" in ln for ln in exchanges)
