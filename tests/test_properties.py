@@ -302,3 +302,52 @@ def test_bigram_lm_flags_the_shuffled_doc(spark):
         out = q_bigram_lm_perplexity(spark, d).toPandas().set_index("doc_id")
     assert out.loc[3, "avg_logp"] < out.loc[0, "avg_logp"]
     assert bool(out.loc[3, "flagged"]) and not bool(out.loc[0, "flagged"])
+
+
+def test_data_quality_report_catches_planted_violations(spark, tmp_path):
+    """The constraint report on a corpus with one duplicated key, one
+    null custkey, one orphan FK and one non-positive price: every
+    check must fail with the exact expected metric (on the clean
+    driver tables all four pass, so this is the non-vacuity proof)."""
+    import os
+
+    import pandas as pd
+
+    from miba_2023_capstone_rb_nlp_spark.suite.relational import (
+        q_data_quality_report,
+    )
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 1, 2, 3],  # dup key
+            "o_custkey": pd.array([10, 10, None, 99], dtype="Int64"),  # null + orphan(99)
+            "o_orderstatus": ["O"] * 4,
+            "o_totalprice": [5.0, 6.0, 7.0, -1.0],  # one non-positive
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * 4),
+            "o_orderpriority": ["1-URGENT"] * 4,
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": [10, 11],
+            "c_name": ["a", "b"],
+            "c_nationkey": [0, 0],
+            "c_mktsegment": ["X", "X"],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(orders).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(customer).write.parquet(os.path.join(d, "customer.parquet"))
+    out = (
+        q_data_quality_report(spark, d)
+        .toPandas()
+        .set_index("check_name")
+    )
+    assert not out.loc["orderkey_unique", "passed"]
+    assert out.loc["orderkey_unique", "metric"] == 0.75  # 3 keys / 4 rows
+    assert not out.loc["custkey_complete", "passed"]
+    assert out.loc["custkey_complete", "metric"] == 0.75  # 3 non-null / 4
+    assert not out.loc["custkey_fk_integrity", "passed"]
+    assert out.loc["custkey_fk_integrity", "metric"] == 0.5  # 2 match / 4
+    assert not out.loc["totalprice_positive", "passed"]
+    assert out.loc["totalprice_positive", "metric"] == 0.75
