@@ -161,6 +161,14 @@ _DEPRIORITIZED = (
     "stratified_sample_docs",  # 3 green rounds; keyed-md5 rate/bucket
     # kernel ⊂ dsir_importance_select's md5 bucketing (in-window);
     # demoted for the NEW events_asof_cogroup (§2.11 cogroup surface)
+    # -- round-5 sixth wave: two more demotions for the gap-fill and
+    # -- decile-histogram debuts
+    "sentiment_distinct_join",  # 3 green rounds; the distinct→stub-
+    # infer→join chain runs in-window inside wizard_chain_stages
+    # (find_sentiment stage, same machinery)
+    "gopher_repetition_flags",  # 3 green rounds; sorted-scan /
+    # quality-flag kernels ⊂ duplicate_span_flags +
+    # bigram_lm_perplexity (both in-window)
 )
 
 # Entries promoted to the registry head (after the flagship): the

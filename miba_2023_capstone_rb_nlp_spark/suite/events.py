@@ -607,3 +607,82 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pair",
         fixed(F.col("n_pair").cast("double") / F.col("n_cur"), 6).alias("p"),
     )
+
+
+# --- hourly gap-fill with forward fill ------------------------------
+# Time-series hygiene: a complete hourly grid per event type over the
+# observed span, empty hours carried forward from the last non-empty
+# hour (n = 0 marks the fill rows). The calendar is GENERATED
+# (sequence over the 1-row global bounds), never materialized as a
+# table — the standard dense-grid trick.
+_GAPFILL_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         count(*) AS n, {sql_dsum('value')} AS sum_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+         max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, gs.h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       bounds,
+       LATERAL (SELECT unnest(generate_series(lo, hi,
+                               INTERVAL '1 hour')) AS h) gs
+)
+SELECT grid.event_type, grid.h,
+       coalesce(hourly.n, 0) AS n,
+       last_value(hourly.sum_value IGNORE NULLS) OVER (
+         PARTITION BY grid.event_type ORDER BY grid.h
+         ROWS UNBOUNDED PRECEDING) AS sum_value_ff
+FROM grid LEFT JOIN hourly
+  ON hourly.event_type = grid.event_type AND hourly.h = grid.h
+"""
+
+
+@register("events_hourly_gapfill", oracle=_GAPFILL_ORACLE)
+def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per event type with forward-filled sums.
+
+    Plan: ONE (type, hour) aggregate over events (map-side partial —
+    the only pass over raw data); the grid is a |types| × sequence()
+    explode off a 1-row bounds broadcast (generated, not scanned);
+    the grid⋈hourly join and the forward-fill window share the same
+    (event_type) partitioning. At any scale the grid is
+    span-in-hours × |types| rows — independent of event volume.
+    """
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(
+        "event_type", hour.alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    bounds = ev.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left")
+    return joined.select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ff"),
+    )

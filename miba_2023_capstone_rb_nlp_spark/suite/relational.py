@@ -832,3 +832,55 @@ def q_incremental_revenue_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ssum").cast("double") / F.col("n_orders"), 4
         ).alias("avg_price"),
     )
+
+
+# --- equi-depth decile histogram (ntile) ----------------------------
+# Distribution profiling: ten equal-count price buckets per return
+# flag with their boundaries. ntile's SQL semantics (floor-division
+# row distribution over a TOTAL order) are engine-identical, so the
+# deterministic (price, orderkey, linenumber) tie-break makes bucket
+# assignment exact. NOTE the scale ceiling, accepted deliberately:
+# ntile sorts each whole partition (3 flags → 3 giant sorts at
+# 100 TB). The scale path for equi-depth histograms is
+# percentile_approx boundaries + a map-only range bucketer; THIS
+# entry is the exact, oracle-checkable form that validates that
+# approximation (same role as ngram_jaccard_pairs for LSH).
+_DECILE_ORACLE = f"""
+WITH b AS (
+  SELECT l_returnflag,
+         l_extendedprice,
+         ntile(10) OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS decile
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(decile AS INT) AS decile,
+       count(*) AS n,
+       min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM b GROUP BY l_returnflag, decile
+"""
+
+
+@register("price_decile_histogram", oracle=_DECILE_ORACLE)
+def q_price_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth price deciles per return flag (ntile + aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

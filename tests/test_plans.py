@@ -439,3 +439,24 @@ def test_asof_cogroup_copartitions_both_sides(spark):
     assert "Join" not in final
     exchanges = [ln for ln in final.splitlines() if "Exchange hashpartitioning" in ln]
     assert exchanges and all("b#" in ln for ln in exchanges)
+
+
+def test_gapfill_generates_grid_no_second_event_scan(spark):
+    """Gap-fill: ONE scan feeds the hourly agg; the grid comes from a
+    sequence() explode over 1-row bounds plus the distinct-type table
+    (3 event scans total: agg + bounds + types — never per grid
+    row), and the forward fill is one event_type window."""
+    plan = _executed_plan(SUITE["events_hourly_gapfill"].fn(spark, SF_TEST_DIR))
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "Generate explode" in final
+    assert final.count("Window") == 1
+
+
+def test_decile_histogram_single_window_partial_agg(spark):
+    """Decile histogram: one ntile window per flag partition followed
+    by a map-side-combined aggregate (the documented exact/oracle
+    form — the approx scale path lives in the docstring)."""
+    plan = _executed_plan(SUITE["price_decile_histogram"].fn(spark, SF_TEST_DIR))
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert final.count("Window") == 1
+    assert "partial_" in final

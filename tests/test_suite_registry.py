@@ -41,6 +41,7 @@ EXPECTED = {
     "part_pagerank",
     "data_quality_report",
     "incremental_revenue_merge",
+    "price_decile_histogram",
     "approx_distinct_parts",
     "salted_join_nation_customers",
     "salted_agg_priority_revenue",
@@ -74,6 +75,7 @@ EXPECTED = {
     "weekly_active_users",
     "retention_cohorts",
     "event_transition_matrix",
+    "events_hourly_gapfill",
     # text
     "doc_stats_quality",
     "lang_id",
@@ -196,6 +198,9 @@ ROTATED_OUT = {
     "bpe_token_stats",
     # eleventh wave: demoted for the cogroup as-of debut
     "stratified_sample_docs",
+    # twelfth wave: demoted for the gap-fill / decile debuts
+    "sentiment_distinct_join",
+    "gopher_repetition_flags",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -285,6 +290,7 @@ def test_core_entries_inside_driver_window():
     "part_pagerank",
     "data_quality_report",
     "incremental_revenue_merge",
+    "price_decile_histogram",
         "phrase_match_docs",
     }
     assert promoted <= head, sorted(promoted - head)
