@@ -169,6 +169,15 @@ _DEPRIORITIZED = (
     "gopher_repetition_flags",  # 3 green rounds; sorted-scan /
     # quality-flag kernels ⊂ duplicate_span_flags +
     # bigram_lm_perplexity (both in-window)
+    # -- round-5 seventh wave: two more demotions for the embedding
+    # -- dim-stats and unpivot debuts
+    "events_session_windows",  # 4 green rounds; user-sequence
+    # machinery in-window via events_funnel_stages +
+    # event_transition_matrix; the F.session_window op itself is
+    # exercised by tests/test_streaming.py's streaming session harness
+    "sequence_packing",  # 3 green rounds; token-budget machinery ⊂
+    # doc_chunk_windows, rank-window strata ⊂ pairwise_medoids
+    # (both in-window)
 )
 
 # Entries promoted to the registry head (after the flagship): the

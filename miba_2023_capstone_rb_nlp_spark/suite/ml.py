@@ -336,3 +336,69 @@ def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json("topics").alias("topics"),
         "paragraph",
     )
+
+
+# --- embedding column health profile --------------------------------
+# Vector-QA for the similarity/clustering stack: per-dimension mean,
+# variance and zero fraction across the corpus — the check that
+# catches dead dims, collapsed encoders and scale drift before they
+# poison ANN recall. float32 values are exact in double; each value
+# and its square are floor-quantized then DECIMAL-summed (order-free),
+# the variance derives as E[x²]−mean² in a fixed textual order.
+_DIM_STATS_ORACLE = """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+agg AS (
+  SELECT dim, count(*) AS n,
+         CAST(sum(CAST(floor(v * 1000000.0) / 1000000.0
+                       AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(floor(v * v * 100000000.0) / 100000000.0
+                       AS DECIMAL(18,8))) AS DOUBLE) AS s2,
+         sum(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS n_zero
+  FROM x GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, n,
+       floor(s1 / n * 1000000.0) / 1000000.0 AS mean,
+       floor((s2 / n - (floor(s1 / n * 1000000.0) / 1000000.0)
+                        * (floor(s1 / n * 1000000.0) / 1000000.0))
+             * 1000000.0) / 1000000.0 AS variance,
+       floor(CAST(n_zero AS DOUBLE) / n * 1000000.0) / 1000000.0
+         AS zero_frac
+FROM agg
+"""
+
+
+@register("embedding_dim_stats", oracle=_DIM_STATS_ORACLE)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean/variance/zero-rate).
+
+    Plan: posexplode fans each vector into (dim, value) pairs
+    map-only; ONE aggregate on dim (64 groups — map-side combine
+    collapses each partition to 64 rows before the exchange). Output
+    is |dims| rows at any corpus size.
+    """
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec, fixed
+
+    e = catalog.table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode("embedding").alias("dim", "vf")
+    ).select("dim", F.col("vf").cast("double").alias("v"))
+    agg = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(fixed(F.col("v"), 6), 6)).cast("double").alias("s1"),
+        F.sum(dec(fixed(F.col("v") * F.col("v"), 8), 8, 18))
+        .cast("double")
+        .alias("s2"),
+        F.sum(F.when(F.col("v") == 0.0, 1).otherwise(0)).alias("n_zero"),
+    )
+    mean = fixed(F.col("s1") / F.col("n"), 6)
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        mean.alias("mean"),
+        fixed(F.col("s2") / F.col("n") - mean * mean, 6).alias("variance"),
+        fixed(F.col("n_zero").cast("double") / F.col("n"), 6).alias("zero_frac"),
+    )

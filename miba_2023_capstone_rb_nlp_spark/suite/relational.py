@@ -884,3 +884,43 @@ def q_price_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_price"),
         )
     )
+
+
+# --- unpivot / melt (wide → long, the pivot inverse) ----------------
+_UNPIVOT_ORACLE = f"""
+SELECT l_returnflag, measure,
+       count(*) AS n,
+       {sql_dsum('value')} AS total,
+       {sql_davg('value', 2, 4)} AS mean
+FROM (
+  SELECT l_returnflag, l_quantity, l_extendedprice, l_discount
+  FROM lineitem
+) UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice,
+                                 l_discount))
+GROUP BY l_returnflag, measure
+"""
+
+
+@register("lineitem_unpivot_stats", oracle=_UNPIVOT_ORACLE)
+def q_lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): three measure columns rotated into
+    (measure, value) rows, then one grouped profile per
+    (returnflag, measure) — the inverse reshape of
+    events_type_pivot, closing the long↔wide pair.
+
+    Plan: unpivot compiles to a constant-factor-3 Expand (map-only,
+    no key-discovery job — measures are declared like the pivot's
+    values), then ONE map-side-combined aggregate on the 3×|flags|
+    keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total"),
+        davg("value").alias("mean"),
+    )

@@ -460,3 +460,23 @@ def test_decile_histogram_single_window_partial_agg(spark):
     final = plan.split("== Initial Plan ==", 1)[0]
     assert final.count("Window") == 1
     assert "partial_" in final
+
+
+def test_dim_stats_single_agg_after_posexplode(spark):
+    """Embedding dim stats: posexplode is map-only; ONE |dims|-key
+    aggregate with map-side combine; no join, no window."""
+    plan = _executed_plan(SUITE["embedding_dim_stats"].fn(spark, SF_TEST_DIR))
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "Generate posexplode" in final
+    assert "partial_" in final
+    assert "Join" not in final and "Window" not in final
+
+
+def test_unpivot_is_expand_no_discovery(spark):
+    """Unpivot: compiles to a constant-factor Expand (declared
+    measures, no key-discovery job) + one map-side-combined agg."""
+    plan = _executed_plan(SUITE["lineitem_unpivot_stats"].fn(spark, SF_TEST_DIR))
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "Expand" in final
+    assert "partial_" in final
+    assert "Join" not in final

@@ -23,6 +23,7 @@ EXPECTED = {
     "pairwise_medoids",
     "kmeans_clusters",
     "pca_coords",
+    "embedding_dim_stats",
     "hash_embeddings",
     "sentiment_distinct_join",
     "medoid_summaries",
@@ -42,6 +43,7 @@ EXPECTED = {
     "data_quality_report",
     "incremental_revenue_merge",
     "price_decile_histogram",
+    "lineitem_unpivot_stats",
     "approx_distinct_parts",
     "salted_join_nation_customers",
     "salted_agg_priority_revenue",
@@ -201,6 +203,9 @@ ROTATED_OUT = {
     # twelfth wave: demoted for the gap-fill / decile debuts
     "sentiment_distinct_join",
     "gopher_repetition_flags",
+    # thirteenth wave: demoted for the dim-stats / unpivot debuts
+    "events_session_windows",
+    "sequence_packing",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -208,6 +213,7 @@ CORE_ENTRIES = {
     "pairwise_medoids",
     "kmeans_clusters",
     "pca_coords",
+    "embedding_dim_stats",
     "hash_embeddings",
     "sentiment_distinct_join",
     "medoid_summaries",
@@ -291,6 +297,7 @@ def test_core_entries_inside_driver_window():
     "data_quality_report",
     "incremental_revenue_merge",
     "price_decile_histogram",
+    "lineitem_unpivot_stats",
         "phrase_match_docs",
     }
     assert promoted <= head, sorted(promoted - head)
