@@ -178,6 +178,14 @@ _DEPRIORITIZED = (
     "sequence_packing",  # 3 green rounds; token-budget machinery ⊂
     # doc_chunk_windows, rank-window strata ⊂ pairwise_medoids
     # (both in-window)
+    # -- round-5 eighth wave: two more demotions for the CUSUM and
+    # -- Welch t-test debuts
+    "etl_clean_articles",  # 4 green rounds; the ENTIRE cleaning
+    # chain executes in-window as wizard_chain_stages' first stage
+    # (same q_etl_clean_articles call, oracle-checked)
+    "pricing_summary",  # 4 green rounds; grouped exact-decimal agg
+    # machinery ⊂ order_rollup_revenue + incremental_revenue_merge
+    # (both in-window, same orders/lineitem decimal sums)
 )
 
 # Entries promoted to the registry head (after the flagship): the

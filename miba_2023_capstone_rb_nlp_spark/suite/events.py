@@ -686,3 +686,179 @@ def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ff"),
     )
+
+
+# --- CUSUM changepoint scan over the daily series -------------------
+# Time-series drift detection: per event type, the cumulative sum of
+# daily-count deviations from the series mean; the day where |CUSUM|
+# peaks is the changepoint candidate, reported with its score. All
+# cumulative state is integer (counts) until one final quantized
+# division, so the running sums are exactly engine-identical; the
+# argmax is a struct-max aggregate (no second window pass).
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, count(*) AS n_days, sum(n) AS total
+  FROM daily GROUP BY event_type
+),
+c AS (
+  SELECT daily.event_type, daily.d,
+         sum(daily.n * m.n_days - m.total) OVER (
+           PARTITION BY daily.event_type ORDER BY daily.d
+           ROWS UNBOUNDED PRECEDING) AS cusum_scaled,
+         m.n_days, m.total
+  FROM daily JOIN m USING (event_type)
+)
+SELECT event_type,
+       CAST(max({'a': abs(cusum_scaled), 'd': d}).d AS TIMESTAMP)
+         AS change_day,
+       floor(CAST(max({'a': abs(cusum_scaled), 'd': d}).a AS DOUBLE)
+             / n_days * 1000000.0) / 1000000.0 AS peak_cusum,
+       CAST(n_days AS BIGINT) AS n_days
+FROM c GROUP BY event_type, n_days
+"""
+
+
+@register("events_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM changepoint: the day of peak cumulative
+    deviation from the series mean daily count.
+
+    Integer trick for exactness: instead of cumsum(n − total/n_days)
+    (a float running sum), both engines accumulate the SCALED
+    integer n·n_days − total and divide once at the end — the
+    cumulative state never leaves exact integer arithmetic. Plan:
+    one (type, day) agg, a |types|-row mean broadcast, one ordered
+    window per type (|days| rows each), struct-max argmax.
+    """
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("n").alias("total")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.join(F.broadcast(m), "event_type").withColumn(
+        "cusum_scaled",
+        F.sum(F.col("n") * F.col("n_days") - F.col("total")).over(w),
+    )
+    best = F.max(
+        F.struct(F.abs("cusum_scaled").alias("a"), F.col("d").alias("d"))
+    )
+    return (
+        c.groupBy("event_type", "n_days")
+        .agg(best.alias("b"))
+        .select(
+            "event_type",
+            F.col("b.d").cast("timestamp").alias("change_day"),
+            fixed(F.col("b.a").cast("double") / F.col("n_days"), 6).alias(
+                "peak_cusum"
+            ),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+    )
+
+
+# --- Welch two-sample t statistics (A/B-metric shape) ---------------
+# Experiment analytics: for each event type, the Welch t statistic of
+# its value distribution against all OTHER events pooled — the
+# metric-vs-control computation every A/B platform runs. Sums are
+# exact decimals; the per-type t derives from |types| rows with
+# sqrt applied once per type and floor-quantized.
+_TTEST_ORACLE = """
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT sum(n) AS tn, sum(s1) AS ts1, sum(s2) AS ts2 FROM g),
+d AS (
+  SELECT g.event_type, g.n,
+         g.s1 / g.n AS m1,
+         (tot.ts1 - g.s1) / (tot.tn - g.n) AS m2,
+         (g.s2 / g.n - (g.s1 / g.n) * (g.s1 / g.n))
+           * (g.n / (g.n - 1.0)) AS v1,
+         ((tot.ts2 - g.s2) / (tot.tn - g.n)
+           - ((tot.ts1 - g.s1) / (tot.tn - g.n))
+             * ((tot.ts1 - g.s1) / (tot.tn - g.n)))
+           * ((tot.tn - g.n) / (tot.tn - g.n - 1.0)) AS v2,
+         tot.tn - g.n AS n2
+  FROM g, tot
+)
+SELECT event_type, n, CAST(n2 AS BIGINT) AS n2,
+       floor(m1 * 1000000.0) / 1000000.0 AS mean_type,
+       floor(m2 * 1000000.0) / 1000000.0 AS mean_rest,
+       floor((m1 - m2) / sqrt(v1 / n + v2 / n2) * 1000000.0)
+         / 1000000.0 AS t_stat
+FROM d
+"""
+
+
+@register("events_value_ttest", oracle=_TTEST_ORACLE)
+def q_events_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t statistic per event type vs the pooled rest.
+
+    Plan: ONE aggregate pass over events collects (n, Σx, Σx²) per
+    type as exact decimals; the complement's moments derive by
+    subtraction from the 1-row totals broadcast — the data is never
+    scanned per comparison. sqrt runs once per TYPE (bounded rows),
+    every division in the same textual order as the oracle.
+    """
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum(
+            F.col("value").cast("decimal(18,2)")
+            * F.col("value").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"), F.sum("s1").alias("ts1"), F.sum("s2").alias("ts2")
+    )
+    d = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("m1"),
+        ((F.col("ts1") - F.col("s1")) / (F.col("tn") - F.col("n"))).alias("m2"),
+        (
+            (F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")))
+            * (F.col("n") / (F.col("n") - 1.0))
+        ).alias("v1"),
+        (
+            (
+                (F.col("ts2") - F.col("s2")) / (F.col("tn") - F.col("n"))
+                - ((F.col("ts1") - F.col("s1")) / (F.col("tn") - F.col("n")))
+                * ((F.col("ts1") - F.col("s1")) / (F.col("tn") - F.col("n")))
+            )
+            * ((F.col("tn") - F.col("n")) / (F.col("tn") - F.col("n") - 1.0))
+        ).alias("v2"),
+        (F.col("tn") - F.col("n")).alias("n2"),
+    )
+    return d.select(
+        "event_type",
+        "n",
+        F.col("n2").cast("bigint").alias("n2"),
+        fixed(F.col("m1"), 6).alias("mean_type"),
+        fixed(F.col("m2"), 6).alias("mean_rest"),
+        fixed(
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(F.col("v1") / F.col("n") + F.col("v2") / F.col("n2")),
+            6,
+        ).alias("t_stat"),
+    )

@@ -480,3 +480,25 @@ def test_unpivot_is_expand_no_discovery(spark):
     assert "Expand" in final
     assert "partial_" in final
     assert "Join" not in final
+
+
+def test_cusum_integer_state_struct_argmax(spark):
+    """CUSUM: the running state is integer (no float cumsum), the
+    peak-day pick is a struct-max AGGREGATE on top of the one ordered
+    window per type — exactly one Window, no join besides the
+    |types|-row broadcast."""
+    plan = _executed_plan(SUITE["events_cusum_changepoint"].fn(spark, SF_TEST_DIR))
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert final.count("Window") == 1
+    assert "SortMergeJoin" not in final
+
+
+def test_ttest_one_pass_complement_by_subtraction(spark):
+    """Welch t: ONE aggregate pass collects per-type moments; the
+    complement ('rest') derives from the 1-row totals broadcast by
+    subtraction — no second scan, no self-join of events."""
+    df = SUITE["events_value_ttest"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert final.count("Scan parquet") <= 1
+    assert "SortMergeJoin" not in final and "Window" not in final

@@ -78,6 +78,8 @@ EXPECTED = {
     "retention_cohorts",
     "event_transition_matrix",
     "events_hourly_gapfill",
+    "events_cusum_changepoint",
+    "events_value_ttest",
     # text
     "doc_stats_quality",
     "lang_id",
@@ -206,6 +208,9 @@ ROTATED_OUT = {
     # thirteenth wave: demoted for the dim-stats / unpivot debuts
     "events_session_windows",
     "sequence_packing",
+    # fourteenth wave: demoted for the CUSUM / t-test debuts
+    "etl_clean_articles",
+    "pricing_summary",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
