@@ -351,3 +351,90 @@ def test_data_quality_report_catches_planted_violations(spark, tmp_path):
     assert out.loc["custkey_fk_integrity", "metric"] == 0.5  # 2 match / 4
     assert not out.loc["totalprice_positive", "passed"]
     assert out.loc["totalprice_positive", "metric"] == 0.75
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    """Per current-type transition probabilities sum to ~1 (within
+    the 1e-6 per-cell quantization × |types|)."""
+    from tests.conftest import SF_TEST_DIR
+
+    from miba_2023_capstone_rb_nlp_spark.suite import load_suite
+
+    df = (
+        load_suite()["event_transition_matrix"]
+        .fn(spark, SF_TEST_DIR)
+        .toPandas()
+    )
+    sums = df.groupby("cur")["p"].sum()
+    assert ((sums - 1.0).abs() < 6e-6).all()
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    """A daily series that doubles its rate halfway through: the
+    changepoint day must land at (or next to) the shift boundary."""
+    import datetime
+
+    import pandas as pd
+
+    from miba_2023_capstone_rb_nlp_spark.suite.events import (
+        q_events_cusum_changepoint,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(20):
+        rate = 2 if day < 10 else 8
+        for k in range(rate):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 3, 1 + day, 12, 0, k),
+                    1,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(d, "events.parquet"))
+        out = q_events_cusum_changepoint(spark, d).toPandas()
+    day = out.loc[0, "change_day"].day
+    # CUSUM of a clean level shift peaks AT the last pre-shift day
+    assert day in (10, 11)
+
+
+def test_ttest_separates_planted_groups(spark):
+    """Two value distributions with distinct means: the planted
+    type's |t| must dwarf a same-mean control's."""
+    import pandas as pd
+
+    from miba_2023_capstone_rb_nlp_spark.suite.events import (
+        q_events_value_ttest,
+    )
+
+    rows = []
+    eid = 0
+    for i in range(200):
+        rows.append((eid, pd.Timestamp("2024-01-01"), 1, "click", 10.0 + (i % 3), "{}")); eid += 1
+        rows.append((eid, pd.Timestamp("2024-01-01"), 1, "view", 10.0 + ((i + 1) % 3), "{}")); eid += 1
+        rows.append((eid, pd.Timestamp("2024-01-01"), 1, "purchase", 50.0 + (i % 3), "{}")); eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(d, "events.parquet"))
+        out = (
+            q_events_value_ttest(spark, d).toPandas().set_index("event_type")
+        )
+    assert abs(out.loc["purchase", "t_stat"]) > 50
+    assert abs(out.loc["click", "t_stat"]) < abs(out.loc["purchase", "t_stat"]) / 5
