@@ -186,6 +186,12 @@ _DEPRIORITIZED = (
     "pricing_summary",  # 4 green rounds; grouped exact-decimal agg
     # machinery ⊂ order_rollup_revenue + incremental_revenue_merge
     # (both in-window, same orders/lineitem decimal sums)
+    # -- round-5 ninth wave: one demotion for the dual-engine SQL
+    # -- interface debut
+    "events_asof_last_click",  # 3 green rounds; its EXACT oracle
+    # string runs in-window via events_asof_cogroup (same query,
+    # other physical strategy); the relational compile's plan shape
+    # stays pinned by tests/test_plans.py
 )
 
 # Entries promoted to the registry head (after the flagship): the

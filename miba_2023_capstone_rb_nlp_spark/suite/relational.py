@@ -924,3 +924,41 @@ def q_lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("total"),
         davg("value").alias("mean"),
     )
+
+
+# --- SQL interface: ONE dialect-common string for both engines ------
+# The engine's spark.sql() surface, proven in the strongest form:
+# the exact same SQL text executes in Spark (over temp views) AND in
+# DuckDB as the oracle — zero translation layer. Restricted to the
+# ANSI-common dialect subset (joins, grouping, exact DECIMAL sums,
+# CASE, HAVING); everything engine-specific stays in the DataFrame
+# entries.
+_COMMON_SQL = """
+SELECT c.c_mktsegment AS segment,
+       o.o_orderpriority AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue,
+       CAST(sum(CASE WHEN o.o_totalprice > 200000.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment, o.o_orderpriority
+HAVING count(*) > 2
+"""
+
+
+@register("sql_interface_segment_revenue", oracle=_COMMON_SQL)
+def q_sql_interface_segment_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue by market segment × priority through ``spark.sql``.
+
+    The SQL string IS the oracle string — byte-identical text, two
+    engines, hash-equal results. Plan: Catalyst gives the same
+    broadcast-dim star shape as the DataFrame twin (region_revenue);
+    the HAVING compiles to a post-agg filter, never a second scan.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_COMMON_SQL)

@@ -502,3 +502,16 @@ def test_ttest_one_pass_complement_by_subtraction(spark):
     final = plan.split("== Initial Plan ==", 1)[0]
     assert final.count("Scan parquet") <= 1
     assert "SortMergeJoin" not in final and "Window" not in final
+
+
+def test_sql_interface_same_star_shape_as_dataframe(spark):
+    """spark.sql text compiles to the same broadcast star + partial
+    agg shape as the DataFrame twin; HAVING is a filter, not a second
+    aggregate pass."""
+    plan = _executed_plan(
+        SUITE["sql_interface_segment_revenue"].fn(spark, SF_TEST_DIR)
+    )
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "BroadcastHashJoin" in final or "SortMergeJoin" not in final
+    assert "partial_" in final
+    assert final.count("HashAggregate") <= 4  # one two-phase agg, no re-agg

@@ -38,6 +38,7 @@ EXPECTED = {
     "argmax_per_flag",
     "order_rollup_revenue",
     "orders_upsert_merge",
+    "sql_interface_segment_revenue",
     "part_affinity_topk",
     "part_pagerank",
     "data_quality_report",
@@ -211,6 +212,9 @@ ROTATED_OUT = {
     # fourteenth wave: demoted for the CUSUM / t-test debuts
     "etl_clean_articles",
     "pricing_summary",
+    # fifteenth wave: demoted for the SQL-interface debut (identical
+    # oracle stays in-window via events_asof_cogroup)
+    "events_asof_last_click",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -292,6 +296,7 @@ def test_core_entries_inside_driver_window():
         "dsir_importance_select",
         "events_type_pivot",
         "orders_upsert_merge",
+    "sql_interface_segment_revenue",
         "events_funnel_stages",
         "bigram_lm_perplexity",
     "source_vocab_overlap",
