@@ -192,6 +192,11 @@ _DEPRIORITIZED = (
     # string runs in-window via events_asof_cogroup (same query,
     # other physical strategy); the relational compile's plan shape
     # stays pinned by tests/test_plans.py
+    # -- round-5 tenth wave: one demotion for the TPC-H Q3 debut
+    "order_rollup_revenue",  # 4 green rounds; the Expand machinery
+    # rollup compiles to is in-window via lineitem_unpivot_stats
+    # (same Expand + partial-agg shape), decimal agg ⊂
+    # incremental_revenue_merge
 )
 
 # Entries promoted to the registry head (after the flagship): the

@@ -962,3 +962,52 @@ def q_sql_interface_segment_revenue(
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_COMMON_SQL)
+
+
+# --- TPC-H Q3: shipping priority (entry #100) -----------------------
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey,
+       CAST(sum({_DISC}) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1997-06-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority_q3", oracle=_Q3_ORACLE)
+def q_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped BUILDING orders by revenue.
+
+    Plan: both date predicates and the segment filter push to their
+    parquet scans (the segment-filtered customer side broadcasts);
+    the fact join shuffles on orderkey once; the ORDER BY+LIMIT
+    compiles to TakeOrderedAndProject — per-partition heaps, no
+    global sort."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-15").cast("timestamp")
+    )
+    disc_price = dec("l_extendedprice", 2, 12) * (
+        F.lit(1) - dec("l_discount", 2, 4)
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

@@ -515,3 +515,16 @@ def test_sql_interface_same_star_shape_as_dataframe(spark):
     assert "BroadcastHashJoin" in final or "SortMergeJoin" not in final
     assert "partial_" in final
     assert final.count("HashAggregate") <= 4  # one two-phase agg, no re-agg
+
+
+def test_q3_pushdown_broadcast_heap_topk(spark):
+    """Q3: all three predicates reach their scans, the filtered
+    customer side broadcasts, the top-10 is a heap (no global
+    sort)."""
+    df = SUITE["shipping_priority_q3"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan.split("ReadSchema")[0] or (
+        "EqualTo(c_mktsegment,BUILDING)" in plan
+    )
+    assert plan.count("BroadcastHashJoin") >= 1

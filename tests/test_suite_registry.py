@@ -39,6 +39,7 @@ EXPECTED = {
     "order_rollup_revenue",
     "orders_upsert_merge",
     "sql_interface_segment_revenue",
+    "shipping_priority_q3",
     "part_affinity_topk",
     "part_pagerank",
     "data_quality_report",
@@ -215,6 +216,8 @@ ROTATED_OUT = {
     # fifteenth wave: demoted for the SQL-interface debut (identical
     # oracle stays in-window via events_asof_cogroup)
     "events_asof_last_click",
+    # sixteenth wave: demoted for the TPC-H Q3 debut
+    "order_rollup_revenue",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -297,6 +300,7 @@ def test_core_entries_inside_driver_window():
         "events_type_pivot",
         "orders_upsert_merge",
     "sql_interface_segment_revenue",
+    "shipping_priority_q3",
         "events_funnel_stages",
         "bigram_lm_perplexity",
     "source_vocab_overlap",
