@@ -4,7 +4,7 @@ flukes that only appear with more rows near floor boundaries (the
 failure class the fixed-point recipe is designed to exclude).
 
 Slow (~3 min on local[32]); opt in with SPARK_GRAFT_SF01_PARITY=1.
-Last full run: round 5, 90/90 oracles green.
+Last full run: round 5, 96/96 oracles green (177 s).
 """
 
 from __future__ import annotations
