@@ -34,3 +34,20 @@ def test_rows_only_runs(spark, name):
     q = SUITE[name]
     df = q.fn(spark, SF_TEST_DIR)
     assert df.count() >= 0 and len(df.schema) > 0
+
+
+def test_catalog_defends_against_foreign_session_tz(spark, oracle):
+    """An external driver session running in another timezone must
+    still hash-match: catalog.table() re-asserts UTC at build time
+    (the round-4 ADVICE hazard, made executable). Simulates the
+    driver by flipping the session TZ before building the plan."""
+    name = "events_tumbling_hourly"
+    q = SUITE[name]
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = q.fn(spark, SF_TEST_DIR)
+        # building any events frame must have re-pinned UTC
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        compare(df, oracle.execute(q.oracle).df(), name)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
