@@ -57,6 +57,14 @@ def _pair_frame(
     return pd.DataFrame({"va": lo, "vb": hi, "cos": cos[ii, jj]})
 
 
+# Row cap for the exact all-pairs path: n² cosine evaluations and an
+# n·n_blocks fan-out. 200k rows ≈ 2·10¹⁰ scored pairs — already the
+# outer edge of what a cluster should spend on an exact baseline; a
+# 100 TB corpus through this function is a misuse the guard converts
+# from an eventual cluster melt into an immediate, named error.
+DEFAULT_MAX_ALLPAIRS_ROWS = 200_000
+
+
 def cosine_pairs(
     df: DataFrame,
     vec_col: str,
@@ -65,6 +73,7 @@ def cosine_pairs(
     threshold: float = 0.45,
     scale: int = 6,
     n_blocks: int = 8,
+    max_rows: int | None = DEFAULT_MAX_ALLPAIRS_ROWS,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold → [va, vb, cos].
 
@@ -74,7 +83,24 @@ def cosine_pairs(
     (min(x,y), max(x,y)) — same-block pairs only by the diagonal
     group, cross-block pairs only by their one off-diagonal group.
     ``n_blocks`` scales with corpus size (group work is (n/B)²).
+
+    ``max_rows`` makes the small-n contract executable (same pattern
+    as the kNN query-side guard): ``limit(max_rows+1)`` bounds the
+    count scan — vectors are never read for the check, only ids —
+    and the fan-out refuses to build above the cap. ``None`` opts
+    out for deployments that have sized the cluster for exact n².
     """
+    if max_rows is not None:
+        over = df.select(F.col(id_col)).limit(max_rows + 1).count()
+        if over > max_rows:
+            raise ValueError(
+                f"cosine_pairs: input exceeds max_rows={max_rows:,}; "
+                "the exact all-pairs path scores n² cosines and is "
+                "the small-n correctness baseline. Use "
+                "hyperplane_lsh_pairs (banded multi-probe LSH) for "
+                "candidate generation at this scale, or pass "
+                "max_rows=None if exact n² is truly intended."
+            )
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

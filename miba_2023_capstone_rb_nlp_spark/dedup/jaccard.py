@@ -25,6 +25,18 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+# Upper bound on shared-shingle candidate pairs (Σ df·(df−1)/2 over
+# shingles) before the self-join is allowed to run. A hot "stop
+# shingle" appearing in m docs alone contributes m²/2 join rows; at
+# 100× scale that silently turns this exact baseline into a cluster-
+# killing cartesian. The budget makes the documented "small-n
+# precision oracle" contract EXECUTABLE: a corpus too hot for the
+# exact path fails fast, pointing at MinHash LSH, instead of melting
+# the shuffle. 10⁸ candidate rows (~2.4 GB shuffled at 24 B/row) is
+# far above every test SF yet far below the quadratic blow-up regime.
+DEFAULT_CANDIDATE_BUDGET = 100_000_000
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -32,6 +44,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.1,
     scale: int = 6,
+    candidate_budget: int | None = DEFAULT_CANDIDATE_BUDGET,
 ) -> DataFrame:
     """→ DataFrame[da, db, inter, jaccard] with jaccard ≥ threshold.
 
@@ -41,10 +54,31 @@ def jaccard_pairs(
     the string: fixed-width bigint keys shuffle ~4× fewer bytes and
     compare in one instruction (exact up to md5-60 collisions; the
     oracle hashes identically, so parity is unaffected).
+
+    ``candidate_budget`` guards the worst case (see
+    DEFAULT_CANDIDATE_BUDGET): the exact per-shingle pair count is
+    aggregated in one cheap extra pass over the shingle table (a
+    single scalar to the driver) and the self-join refuses to run
+    above the budget. ``None`` disables the pass (callers that just
+    verified post-LSH candidates on a bounded set).
     """
     sh = shingle_table(df, text_col, id_col, n).select(
         "doc", md5_long(F.col("s")).alias("hs")
     )
+    if candidate_budget is not None:
+        cand = sh.groupBy("hs").agg(F.count(F.lit(1)).alias("df")).agg(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pairs")
+        ).collect()[0]["pairs"]
+        if cand is not None and cand > candidate_budget:
+            raise ValueError(
+                f"jaccard_pairs: shared-shingle join would generate "
+                f"~{int(cand):,} candidate pairs (> candidate_budget="
+                f"{candidate_budget:,}). This exact path is the "
+                "small-n precision oracle; at this scale use MinHash "
+                "LSH (dedup/minhash.py) for candidate generation and "
+                "verify only its survivors, or raise the budget "
+                "explicitly if the cluster can absorb the shuffle."
+            )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     # SHUFFLE_HASH: exchange-reuse computes the shingle table once
     a = sh.hint("SHUFFLE_HASH").alias("a")
