@@ -197,6 +197,13 @@ _DEPRIORITIZED = (
     # rollup compiles to is in-window via lineitem_unpivot_stats
     # (same Expand + partial-agg shape), decimal agg ⊂
     # incremental_revenue_merge
+    # -- round-5 eleventh wave: one demotion for the BPE merge-
+    # -- learning debut
+    "salted_join_nation_customers",  # 4 green rounds; broadcast-dim
+    # join+agg machinery in-window via shipping_priority_q3 +
+    # incremental_revenue_merge + orders_upsert_merge; the salting
+    # result-invariance itself is pinned by tests/test_skew.py's
+    # adversarial-skew equality checks
 )
 
 # Entries promoted to the registry head (after the flagship): the

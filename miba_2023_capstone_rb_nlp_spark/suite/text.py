@@ -501,3 +501,149 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- distributed BPE merge learning (tokenizer training) ------------
+# Sennrich et al. 2016 word-frequency formulation: BPE merges are
+# learned from the (word, count) vocabulary table, NOT by re-scanning
+# the corpus per round — so a 100 TB corpus is touched exactly once
+# (the word-count aggregate, map-side combined); every merge round
+# then iterates a |vocab|-bounded table (~10⁶ rows at web scale).
+# Merge application uses the boundary-padded single-space encoding
+# (" l o w ") and literal replace(" pa pb " → " papb "): both Spark's
+# and DuckDB's replace are leftmost non-overlapping scans of the
+# SOURCE string, so the two engines agree bit-for-bit by construction
+# (tests/test_curation_kernels.py pins the engine agreement on
+# adversarial same-symbol runs, where this scan-replace deviates from
+# canonical BPE's restart-after-merge — a deterministic, documented
+# property of the operator, not an engine hazard).
+
+_BPE_N_MERGES = 5
+
+
+def _bpe_merge_oracle(n_merges: int) -> str:
+    ctes = [
+        """words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+  GROUP BY w
+)""",
+        """s0 AS (
+  SELECT wc, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym FROM words
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""c{r} AS (
+  SELECT t[g] AS pa, t[g + 1] AS pb, CAST(sum(wc) AS BIGINT) AS pair_count
+  FROM (SELECT wc, string_split(trim(sym), ' ') AS t FROM s{r - 1}) b,
+       LATERAL (SELECT unnest(range(1, len(t))) AS g) i
+  GROUP BY 1, 2
+)""")
+        ctes.append(
+            f"m{r} AS (SELECT pa, pb, pair_count FROM c{r} "
+            "ORDER BY pair_count DESC, pa, pb LIMIT 1)"
+        )
+        if r < n_merges:
+            ctes.append(f"""s{r} AS (
+  SELECT wc, replace(sym, ' ' || m{r}.pa || ' ' || m{r}.pb || ' ',
+                     ' ' || m{r}.pa || m{r}.pb || ' ') AS sym
+  FROM s{r - 1}, m{r}
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT {r} AS step, pa, pb, pa || pb AS merged, pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({unions}) ORDER BY step"
+    )
+
+
+_BPE_MERGE_ORACLE = _bpe_merge_oracle(_BPE_N_MERGES)
+
+
+@register("bpe_merge_learn", oracle=_BPE_MERGE_ORACLE)
+def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first k BPE merges over ``documents`` distributed.
+
+    Plan: ONE corpus-scale exchange (word counts, partial-agg
+    combined); the per-round pair-count aggregate runs on the
+    persisted vocab-bounded symbolization, the argmax is a 1-row
+    frame broadcast back for the map-only merge application, and each
+    round's state is localCheckpoint-ed (the graph.py device) so
+    round r+1's plan doesn't re-analyze rounds 1..r. At 1000× the
+    corpus only the first aggregate grows; the merge loop's cost is
+    fixed by |vocab|. Oracle: the same recursion unrolled into
+    chained CTEs (the part_pagerank pattern).
+    """
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    cur = words.select(
+        "wc",
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+        ).alias("sym"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    merges = []
+    for step in range(1, _BPE_N_MERGES + 1):
+        counts = (
+            cur.select("wc", F.split(F.trim(F.col("sym")), " ").alias("t"))
+            .filter(F.size("t") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1),"
+                        " i -> struct(t[i - 1] AS pa, t[i] AS pb))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("wc").alias("pair_count"))
+        )
+        top = (
+            counts.orderBy(F.col("pair_count").desc(), "pa", "pb")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            top.select(
+                F.lit(step).alias("step"),
+                "pa",
+                "pb",
+                F.concat("pa", "pb").alias("merged"),
+                "pair_count",
+            )
+        )
+        if step < _BPE_N_MERGES:
+            cur = (
+                cur.crossJoin(F.broadcast(top.select("pa", "pb")))
+                .select(
+                    "wc",
+                    F.replace(
+                        F.col("sym"),
+                        F.concat(
+                            F.lit(" "),
+                            F.col("pa"),
+                            F.lit(" "),
+                            F.col("pb"),
+                            F.lit(" "),
+                        ),
+                        F.concat(
+                            F.lit(" "), F.col("pa"), F.col("pb"), F.lit(" ")
+                        ),
+                    ).alias("sym"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("step")

@@ -105,3 +105,64 @@ def test_corpus_prep_chain_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+# --- BPE merge learning ---------------------------------------------
+
+
+def test_bpe_scan_replace_engine_agreement(spark):
+    """The merge-application kernel is literal replace on the
+    boundary-padded encoding. Both engines must implement the same
+    leftmost non-overlapping source-string scan — pinned here on
+    adversarial same-symbol runs (where the scan deviates from
+    canonical BPE's restart-after-merge, deterministically) and on
+    boundary-anchored false-match bait ('ba a a': the 'a' inside
+    'ba' must not merge)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        " a a a ",          # odd run
+        " a a a a ",        # even run
+        " b a a a b ",      # run flanked
+        " ba a a ",         # left-boundary bait
+        " a a ab ",         # right-boundary bait
+        " x y a a x y ",    # unrelated context
+    ]
+    pat, rep = " a a ", " aa "
+    py = [s.replace(pat, rep) for s in cases]
+    con = duckdb.connect()
+    dd = [
+        con.execute("SELECT replace(?, ?, ?)", [s, pat, rep]).fetchone()[0]
+        for s in cases
+    ]
+    sdf = spark.createDataFrame([(s,) for s in cases], "s string").select(
+        F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("r")
+    )
+    sp = [r["r"] for r in sdf.collect()]
+    assert py == dd == sp
+
+
+def test_bpe_merge_learn_planted_signal(spark):
+    """A corpus where 'qz' is the overwhelmingly dominant digraph:
+    the first learned merge must be (q, z), and its pair_count must
+    equal the exact weighted occurrence count (overlap-free here)."""
+    from miba_2023_capstone_rb_nlp_spark.suite.text import q_bpe_merge_learn
+
+    docs = spark.createDataFrame(
+        [(i, "qzqzqz qzqz") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    import miba_2023_capstone_rb_nlp_spark.suite.text as textmod
+
+    orig = textmod._docs
+    textmod._docs = lambda _spark, _sf: docs
+    try:
+        out = q_bpe_merge_learn(spark, "unused").collect()
+    finally:
+        textmod._docs = orig
+    first = out[0]
+    assert (first["pa"], first["pb"], first["merged"]) == ("q", "z", "qz")
+    # qzqzqz has 3 qz pairs, qzqz has 2 → 5 per doc × 10 docs
+    assert first["pair_count"] == 50

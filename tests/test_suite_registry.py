@@ -89,6 +89,7 @@ EXPECTED = {
     "sentence_stats",
     "lemma_term_counts",
     "bpe_token_stats",
+    "bpe_merge_learn",
     "bigram_lm_perplexity",
     "source_vocab_overlap",
     # sampling / curation
@@ -218,6 +219,10 @@ ROTATED_OUT = {
     "events_asof_last_click",
     # sixteenth wave: demoted for the TPC-H Q3 debut
     "order_rollup_revenue",
+    # seventeenth wave: demoted for the BPE merge-learning debut
+    # (join machinery in-window via shipping_priority_q3 /
+    # incremental_revenue_merge; salting invariance in test_skew.py)
+    "salted_join_nation_customers",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
