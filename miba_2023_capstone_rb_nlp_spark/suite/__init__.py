@@ -204,6 +204,11 @@ _DEPRIORITIZED = (
     # incremental_revenue_merge + orders_upsert_merge; the salting
     # result-invariance itself is pinned by tests/test_skew.py's
     # adversarial-skew equality checks
+    # -- round-5 twelfth wave: one demotion for the BPE encode debut
+    "bm25_topk",  # 3 green rounds; inverted-index posting machinery
+    # in-window via phrase_match_docs (positional postings, same
+    # term-filter-before-exchange shape); integer-exact BM25 scoring
+    # stays pinned by the local parity suite
 )
 
 # Entries promoted to the registry head (after the flagship): the

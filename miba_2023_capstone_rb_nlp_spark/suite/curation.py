@@ -384,7 +384,13 @@ def q_dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miba_2023_capstone_rb_nlp_spark.dedup.jaccard import jaccard_pairs
 
     docs = _docs(spark, sf_dir)
-    edges = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    edges = jaccard_pairs(
+        # budget pass skipped: this composed entry consumes the pairs
+        # downstream and its corpus is the bounded documents table;
+        # the default-on guard is exercised by ngram_jaccard_pairs
+        # and tests/test_knn_guard.py
+        docs, "text", "doc_id", n=3, threshold=0.1, candidate_budget=None
+    )
     comp = connected_components_star(
         docs.select("doc_id"), edges, id_col="doc_id", src="da", dst="db"
     )
@@ -462,7 +468,13 @@ def q_quality_representative_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     from miba_2023_capstone_rb_nlp_spark.functions.text import tokens
 
     docs = _docs(spark, sf_dir)
-    edges = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    edges = jaccard_pairs(
+        # budget pass skipped: this composed entry consumes the pairs
+        # downstream and its corpus is the bounded documents table;
+        # the default-on guard is exercised by ngram_jaccard_pairs
+        # and tests/test_knn_guard.py
+        docs, "text", "doc_id", n=3, threshold=0.1, candidate_budget=None
+    )
     comp = connected_components_star(
         docs.select("doc_id"), edges, id_col="doc_id", src="da", dst="db"
     )

@@ -222,7 +222,13 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    edges = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    edges = jaccard_pairs(
+        # budget pass skipped: this composed entry consumes the pairs
+        # downstream and its corpus is the bounded documents table;
+        # the default-on guard is exercised by ngram_jaccard_pairs
+        # and tests/test_knn_guard.py
+        docs, "text", "doc_id", n=3, threshold=0.1, candidate_budget=None
+    )
     comp = connected_components(
         docs.select("doc_id"), edges, id_col="doc_id", src="da", dst="db"
     )

@@ -562,23 +562,11 @@ def _bpe_merge_oracle(n_merges: int) -> str:
 _BPE_MERGE_ORACLE = _bpe_merge_oracle(_BPE_N_MERGES)
 
 
-@register("bpe_merge_learn", oracle=_BPE_MERGE_ORACLE)
-def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first k BPE merges over ``documents`` distributed.
-
-    Plan: ONE corpus-scale exchange (word counts, partial-agg
-    combined); the per-round pair-count aggregate runs on the
-    persisted vocab-bounded symbolization, the argmax is a 1-row
-    frame broadcast back for the map-only merge application, and each
-    round's state is localCheckpoint-ed (the graph.py device) so
-    round r+1's plan doesn't re-analyze rounds 1..r. At 1000× the
-    corpus only the first aggregate grows; the merge loop's cost is
-    fixed by |vocab|. Oracle: the same recursion unrolled into
-    chained CTEs (the part_pagerank pattern).
-    """
+def _bpe_learn(d: DataFrame) -> DataFrame:
+    """The merge-learning loop shared by learn + encode entries:
+    → DataFrame[step, pa, pb, merged, pair_count] (k rows)."""
     from pyspark import StorageLevel
 
-    d = _docs(spark, sf_dir)
     words = (
         d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
@@ -647,3 +635,110 @@ def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out.orderBy("step")
+
+
+@register("bpe_merge_learn", oracle=_BPE_MERGE_ORACLE)
+def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first k BPE merges over ``documents`` distributed.
+
+    Plan: ONE corpus-scale exchange (word counts, partial-agg
+    combined); the per-round pair-count aggregate runs on the
+    persisted vocab-bounded symbolization, the argmax is a 1-row
+    frame broadcast back for the map-only merge application, and each
+    round's state is localCheckpoint-ed (the graph.py device) so
+    round r+1's plan doesn't re-analyze rounds 1..r. At 1000× the
+    corpus only the first aggregate grows; the merge loop's cost is
+    fixed by |vocab|. Oracle: the same recursion unrolled into
+    chained CTEs (the part_pagerank pattern).
+    """
+    return _bpe_learn(_docs(spark, sf_dir))
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Oracle: the learn CTE chain, then the k merges applied to each
+    document's double-space-separated word symbolization (boundaries
+    ≥2 spaces, merge patterns have single internal spaces — merges
+    provably never cross words)."""
+    learn = _bpe_merge_oracle(n_merges)
+    ctes = learn[len("WITH ") : learn.rindex("\nSELECT")]
+    enc = "base.sym"
+    for r in range(1, n_merges + 1):
+        enc = (
+            f"replace({enc}, ' ' || m{r}.pa || ' ' || m{r}.pb || ' ', "
+            f"' ' || m{r}.pa || m{r}.pb || ' ')"
+        )
+    mrefs = ", ".join(f"m{r}" for r in range(1, n_merges + 1))
+    return f"""WITH {ctes},
+base AS (
+  SELECT doc_id,
+         ' ' || array_to_string(
+           list_transform(
+             list_filter(string_split_regex(text, '\\s+'),
+                         w -> regexp_matches(w, '^[a-z]+$')),
+             w -> regexp_replace(w, '(.)', '\\1 ', 'g')),
+           ' ') AS sym
+  FROM documents
+),
+enc AS (
+  SELECT doc_id, {enc} AS encoded FROM base, {mrefs}
+)
+SELECT doc_id,
+       CAST(len(list_filter(string_split(sym, ' '), x -> x <> ''))
+            AS BIGINT) AS n_char_syms,
+       CAST(len(list_filter(string_split(encoded, ' '), x -> x <> ''))
+            AS BIGINT) AS n_bpe_syms
+FROM enc JOIN base USING (doc_id)
+ORDER BY doc_id"""
+
+
+_BPE_ENCODE_ORACLE = _bpe_encode_oracle(_BPE_N_MERGES)
+
+
+@register("bpe_encode_stats", oracle=_BPE_ENCODE_ORACLE)
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned merges (the tokenizer's
+    apply step) → per-doc symbol counts before/after.
+
+    The k learned merges are collected to the driver (k rows — the
+    same bounded model-to-closure boundary as the kNN centroids) and
+    applied as a chained literal replace over each document's
+    boundary-padded symbolization: map-only, zero exchanges over the
+    corpus beyond the learning pass. Word boundaries are ≥2 spaces
+    while merge patterns carry single internal spaces, so merges
+    cannot cross words — the whole document encodes as ONE string op
+    chain instead of an explode + per-word join.
+    """
+    d = _docs(spark, sf_dir)
+    pairs = [
+        (r["pa"], r["pb"])
+        for r in _bpe_learn(d).orderBy("step").collect()
+    ]
+    sym = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda w: w.rlike("^[a-z]+$"),
+                ),
+                lambda w: F.regexp_replace(w, "(.)", "$1 "),
+            ),
+            " ",
+        ),
+    )
+    enc = sym
+    for pa, pb in pairs:
+        enc = F.replace(
+            enc, F.lit(f" {pa} {pb} "), F.lit(f" {pa}{pb} ")
+        )
+
+    def _count(col):
+        return F.size(
+            F.filter(F.split(col, " "), lambda x: x != F.lit(""))
+        ).cast("bigint")
+
+    return d.select(
+        "doc_id",
+        _count(sym).alias("n_char_syms"),
+        _count(enc).alias("n_bpe_syms"),
+    ).orderBy("doc_id")

@@ -90,6 +90,7 @@ EXPECTED = {
     "lemma_term_counts",
     "bpe_token_stats",
     "bpe_merge_learn",
+    "bpe_encode_stats",
     "bigram_lm_perplexity",
     "source_vocab_overlap",
     # sampling / curation
@@ -223,6 +224,9 @@ ROTATED_OUT = {
     # (join machinery in-window via shipping_priority_q3 /
     # incremental_revenue_merge; salting invariance in test_skew.py)
     "salted_join_nation_customers",
+    # eighteenth wave: demoted for the BPE encode debut (posting
+    # machinery in-window via phrase_match_docs)
+    "bm25_topk",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
