@@ -528,3 +528,35 @@ def test_q3_pushdown_broadcast_heap_topk(spark):
         "EqualTo(c_mktsegment,BUILDING)" in plan
     )
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_bpe_learn_one_corpus_exchange_per_round_vocab_only(spark):
+    """The learning DataFrame's final-round plan: the corpus-scale
+    word-count exchange appears, and every downstream pair-count
+    aggregate reads a checkpointed (vocab-bounded) RDD scan — the
+    corpus parquet is scanned by at most one subtree (the learn loop
+    materializes rounds eagerly, so the returned plan is the cheap
+    union of five 1-row argmax frames over checkpoint scans)."""
+    df = SUITE["bpe_merge_learn"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    # the returned merge table unions 1-row checkpointed argmax
+    # frames — no corpus rescan in the final plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") == 0
+
+
+def test_bpe_encode_is_map_only_over_corpus(spark):
+    """Encoding = chained literal replace: after the (separately
+    materialized) learning pass, the per-doc output plan holds ONE
+    parquet scan of documents and ZERO exchanges beyond the output
+    sort — merges travel in the closure, not through a join."""
+    df = SUITE["bpe_encode_stats"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    # the learned merges appear as inlined literal replace chains
+    assert final.count("replace(") >= 5
+    # orderBy's rangepartitioning (and cpu_table's round-robin) are
+    # the only exchanges; no hash exchange = no join/agg over the
+    # corpus, and no join operator at all
+    assert "hashpartitioning" not in final
+    assert "SortMergeJoin" not in final and "BroadcastHashJoin" not in final
