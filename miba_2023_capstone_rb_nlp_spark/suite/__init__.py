@@ -209,6 +209,12 @@ _DEPRIORITIZED = (
     # in-window via phrase_match_docs (positional postings, same
     # term-filter-before-exchange shape); integer-exact BM25 scoring
     # stays pinned by the local parity suite
+    # -- round-5 thirteenth wave: one demotion for the incremental
+    # -- (cross-corpus) MinHash dedup debut
+    "events_range_click_counts",  # 3 green rounds; the bucketed
+    # range-join compile stays pinned by tests/test_plans.py (no
+    # BNLJ), and interval/as-of machinery is in-window via
+    # events_asof_cogroup
 )
 
 # Entries promoted to the registry head (after the flagship): the

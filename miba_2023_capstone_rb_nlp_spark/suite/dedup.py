@@ -330,3 +330,149 @@ def q_line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_tokens=_CHUNK_C,
         min_count=_CHUNK_MIN,
     )
+
+
+# --- incremental (cross-corpus) MinHash dedup -----------------------
+# The shape a production pipeline actually runs day to day: an
+# incoming batch is deduplicated AGAINST the existing corpus without
+# ever generating within-corpus (or within-batch) pairs — the corpus
+# side's banded entries stay partitioned and are probed by the
+# (bounded) batch side, broadcast. Split here: doc_id % 5 == 0 is the
+# incoming batch, the rest is the standing corpus.
+_INC_SPLIT_MOD = 5
+
+
+def _inc_minhash_oracle() -> str:
+    mins = ",\n    ".join(f"min(m1 + {i} * m2) AS h{i}" for i in range(K))
+    bands = ",\n    ".join(
+        "md5(" + " || ',' || ".join(
+            f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        ) + f") AS b{b}"
+        for b in range(BANDS)
+    )
+    cands = "\n  UNION\n".join(
+        f"  SELECT a.doc AS cdoc, b.doc AS bdoc FROM corpus a JOIN batch b"
+        f" ON a.b{b} = b.b{b}"
+        for b in range(BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(K)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES}),
+hs AS (
+  SELECT doc,
+         CAST(('0x' || substr(md5('A:' || s), 1, 15)) AS BIGINT) AS m1,
+         CAST(('0x' || substr(md5('B:' || s), 1, 14)) AS BIGINT) AS m2
+  FROM sh
+),
+sig AS (SELECT doc, {mins} FROM hs GROUP BY doc),
+banded AS (SELECT *, {bands} FROM sig),
+corpus AS (SELECT * FROM banded WHERE doc % {_INC_SPLIT_MOD} <> 0),
+batch AS (SELECT * FROM banded WHERE doc % {_INC_SPLIT_MOD} = 0),
+cand AS (
+{cands}
+),
+scored AS (
+  SELECT c.bdoc, c.cdoc,
+         floor((CAST(({matches}) AS DOUBLE) / {K}.0) * 1000000.0)
+           / 1000000.0 AS est_jaccard
+  FROM cand c JOIN sig a ON c.cdoc = a.doc JOIN sig b ON c.bdoc = b.doc
+),
+best AS (
+  SELECT bdoc, cdoc, est_jaccard,
+         row_number() OVER (
+           PARTITION BY bdoc ORDER BY est_jaccard DESC, cdoc) AS rk
+  FROM scored
+)
+SELECT d.doc_id AS batch_doc, best.cdoc AS dup_of, best.est_jaccard,
+       coalesce(best.est_jaccard >= 0.5, false) AS is_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_INC_SPLIT_MOD} = 0) d
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) best ON d.doc_id = best.bdoc
+"""
+
+
+@register("incremental_minhash_dedup", oracle=_inc_minhash_oracle())
+def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch against the standing corpus.
+
+    Plan: both sides get MinHash signatures through the shared
+    mapInPandas builder; the corpus's banded entries NEVER self-join
+    (the whole point — within-corpus pairs are already resolved), and
+    the batch's banded entries are broadcast into the corpus-side
+    probe, so the corpus never shuffles at all. Best match per batch
+    doc is a struct-max aggregate ((est, -cdoc): highest estimate,
+    then smallest corpus doc), no window sort. At a batch size beyond
+    the broadcast budget the same join degrades to a hash-shuffle
+    equi-join on the band key with structure unchanged.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from miba_2023_capstone_rb_nlp_spark.dedup.minhash import (
+        _band_sig,
+        minhash_signatures,
+    )
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % _INC_SPLIT_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % _INC_SPLIT_MOD == 0)
+
+    def banded(side: DataFrame) -> DataFrame:
+        sig = minhash_signatures(side, "text", "doc_id")
+        return sig.select(
+            "doc",
+            *[F.col(f"h{i}") for i in range(K)],
+            F.posexplode(
+                F.array(*[_band_sig(b) for b in range(BANDS)])
+            ).alias("bi", "bv"),
+        )
+
+    ca = banded(corpus).alias("a")
+    bb = broadcast(banded(batch)).alias("b")
+    matches = sum(
+        (
+            F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+            for i in range(K)
+        ),
+        F.lit(0),
+    )
+    scored = (
+        ca.join(
+            bb,
+            (F.col("a.bi") == F.col("b.bi")) & (F.col("a.bv") == F.col("b.bv")),
+        )
+        .select(
+            F.col("b.doc").alias("bdoc"),
+            F.col("a.doc").alias("cdoc"),
+            fixed(matches.cast("double") / K, 6).alias("est_jaccard"),
+        )
+        .dropDuplicates(["bdoc", "cdoc"])
+    )
+    best = (
+        scored.groupBy("bdoc")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("est_jaccard"), (-F.col("cdoc")).alias("negc")
+                )
+            ).alias("_m")
+        )
+        .select(
+            "bdoc",
+            (-F.col("_m.negc")).alias("dup_of"),
+            F.col("_m.est_jaccard").alias("est_jaccard"),
+        )
+    )
+    return (
+        batch.select("doc_id")
+        .join(best, batch["doc_id"] == best["bdoc"], "left")
+        .select(
+            F.col("doc_id").alias("batch_doc"),
+            "dup_of",
+            "est_jaccard",
+            F.coalesce(F.col("est_jaccard") >= 0.5, F.lit(False)).alias(
+                "is_dup"
+            ),
+        )
+    )

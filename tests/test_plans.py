@@ -560,3 +560,18 @@ def test_bpe_encode_is_map_only_over_corpus(spark):
     # corpus, and no join operator at all
     assert "hashpartitioning" not in final
     assert "SortMergeJoin" not in final and "BroadcastHashJoin" not in final
+
+
+def test_incremental_dedup_corpus_never_shuffles(spark):
+    """Cross-corpus dedup: the batch side is broadcast
+    (BroadcastHashJoin — bounded incoming batch), the corpus side
+    streams through the probe without any hash exchange, and no
+    self-join exists (within-corpus pairs are never generated, which
+    is the operator's reason to exist)."""
+    df = SUITE["incremental_minhash_dedup"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    # the best-match reduction is a struct-max aggregate, not a
+    # window sort over candidates
+    assert "row_number" not in final

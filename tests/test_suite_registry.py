@@ -115,6 +115,7 @@ EXPECTED = {
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "incremental_minhash_dedup",
     "simhash_pairs",
     "neardup_components",
     "duplicate_span_flags",
@@ -227,6 +228,10 @@ ROTATED_OUT = {
     # eighteenth wave: demoted for the BPE encode debut (posting
     # machinery in-window via phrase_match_docs)
     "bm25_topk",
+    # nineteenth wave: demoted for the incremental MinHash dedup
+    # debut (range-join compile pinned by test_plans; as-of machinery
+    # in-window via events_asof_cogroup)
+    "events_range_click_counts",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
