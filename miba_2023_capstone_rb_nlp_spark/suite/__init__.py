@@ -215,6 +215,12 @@ _DEPRIORITIZED = (
     # range-join compile stays pinned by tests/test_plans.py (no
     # BNLJ), and interval/as-of machinery is in-window via
     # events_asof_cogroup
+    # -- round-5 fourteenth wave: one demotion for the fuzzy-match
+    # -- (q-gram + levenshtein) debut
+    "knn_ivf_multiprobe",  # 3 green rounds; multi-probe banding
+    # machinery in-window via hyperplane_lsh_pairs (margin-directed
+    # probes), candidate-gen + exact re-rank in-window via
+    # knn_int8_rerank
 )
 
 # Entries promoted to the registry head (after the flagship): the

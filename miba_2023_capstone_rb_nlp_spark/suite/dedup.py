@@ -476,3 +476,95 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- fuzzy string matching (approximate join) -----------------------
+# Gravano et al. 2001 shape: q-gram candidate generation with the
+# count-filter lower bound, then exact edit-distance verification.
+# Distinct-first (the reference's P11 pattern): everything downstream
+# of the first distinct is bounded by |name vocabulary|, not by row
+# count — the corpus-scale table is touched once.
+_FUZZY_D = 2  # max edit distance
+_FUZZY_Q = 2  # bigrams
+
+_FUZZY_ORACLE = f"""
+WITH n AS (SELECT DISTINCT p_name AS s FROM part WHERE length(p_name) >= {_FUZZY_Q}),
+g AS (
+  SELECT s, substr(s, ii.i, {_FUZZY_Q}) AS gm, count(*) AS c
+  FROM n, LATERAL (SELECT unnest(range(1, length(s) - {_FUZZY_Q} + 2)) AS i) ii
+  GROUP BY s, gm
+),
+cand AS (
+  SELECT a.s AS na, b.s AS nb, sum(least(a.c, b.c)) AS shared
+  FROM g a JOIN g b ON a.gm = b.gm AND a.s < b.s
+  GROUP BY 1, 2
+),
+filt AS (
+  SELECT na, nb FROM cand
+  WHERE abs(length(na) - length(nb)) <= {_FUZZY_D}
+    AND shared >= greatest(length(na), length(nb)) - {_FUZZY_Q} + 1
+                  - {_FUZZY_D} * {_FUZZY_Q}
+)
+SELECT na, nb, CAST(levenshtein(na, nb) AS INT) AS dist
+FROM filt WHERE levenshtein(na, nb) <= {_FUZZY_D}
+"""
+
+
+@register("fuzzy_name_matches", oracle=_FUZZY_ORACLE)
+def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate self-join on part names: pairs within edit
+    distance ≤ 2.
+
+    Plan: distinct names first (|vocab| rows from one corpus scan +
+    one exchange); candidates come from an equi-join on shared
+    bigrams with the exact MULTISET count filter — per-(name, gram)
+    counts joined on gram, sum(least(ca, cb)) is the multiset
+    intersection, pruned by the count-filter bound
+    |Ga ∩ Gb| ≥ max(|a|,|b|) − q + 1 − d·q and the length filter
+    before any DP runs; the O(len²) levenshtein verify touches only
+    surviving candidates. No cartesian anywhere: the gram join IS
+    the banding (same role as an LSH band key). Both engines run the
+    identical classic edit-distance DP.
+    """
+    part = catalog.table(spark, sf_dir, "part")
+    n = (
+        part.filter(F.length("p_name") >= _FUZZY_Q)
+        .select(F.col("p_name").alias("s"))
+        .distinct()
+    )
+    g = (
+        n.select(
+            "s",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(s) - {_FUZZY_Q} + 1),"
+                    f" i -> substring(s, i, {_FUZZY_Q}))"
+                )
+            ).alias("gm"),
+        )
+        .groupBy("s", "gm")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = g.alias("a"), g.alias("b")
+    cand = (
+        a.join(b, (F.col("a.gm") == F.col("b.gm")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("na"), F.col("b.s").alias("nb"))
+        .agg(F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("shared"))
+    )
+    la, lb = F.length("na"), F.length("nb")
+    survives = (F.abs(la - lb) <= _FUZZY_D) & (
+        F.col("shared")
+        >= F.greatest(la, lb) - _FUZZY_Q + 1 - _FUZZY_D * _FUZZY_Q
+    )
+    # the DP is gated BEHIND the count filter via a conditional that
+    # references the aggregate output (`shared`) — a plain
+    # filter(levenshtein <= d) is a deterministic predicate on the
+    # grouping keys alone, which Catalyst pushes below the aggregate
+    # into the gram join, running one DP per shared-gram row instead
+    # of one per candidate pair (pinned by tests/test_plans.py)
+    dist = F.when(survives, F.levenshtein("na", "nb").cast("int"))
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= _FUZZY_D)
+        .select("na", "nb", "dist")
+    )

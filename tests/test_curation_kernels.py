@@ -166,3 +166,21 @@ def test_bpe_merge_learn_planted_signal(spark):
     assert (first["pa"], first["pb"], first["merged"]) == ("q", "z", "qz")
     # qzqzqz has 3 qz pairs, qzqz has 2 → 5 per doc × 10 docs
     assert first["pair_count"] == 50
+
+
+def test_fuzzy_match_planted_pairs(spark):
+    """Known near-names must match; distant names must not; the
+    count filter must not drop a true pair (no false negatives on
+    the planted set)."""
+    from miba_2023_capstone_rb_nlp_spark.suite import load_suite
+
+    out = {
+        (r["na"], r["nb"]): r["dist"]
+        for r in load_suite()["fuzzy_name_matches"]
+        .fn(spark, SF_TEST_DIR)
+        .collect()
+    }
+    assert out[("cold rod", "old rod")] == 1
+    assert ("blue rod", "cold widget") not in out
+    assert all(d <= 2 for d in out.values())
+    assert len(out) > 0

@@ -575,3 +575,28 @@ def test_incremental_dedup_corpus_never_shuffles(spark):
     # the best-match reduction is a struct-max aggregate, not a
     # window sort over candidates
     assert "row_number" not in final
+
+
+def test_fuzzy_match_distinct_first_no_nested_loop(spark):
+    """Fuzzy matching must be vocab-bounded: the distinct lands
+    before the gram explode (everything downstream is |vocab| rows),
+    candidates come from an equi-join (the gram key is the band key —
+    never a nested-loop/cartesian), and the DP verify runs as a
+    filter above the candidate aggregate."""
+    df = SUITE["fuzzy_name_matches"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
+    import re
+
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the name distinct (Aggregate [s], [s]) feeds the gram explode:
+    # in the top-down plan print it must appear BELOW the Generate
+    m = re.search(r"Aggregate \[s#\d+\], \[s#\d+\]", opt)
+    assert m and opt.index("Generate") < m.start()
+    # the DP stays ABOVE the candidate aggregate: pushing it into the
+    # gram join would run one levenshtein per shared-gram row. The
+    # CASE-gate ties it to the aggregate's `shared` output, so no
+    # levenshtein may appear below the sum(least(...)) aggregate.
+    below_agg = opt[opt.index("sum(least(") :]
+    assert "levenshtein" not in below_agg

@@ -116,6 +116,7 @@ EXPECTED = {
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "incremental_minhash_dedup",
+    "fuzzy_name_matches",
     "simhash_pairs",
     "neardup_components",
     "duplicate_span_flags",
@@ -232,6 +233,9 @@ ROTATED_OUT = {
     # debut (range-join compile pinned by test_plans; as-of machinery
     # in-window via events_asof_cogroup)
     "events_range_click_counts",
+    # twentieth wave: demoted for the fuzzy-match debut (multi-probe
+    # banding in-window via hyperplane_lsh_pairs + knn_int8_rerank)
+    "knn_ivf_multiprobe",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
