@@ -486,9 +486,18 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count — the corpus-scale table is touched once.
 _FUZZY_D = 2  # max edit distance
 _FUZZY_Q = 2  # bigrams
+# Completeness regime: candidate generation is a shared-gram
+# equi-join, so a true pair must share ≥1 gram to be FOUND at all.
+# The count-filter bound max(|a|,|b|) − q + 1 − d·q guarantees that
+# only when it is ≥ 1, i.e. both strings have length ≥ q + d·q.
+# Shorter strings are excluded by contract (they need a different
+# blocking scheme — length buckets or all-pairs — at which size
+# brute force is cheap anyway); the no-false-negative property is
+# proven inside this regime by tests/test_properties.py.
+_FUZZY_MIN_LEN = _FUZZY_Q + _FUZZY_D * _FUZZY_Q
 
 _FUZZY_ORACLE = f"""
-WITH n AS (SELECT DISTINCT p_name AS s FROM part WHERE length(p_name) >= {_FUZZY_Q}),
+WITH n AS (SELECT DISTINCT p_name AS s FROM part WHERE length(p_name) >= {_FUZZY_MIN_LEN}),
 g AS (
   SELECT s, substr(s, ii.i, {_FUZZY_Q}) AS gm, count(*) AS c
   FROM n, LATERAL (SELECT unnest(range(1, length(s) - {_FUZZY_Q} + 2)) AS i) ii
@@ -528,7 +537,7 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = catalog.table(spark, sf_dir, "part")
     n = (
-        part.filter(F.length("p_name") >= _FUZZY_Q)
+        part.filter(F.length("p_name") >= _FUZZY_MIN_LEN)
         .select(F.col("p_name").alias("s"))
         .distinct()
     )

@@ -438,3 +438,53 @@ def test_ttest_separates_planted_groups(spark):
         )
     assert abs(out.loc["purchase", "t_stat"]) > 50
     assert abs(out.loc["click", "t_stat"]) < abs(out.loc["purchase", "t_stat"]) / 5
+
+
+def test_fuzzy_count_filter_no_false_negatives(spark):
+    """No false negatives in the completeness regime: every pair of
+    length-≥-MIN_LEN strings within edit distance d must be found
+    (the count-filter bound ≥ 1 there guarantees a shared gram, so
+    the equi-join candidate generation is complete). Checked against
+    a brute-force Levenshtein join over an adversarial vocabulary
+    (repeated grams, shared prefixes/suffixes, same-length swaps);
+    sub-MIN_LEN strings are excluded by the operator's contract and
+    must produce nothing."""
+    import duckdb
+
+    import miba_2023_capstone_rb_nlp_spark.suite.dedup as dd
+    from miba_2023_capstone_rb_nlp_spark import catalog
+
+    vocab = [
+        "aaaa", "aaab", "abab", "abba", "baba",
+        "xyxy", "xyxyx", "yxyxy", "xxyy",
+        "prefix one", "prefix two", "prefix tree",
+        "suffix red", "suffix rod", "suffix road",
+        "ab", "ba", "abc", "acb", "bac",
+    ]
+    crafted = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vocab)], "p_partkey bigint, p_name string"
+    )
+    orig = catalog.table
+    try:
+        catalog.table = lambda _s, _d, name: crafted
+        got = {
+            (r["na"], r["nb"]): r["dist"]
+            for r in dd.q_fuzzy_name_matches(spark, "unused").collect()
+        }
+    finally:
+        catalog.table = orig
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v(s VARCHAR); INSERT INTO v VALUES "
+        + ",".join(f"('{s}')" for s in vocab)
+    )
+    want = {
+        (a, b): d
+        for a, b, d in con.execute(
+            "SELECT a.s, b.s, levenshtein(a.s, b.s) FROM v a JOIN v b"
+            " ON a.s < b.s WHERE levenshtein(a.s, b.s) <= 2"
+            " AND length(a.s) >= 6 AND length(b.s) >= 6"
+        ).fetchall()
+    }
+    assert got == want
+    assert want, "vocab must exercise the regime non-vacuously"
