@@ -4,7 +4,9 @@ flukes that only appear with more rows near floor boundaries (the
 failure class the fixed-point recipe is designed to exclude).
 
 Slow (~3 min on local[32]); opt in with SPARK_GRAFT_SF01_PARITY=1.
-Last full run: round 5, 96/96 oracles green (177 s).
+Last full run: round 5 (late), 100/100 oracles green (191 s) —
+including bpe_merge_learn/bpe_encode_stats,
+incremental_minhash_dedup and fuzzy_name_matches.
 """
 
 from __future__ import annotations
