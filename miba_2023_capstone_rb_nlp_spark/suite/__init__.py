@@ -221,6 +221,16 @@ _DEPRIORITIZED = (
     # machinery in-window via hyperplane_lsh_pairs (margin-directed
     # probes), candidate-gen + exact re-rank in-window via
     # knn_int8_rerank
+    # -- round-5 fifteenth wave: two demotions for the grouped-OLS
+    # -- and distributed-skyline debuts
+    "corpus_prep_chain",  # 3 green rounds; its constituent stages
+    # run in-window as url_canonical_dedup, dedup_canonical_corpus
+    # and dsir_importance_select (each oracle-checked standalone)
+    "pairwise_medoids",  # 3 green rounds; medoid-family machinery
+    # in-window via cluster_viz_summary (W1 centroid medoids) and
+    # the exact-distance re-rank inside knn_int8_rerank; the W2
+    # min-avg-pairwise semantics stay pinned by local parity + the
+    # sf0.1 sweep
 )
 
 # Entries promoted to the registry head (after the flagship): the
@@ -229,7 +239,8 @@ _DEPRIORITIZED = (
 _PRIORITIZED = (
     "cluster_viz_summary",  # flagship: entry() runs this
     "wizard_full_chain",
-    "pairwise_medoids",
+    # pairwise_medoids moved to the rotation tail in round 5 (wave
+    # 15) after 3 driver-green rounds
     "kmeans_clusters",
     "pca_coords",
 )

@@ -1011,3 +1011,187 @@ def q_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# --- grouped OLS: price ~ quantity per brand ------------------------
+# ML-adjacent analytics from ONE moment pass (the events_value_ttest
+# recipe): per-brand (n, Σx, Σy, Σx², Σxy, Σy²) as exact decimals,
+# slope/intercept/r² derived per brand (|brands| rows) with every
+# double operation in the same textual order as the oracle.
+_REGR_ORACLE = """
+WITH j AS (
+  SELECT p.p_brand AS brand,
+         CAST(l.l_quantity AS DECIMAL(18,2)) AS x,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+g AS (
+  SELECT brand, count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM j GROUP BY brand
+),
+d AS (
+  SELECT brand, n, sx, sy, syy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den,
+         n * syy - sy * sy AS dy
+  FROM g
+)
+SELECT brand, n,
+       floor((num / den) * 1000000.0) / 1000000.0 AS slope,
+       floor(((sy - (num / den) * sx) / n) * 1000000.0)
+         / 1000000.0 AS intercept,
+       floor(((num * num) / (den * dy)) * 1000000.0)
+         / 1000000.0 AS r2
+FROM d
+"""
+
+
+@register("brand_price_regression", oracle=_REGR_ORACLE)
+def q_brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand simple linear regression of extended price on
+    quantity: slope, intercept, r².
+
+    Plan: part joins broadcast (dim side), then ONE fact-side
+    aggregate collects the six moments per brand as exact decimal
+    sums (map-side partial) — the closed-form solve runs on |brands|
+    rows. This is the normal-equations shape that scales to any fact
+    size: the data is touched once, the model solve is O(groups). At
+    higher feature counts the same pass widens to X'X / X'y
+    accumulators with a driver-side k×k solve (the pca_reduce moment
+    device).
+    """
+    li = catalog.table(spark, sf_dir, "lineitem")
+    part = catalog.table(spark, sf_dir, "part")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    ).select(F.col("p_brand").alias("brand"), x.alias("x"), y.alias("y"))
+    g = j.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    d = g.select(
+        "brand",
+        "n",
+        "sx",
+        "sy",
+        "syy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+    )
+    return d.select(
+        "brand",
+        "n",
+        fixed(F.col("num") / F.col("den"), 6).alias("slope"),
+        fixed(
+            (F.col("sy") - (F.col("num") / F.col("den")) * F.col("sx"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+        fixed(
+            (F.col("num") * F.col("num")) / (F.col("den") * F.col("dy")), 6
+        ).alias("r2"),
+    )
+
+
+# --- two-phase distributed skyline (Pareto dominance) ---------------
+# Börzsönyi et al. 2001 divide-and-conquer shape: each partition
+# computes its LOCAL skyline (map-only pruning — correct because a
+# global skyline point is unbeaten in every subset containing it, so
+# global ⊆ union of locals), then the small candidate union resolves
+# exactly with one broadcast anti-join on the dominance predicate.
+_SKYLINE_ORACLE = """
+WITH t AS (
+  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+         p_size AS sz
+  FROM part
+)
+SELECT c.p_partkey, CAST(c.price AS DOUBLE) AS price,
+       CAST(c.sz AS INT) AS sz
+FROM t c
+WHERE NOT EXISTS (
+  SELECT 1 FROM t d
+  WHERE d.price <= c.price AND d.sz >= c.sz
+    AND (d.price < c.price OR d.sz > c.sz)
+)
+"""
+
+
+@register("part_price_skyline", oracle=_SKYLINE_ORACLE)
+def q_part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts: minimize retail price, maximize
+    size; nothing on the frontier is dominated (≤ price AND ≥ size,
+    strict somewhere).
+
+    Plan: phase 1 is an Arrow-batched local-skyline sweep per
+    partition (sort by (price asc, size desc); keep a row iff its
+    size strictly beats the running max of all cheaper rows and ties
+    the max of its own price group) — map-only, prunes each
+    partition to ~O(log n) candidates before anything moves. Phase 2
+    anti-joins the tiny candidate union against its broadcast self
+    on the dominance predicate (BroadcastNestedLoopJoin over
+    candidates only — the fact table never sees a non-equi join).
+    Result is the exact global skyline for ANY partitioning.
+    """
+    import numpy as np
+    import pandas as pd
+
+    part = catalog.table(spark, sf_dir, "part")
+    t = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+        F.col("p_size").alias("sz"),
+    )
+
+    def local_skyline(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            s = pdf.sort_values(
+                ["price", "sz"], ascending=[True, False], kind="mergesort"
+            )
+            price = s["price"].to_numpy()
+            sz = s["sz"].to_numpy()
+            keep = np.zeros(len(s), dtype=bool)
+            best_prev = -(1 << 62)  # max size among strictly cheaper rows
+            i = 0
+            while i < len(s):
+                j = i
+                while j < len(s) and price[j] == price[i]:
+                    j += 1
+                group_max = sz[i]  # sorted size-desc within the group
+                for r in range(i, j):
+                    keep[r] = sz[r] == group_max and sz[r] > best_prev
+                best_prev = max(best_prev, group_max)
+                i = j
+            yield s.loc[keep]
+
+    cand = t.mapInPandas(
+        local_skyline, schema="p_partkey bigint, price decimal(18,2), sz int"
+    )
+    c, d = cand.alias("c"), cand.alias("d")
+    dominated = (
+        (F.col("d.price") <= F.col("c.price"))
+        & (F.col("d.sz") >= F.col("c.sz"))
+        & ((F.col("d.price") < F.col("c.price")) | (F.col("d.sz") > F.col("c.sz")))
+    )
+    return (
+        c.join(F.broadcast(d), dominated, "left_anti")
+        .select(
+            "p_partkey",
+            F.col("price").cast("double").alias("price"),
+            F.col("sz").cast("int").alias("sz"),
+        )
+    )

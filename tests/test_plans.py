@@ -600,3 +600,15 @@ def test_fuzzy_match_distinct_first_no_nested_loop(spark):
     # levenshtein may appear below the sum(least(...)) aggregate.
     below_agg = opt[opt.index("sum(least(") :]
     assert "levenshtein" not in below_agg
+
+
+def test_skyline_local_prune_then_candidate_antijoin(spark):
+    """The fact table is pruned map-side (MapInPandas local skyline)
+    before anything moves; the only non-equi join is the broadcast
+    anti-join over the tiny candidate union — never over the fact
+    table — and there is no global sort."""
+    df = SUITE["part_price_skyline"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "MapInPandas" in final
+    assert "BroadcastNestedLoopJoin" in final and "LeftAnti" in final
+    assert "rangepartitioning" not in final  # no global sort

@@ -488,3 +488,43 @@ def test_fuzzy_count_filter_no_false_negatives(spark):
     }
     assert got == want
     assert want, "vocab must exercise the regime non-vacuously"
+
+
+def test_skyline_partition_invariant(spark):
+    """Two-phase skyline correctness does not depend on the layout:
+    adversarial repartitionings (all-in-one, by-size, round-robin
+    many) must produce the identical frontier, and every emitted row
+    must be undominated while every dropped row is dominated."""
+    import miba_2023_capstone_rb_nlp_spark.suite.relational as rel
+    from miba_2023_capstone_rb_nlp_spark import catalog
+    from tests.conftest import SF_TEST_DIR
+
+    base = catalog.table(spark, SF_TEST_DIR, "part")
+    results = []
+    for repart in (
+        lambda d: d.coalesce(1),
+        lambda d: d.repartition(16),
+        lambda d: d.repartition("p_size"),
+    ):
+        orig = catalog.table
+        try:
+            catalog.table = lambda _s, _d, name: repart(base)
+            rows = sorted(
+                map(
+                    tuple,
+                    rel.q_part_price_skyline(spark, "unused").collect(),
+                )
+            )
+        finally:
+            catalog.table = orig
+        results.append(rows)
+    assert results[0] == results[1] == results[2]
+    frontier = {(p, sz) for _, p, sz in results[0]}
+    allrows = [
+        (float(r["p_retailprice"]), r["p_size"])
+        for r in base.select("p_retailprice", "p_size").collect()
+    ]
+    for fp, fsz in frontier:
+        assert not any(
+            (p <= fp and sz >= fsz and (p < fp or sz > fsz)) for p, sz in allrows
+        )

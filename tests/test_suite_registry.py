@@ -40,6 +40,8 @@ EXPECTED = {
     "orders_upsert_merge",
     "sql_interface_segment_revenue",
     "shipping_priority_q3",
+    "brand_price_regression",
+    "part_price_skyline",
     "part_affinity_topk",
     "part_pagerank",
     "data_quality_report",
@@ -236,6 +238,11 @@ ROTATED_OUT = {
     # twentieth wave: demoted for the fuzzy-match debut (multi-probe
     # banding in-window via hyperplane_lsh_pairs + knn_int8_rerank)
     "knn_ivf_multiprobe",
+    # twenty-first wave: demoted for the grouped-OLS and skyline
+    # debuts (prep-chain constituents and medoid machinery in-window
+    # as documented in _DEPRIORITIZED)
+    "corpus_prep_chain",
+    "pairwise_medoids",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
