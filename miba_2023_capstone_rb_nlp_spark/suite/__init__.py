@@ -231,6 +231,12 @@ _DEPRIORITIZED = (
     # the exact-distance re-rank inside knn_int8_rerank; the W2
     # min-avg-pairwise semantics stay pinned by local parity + the
     # sf0.1 sweep
+    # -- round-5 sixteenth wave: one demotion for the prefix-filtered
+    # -- set-similarity join debut
+    "ner_top_orgs",  # 4 green rounds (most-evidenced remaining
+    # entry); weighted top-k explode + broadcast term machinery
+    # in-window via phrase_match_docs and ctfidf_topics_per_lang;
+    # the gazetteer NER kernel stays pinned by tests + local parity
 )
 
 # Entries promoted to the registry head (after the flagship): the

@@ -4,7 +4,7 @@ MinHash LSH, SimHash — each with a fully-mirrored DuckDB oracle
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark import catalog
@@ -576,4 +576,112 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("dist", dist)
         .filter(F.col("dist") <= _FUZZY_D)
         .select("na", "nb", "dist")
+    )
+
+
+# --- prefix-filtered set-similarity join (PPJoin-lite) --------------
+# Bayardo et al. 2007 / Xiao et al. 2008 prefix-filtering principle:
+# under ONE global canonical token order, two sets with overlap >= a
+# must share an element inside their (size - a + 1)-prefixes — so
+# indexing only prefixes (rarest tokens first) generates a complete
+# candidate set with far fewer index entries than the every-shingle
+# equi-join. A deliberately DIFFERENT physical strategy for the same
+# logical spec as ngram_jaccard_pairs: the oracle below is the naive
+# exhaustive shared-shingle spec, so the driver's check itself proves
+# the prefix strategy exact.
+_PREFIX_T = 0.3  # jaccard threshold; per-side overlap bound ceil(t*n)
+
+_PREFIX_JACCARD_ORACLE = f"""
+WITH sh0 AS ({_SHINGLES}),
+sh AS (
+  SELECT doc, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hs FROM sh0
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS da, b.doc AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT da, db, CAST(inter AS BIGINT) AS inter,
+       floor((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter))
+             * 1000000.0) / 1000000.0 AS jaccard
+FROM inter
+JOIN sizes na ON inter.da = na.doc JOIN sizes nb ON inter.db = nb.doc
+WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= {_PREFIX_T}
+"""
+
+
+@register("prefix_jaccard_pairs", oracle=_PREFIX_JACCARD_ORACLE)
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.3 pairs via prefix filtering.
+
+    Plan: one doc-frequency aggregate orders shingles globally
+    (rarest first, ties by hash); each doc indexes ONLY its
+    (n - ceil(t*n) + 1)-prefix — the self-join runs on the prefix
+    entries, so hot shingles sit at the END of the canonical order
+    and never enter the index (the structural fix for the
+    stop-shingle quadratic that jaccard_pairs can only guard
+    against). Verification joins the small distinct candidate set
+    back to the full shingle table for exact intersection counts.
+    ceil(t*n) is computed in exact integer arithmetic ((3n+9) div
+    10): a float ceil overshoots on inexact t*n (0.3*10 -> 3.0000…4,
+    ceil 4), silently shortening the prefix and voiding the
+    completeness theorem — pinned with jaccard_pairs equality by
+    tests/test_properties.py.
+    """
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
+    from miba_2023_capstone_rb_nlp_spark.functions.text import (
+        md5_long,
+        word_ngrams,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("s"),
+    ).select("doc", md5_long(F.col("s")).alias("hs"))
+    fr = sh.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "hs")
+    rk = (
+        sh.join(fr, "hs")
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    )
+    # prefix length n - ceil(t*n) + 1 with exact-integer ceil
+    pref = rk.filter(
+        F.col("r") <= F.col("n") - F.expr("(3 * n + 9) div 10") + 1
+    ).select("doc", "hs")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha, shb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sha, F.col("da") == F.col("sa.doc"))
+        .join(
+            shb,
+            (F.col("db") == F.col("sb.doc"))
+            & (F.col("sa.hs") == F.col("sb.hs")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("da"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc").alias("db"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .filter(jac >= _PREFIX_T)
+        .select(
+            "da",
+            "db",
+            F.col("inter").cast("bigint").alias("inter"),
+            fixed(jac, 6).alias("jaccard"),
+        )
     )

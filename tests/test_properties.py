@@ -528,3 +528,62 @@ def test_skyline_partition_invariant(spark):
         assert not any(
             (p <= fp and sz >= fsz and (p < fp or sz > fsz)) for p, sz in allrows
         )
+
+
+def test_prefix_filter_equals_exhaustive_jaccard(spark):
+    """The prefix-filtered join must return EXACTLY the exhaustive
+    shared-shingle join's pairs at the same threshold — on the real
+    corpus and on an adversarial one (near-identical docs, a hot
+    shingle shared by everything, docs whose only overlap is their
+    commonest shingle — the false-negative trap if prefixes were
+    computed with float ceil)."""
+    import pyspark.sql.functions as F
+
+    import miba_2023_capstone_rb_nlp_spark.suite.dedup as dd
+    from miba_2023_capstone_rb_nlp_spark.dedup.jaccard import jaccard_pairs
+    from tests.conftest import SF_TEST_DIR
+
+    def pairs_of(df):
+        return sorted(
+            (r["da"], r["db"], r["inter"], r["jaccard"]) for r in df.collect()
+        )
+
+    # real corpus
+    got = pairs_of(dd.q_prefix_jaccard_pairs(spark, SF_TEST_DIR))
+    want = pairs_of(
+        jaccard_pairs(
+            dd._docs(spark, SF_TEST_DIR), "text", "doc_id",
+            n=3, threshold=0.3, candidate_budget=None,
+        ).select(
+            "da", "db", F.col("inter").cast("bigint").alias("inter"), "jaccard"
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # adversarial corpus
+    hot = "the common tail marker"
+    texts = [
+        "alpha beta gamma delta epsilon zeta " + hot,
+        "alpha beta gamma delta epsilon eta " + hot,       # near-dup of 0
+        "completely different words here now today " + hot,
+        "unrelated content entirely separate tokens " + hot,
+        "alpha beta gamma delta epsilon zeta " + hot,      # exact dup of 0
+    ]
+    crafted = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    orig = dd._docs
+    try:
+        dd._docs = lambda _s, _d: crafted
+        got2 = pairs_of(dd.q_prefix_jaccard_pairs(spark, "unused"))
+    finally:
+        dd._docs = orig
+    want2 = pairs_of(
+        jaccard_pairs(
+            crafted, "text", "doc_id", n=3, threshold=0.3,
+            candidate_budget=None,
+        ).select(
+            "da", "db", F.col("inter").cast("bigint").alias("inter"), "jaccard"
+        )
+    )
+    assert got2 == want2 and (0, 4) in {(a, b) for a, b, _, _ in got2}

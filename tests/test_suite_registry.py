@@ -116,6 +116,7 @@ EXPECTED = {
     # dedup
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "prefix_jaccard_pairs",
     "minhash_lsh_pairs",
     "incremental_minhash_dedup",
     "fuzzy_name_matches",
@@ -243,6 +244,8 @@ ROTATED_OUT = {
     # as documented in _DEPRIORITIZED)
     "corpus_prep_chain",
     "pairwise_medoids",
+    # twenty-second wave: demoted for the prefix-filter join debut
+    "ner_top_orgs",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
