@@ -237,6 +237,13 @@ _DEPRIORITIZED = (
     # entry); weighted top-k explode + broadcast term machinery
     # in-window via phrase_match_docs and ctfidf_topics_per_lang;
     # the gazetteer NER kernel stays pinned by tests + local parity
+    # -- round-5 seventeenth wave: one demotion for the TPC-H Q10
+    # -- debut
+    "media_features",  # 4 green rounds; the Arrow mapInPandas
+    # surface stays in-window via incremental_minhash_dedup's
+    # signature builder and part_price_skyline's local prune; the
+    # binary decode-stub semantics stay pinned by
+    # tests/test_multimodal.py and local parity
 )
 
 # Entries promoted to the registry head (after the flagship): the

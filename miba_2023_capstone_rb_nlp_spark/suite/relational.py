@@ -1195,3 +1195,62 @@ def q_part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sz").cast("int").alias("sz"),
         )
     )
+
+
+# --- TPC-H Q10: returned-item customer ranking ----------------------
+_Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(sum({_DISC}) AS DOUBLE) AS revenue,
+       CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+       n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_items_q10", oracle=_Q10_ORACLE)
+def q_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter.
+
+    Plan: the quarter predicate pushes to the orders scan and the
+    returnflag predicate to the lineitem scan (both pruned before any
+    join); nation broadcasts; lineitem⋈orders shuffles on orderkey
+    once, then one custkey exchange for the join+agg; ORDER BY+LIMIT
+    is TakeOrderedAndProject (per-partition heaps). Revenue is the
+    exact-decimal discount sum surfaced as double (Q1/Q3 recipe).
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc_price = dec("l_extendedprice", 2, 12) * (
+        F.lit(1) - dec("l_discount", 2, 4)
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -42,6 +42,7 @@ EXPECTED = {
     "shipping_priority_q3",
     "brand_price_regression",
     "part_price_skyline",
+    "returned_items_q10",
     "part_affinity_topk",
     "part_pagerank",
     "data_quality_report",
@@ -246,6 +247,8 @@ ROTATED_OUT = {
     "pairwise_medoids",
     # twenty-second wave: demoted for the prefix-filter join debut
     "ner_top_orgs",
+    # twenty-third wave: demoted for the TPC-H Q10 debut
+    "media_features",
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
