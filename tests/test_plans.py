@@ -612,3 +612,26 @@ def test_skyline_local_prune_then_candidate_antijoin(spark):
     assert "MapInPandas" in final
     assert "BroadcastNestedLoopJoin" in final and "LeftAnti" in final
     assert "rangepartitioning" not in final  # no global sort
+
+
+def test_regression_single_moment_pass(spark):
+    """brand_price_regression: ONE fact aggregate collects all six
+    moments (no second scan per statistic), the part dim broadcasts,
+    and the solve is a projection — no window, no extra join."""
+    df = SUITE["brand_price_regression"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2  # lineitem + part only
+    assert "BroadcastHashJoin" in final
+    assert "Window" not in final
+    assert "partial_" in final  # map-side combined moments
+
+
+def test_q10_pushdown_broadcast_heap_topk(spark):
+    """Q10: quarter predicate reaches the orders scan, returnflag
+    reaches lineitem, nation broadcasts, top-20 is a heap."""
+    df = SUITE["returned_items_q10"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
