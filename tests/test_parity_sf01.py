@@ -4,9 +4,10 @@ flukes that only appear with more rows near floor boundaries (the
 failure class the fixed-point recipe is designed to exclude).
 
 Slow (~3 min on local[32]); opt in with SPARK_GRAFT_SF01_PARITY=1.
-Last full run: round 5 (late), 100/100 oracles green (191 s) —
-including bpe_merge_learn/bpe_encode_stats,
-incremental_minhash_dedup and fuzzy_name_matches.
+Last full run: round 5 (final), 104/104 oracles green (208 s) —
+including every round-5 addition (BPE pair, incremental dedup,
+fuzzy matching, prefix-filter join post-redesign, grouped OLS,
+skyline, TPC-H Q10).
 """
 
 from __future__ import annotations
