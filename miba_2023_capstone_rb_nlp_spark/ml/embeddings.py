@@ -36,6 +36,7 @@ def hash_embeddings(
     dim: int = 8,
     scale: int = 6,
     out_col: str = "hash_embedding",
+    salt: str = "",
 ) -> DataFrame:
     """Signed feature-hashing embedding: bucket = h mod dim, sign from
     bit 10 of h; vector = per-bucket signed counts, L2-normalized and
@@ -43,9 +44,14 @@ def hash_embeddings(
 
     One explode + one groupBy(id) with dim partial-agg sums — scales
     like a word count. Oracle mirror: same arithmetic in SQL.
+    ``salt`` prefixes every token hash — distinct salts are distinct
+    deterministic models (the wizard's M1-vs-M2 stand-in pair); the
+    default "" keeps md5(token) exactly, so every existing oracle is
+    untouched.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
-    h = tok.withColumn("hv", md5_long(F.col("t")))
+    hv = md5_long(F.concat(F.lit(salt), F.col("t"))) if salt else md5_long(F.col("t"))
+    h = tok.withColumn("hv", hv)
     signed = h.withColumn("bucket", (F.col("hv") % dim).cast("int")).withColumn(
         "sign",
         F.when(F.shiftright("hv", 10).bitwiseAND(1) == 1, F.lit(1)).otherwise(-1),

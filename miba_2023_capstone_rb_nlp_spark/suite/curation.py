@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from miba_2023_capstone_rb_nlp_spark import catalog
 from miba_2023_capstone_rb_nlp_spark.functions import text as T
 from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed, sql_fixed
-from miba_2023_capstone_rb_nlp_spark.suite import register
+from miba_2023_capstone_rb_nlp_spark.suite import persist_tracked, register
 from miba_2023_capstone_rb_nlp_spark.suite.dedup import _SHINGLES
 
 
@@ -620,7 +620,7 @@ def q_corpus_prep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once instead of recomputing the per-doc text passes per branch;
     # at 100 TB this is the standard materialize-the-working-set step
     # (persist or a checkpoint table) any multi-branch pipeline needs
-    base0 = base0.persist()
+    base0 = persist_tracked(base0)
     # inject the re-keyed copies AFTER the per-doc features and via a
     # posexplode-free id fan-out rather than a self-union: a copy
     # carries identical text so its stats are reused, and one scan

@@ -18,7 +18,7 @@ from miba_2023_capstone_rb_nlp_spark.dedup.minhash import (
 )
 from miba_2023_capstone_rb_nlp_spark.dedup.simhash import simhash_pairs
 from miba_2023_capstone_rb_nlp_spark.functions.numeric import sql_fixed
-from miba_2023_capstone_rb_nlp_spark.suite import register
+from miba_2023_capstone_rb_nlp_spark.suite import persist_tracked, register
 
 
 def _docs(spark, sf_dir):
@@ -640,7 +640,6 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_ngrams,
     )
 
-    from pyspark import StorageLevel
 
     docs = _docs(spark, sf_dir)
     sh = docs.select(
@@ -654,12 +653,11 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode→md5→df-join→window subtree exactly once — the
     # build-the-index-once step (without it each consumer recomputes
     # the corpus-scale pipeline)
-    rk = (
+    rk = persist_tracked(
         sh.join(fr, "hs")
         .withColumn("r", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
         .select("doc", "hs", "r", "n")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # prefix length n - ceil(t*n) + 1 with exact-integer ceil
     pref = rk.filter(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark import catalog
 from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec, fixed
-from miba_2023_capstone_rb_nlp_spark.suite import register
+from miba_2023_capstone_rb_nlp_spark.suite import persist_tracked, register
 
 DAMPING = 0.85
 ROUNDS = 3
@@ -100,7 +100,6 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unchanged). Isolated parts (never co-ordered) have no edges
     and are excluded — the standard dangling-node convention.
     """
-    from pyspark import StorageLevel
 
     li = catalog.table(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
@@ -128,8 +127,8 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
             (F.col("w") / F.col("w_out").cast("double")).alias("norm"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    norme = persist_tracked(norme)
     # per-round localCheckpoint (the components.py device): without
     # it the ROUNDS aggregates nest into one plan where every round's
     # broadcast subtree re-plans all earlier rounds — analysis cost

@@ -21,7 +21,7 @@ from miba_2023_capstone_rb_nlp_spark.functions.text import (
     shingle_hashes,
     winnow_from_hashes,
 )
-from miba_2023_capstone_rb_nlp_spark.suite import register
+from miba_2023_capstone_rb_nlp_spark.suite import persist_tracked, register
 
 K_PER_STRATUM = 25
 RATE_PERMILLE = 100  # 10% hash-threshold sample
@@ -202,7 +202,6 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream is scanned exactly once. Downstream: a 1-row totals
     broadcast, the ≤4096-row feature table broadcast back, ONE
     per-doc agg, a 1-row mean broadcast."""
-    from pyspark import StorageLevel
 
     from miba_2023_capstone_rb_nlp_spark.functions.numeric import davg, dec
     from miba_2023_capstone_rb_nlp_spark.functions.text import tokens
@@ -223,8 +222,8 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_db = (
         tb.groupBy("doc_id", "source", "b")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    per_db = persist_tracked(per_db)
     counts = per_db.groupBy("b").agg(
         F.sum(F.when(F.col("source") == _DSIR_TARGET, F.col("c")).otherwise(0)).alias("ct"),
         F.sum("c").alias("cs"),

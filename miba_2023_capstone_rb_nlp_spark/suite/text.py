@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from miba_2023_capstone_rb_nlp_spark import catalog
 from miba_2023_capstone_rb_nlp_spark.functions import text as T
 from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed, sql_fixed
-from miba_2023_capstone_rb_nlp_spark.suite import register
+from miba_2023_capstone_rb_nlp_spark.suite import persist_tracked, register
 
 
 def _docs(spark, sf_dir):
@@ -370,7 +370,6 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring, the model-based complement of doc_stats_quality's
     surface heuristics.
     """
-    from pyspark import StorageLevel
 
     from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec
 
@@ -385,8 +384,8 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    per_db = persist_tracked(per_db)
     c2 = per_db.groupBy("w1", "w2").agg(F.sum("c").alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     vocab = c2.agg(F.countDistinct("w2").alias("v"))
@@ -565,7 +564,6 @@ _BPE_MERGE_ORACLE = _bpe_merge_oracle(_BPE_N_MERGES)
 def _bpe_learn(d: DataFrame) -> DataFrame:
     """The merge-learning loop shared by learn + encode entries:
     → DataFrame[step, pa, pb, merged, pair_count] (k rows)."""
-    from pyspark import StorageLevel
 
     words = (
         d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
@@ -573,12 +571,14 @@ def _bpe_learn(d: DataFrame) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    cur = words.select(
-        "wc",
-        F.concat(
-            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
-        ).alias("sym"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cur = persist_tracked(
+        words.select(
+            "wc",
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+            ).alias("sym"),
+        )
+    )
     merges = []
     for step in range(1, _BPE_N_MERGES + 1):
         counts = (
@@ -663,11 +663,20 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     ctes = learn[len("WITH ") : learn.rindex("\nSELECT")]
     enc = "base.sym"
     for r in range(1, n_merges + 1):
+        # coalesce to an inert chr(1) pattern: a corpus that admits
+        # fewer than k merges leaves m{r} empty, and a bare comma
+        # cross join would collapse enc to ZERO rows while the Spark
+        # side still emits one row per doc with the fewer learned
+        # merges applied — LEFT JOIN ON TRUE + identity replace keeps
+        # the two engines agreeing on degenerate corpora.
         enc = (
-            f"replace({enc}, ' ' || m{r}.pa || ' ' || m{r}.pb || ' ', "
-            f"' ' || m{r}.pa || m{r}.pb || ' ')"
+            f"replace({enc}, "
+            f"coalesce(' ' || m{r}.pa || ' ' || m{r}.pb || ' ', chr(1)), "
+            f"coalesce(' ' || m{r}.pa || m{r}.pb || ' ', ''))"
         )
-    mrefs = ", ".join(f"m{r}" for r in range(1, n_merges + 1))
+    mrefs = " ".join(
+        f"LEFT JOIN m{r} ON TRUE" for r in range(1, n_merges + 1)
+    )
     return f"""WITH {ctes},
 base AS (
   SELECT doc_id,
@@ -680,7 +689,7 @@ base AS (
   FROM documents
 ),
 enc AS (
-  SELECT doc_id, {enc} AS encoded FROM base, {mrefs}
+  SELECT doc_id, {enc} AS encoded FROM base {mrefs}
 )
 SELECT doc_id,
        CAST(len(list_filter(string_split(sym, ' '), x -> x <> ''))

@@ -635,3 +635,46 @@ def test_q10_pushdown_broadcast_heap_topk(spark):
     assert "EqualTo(l_returnflag,R)" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_merge_join_has_no_exchange(spark):
+    """orders_merge_bucketed: both merge inputs are bucketed by the
+    key at rest, so the full-outer SortMergeJoin consumes the scans
+    DIRECTLY — no Exchange on either side (the pay-once-amortize
+    layout a 100 TB MERGE needs; VERDICT r5 next-round #3)."""
+    df = SUITE["orders_merge_bucketed"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "FullOuter" in plan and "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_ivf_pruned_probe_is_partition_pruning(spark):
+    """knn_ivf_pruned: the corpus lives partitioned by cell; the
+    probe's isin(cells) must land in the scan's PartitionFilters so
+    non-probed cells' files are never opened (VERDICT r5 next-round
+    #4 — the ANN layout claim, executed)."""
+    from miba_2023_capstone_rb_nlp_spark.suite.similarity import (
+        write_ivf_layout,
+    )
+    from miba_2023_capstone_rb_nlp_spark.similarity.knn import knn_ivf_cells
+
+    path = write_ivf_layout(spark, SF_TEST_DIR)
+    corpus = spark.read.parquet(path)
+    # probe only 2 of the 10 cells
+    queries = (
+        catalog.table(spark, SF_TEST_DIR, "embeddings")
+        .filter(F.col("label").isin([3, 7]))
+        .limit(8)
+    )
+    df = knn_ivf_cells(
+        corpus, queries, "embedding", "vec_id", "label", dim=64, k=5
+    )
+    plan = _executed_plan(df)
+    scan = plan.split("PartitionFilters: [")[1].splitlines()[0]
+    assert "label" in scan and scan.strip() != "]," , scan
+    # and the registry entry itself keeps the pruned-scan shape
+    entry_plan = _executed_plan(SUITE["knn_ivf_pruned"].fn(spark, SF_TEST_DIR))
+    assert "PartitionFilters: [label" in entry_plan.replace(
+        "PartitionFilters: [ label", "PartitionFilters: [label"
+    )

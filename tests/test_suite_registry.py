@@ -38,6 +38,7 @@ EXPECTED = {
     "argmax_per_flag",
     "order_rollup_revenue",
     "orders_upsert_merge",
+    "orders_merge_bucketed",
     "sql_interface_segment_revenue",
     "shipping_priority_q3",
     "brand_price_regression",
@@ -130,6 +131,7 @@ EXPECTED = {
     "knn_bruteforce",
     "knn_int8_rerank",
     "knn_ivf_cells",
+    "knn_ivf_pruned",
     "knn_ivf_multiprobe",
     "embedding_neardup_pairs",
     "hyperplane_lsh_pairs",
@@ -249,6 +251,34 @@ ROTATED_OUT = {
     "ner_top_orgs",
     # twenty-third wave: demoted for the TPC-H Q10 debut
     "media_features",
+    # round-6 clause-(a) demotions (≥2 hash-green rounds) freeing
+    # slots for the stale-tail re-promotions (VERDICT r5 #1)
+    "ctfidf_topics_per_lang",
+    "dedup_canonical_corpus",
+    "events_stateful_running",
+    "events_stream_dedup",
+    "hyperplane_lsh_pairs",
+}
+
+# Round-6 policy amendment, clause (b): an entry may also rotate out
+# if it was driver-green in the round IMMEDIATELY BEFORE its demotion
+# — the freshest evidence an entry can have (round 5 debuted 41
+# entries at once; the ≥2-green population alone cannot free enough
+# slots to rotate the r1/r2 tail back in). Maps entry → the round it
+# was demoted IN, so the executable precondition ("green in round
+# N-1") stays checkable forever, not just while N-1 is the latest
+# artifact. Rows-only entries (no oracle) satisfy it with a recorded
+# rows-only pass.
+ROTATED_OUT_FRESH = {
+    "wizard_full_chain": 6,
+    "kmeans_clusters": 6,
+    "pca_coords": 6,
+    "bpe_merge_learn": 6,
+    "shipping_priority_q3": 6,
+    "event_transition_matrix": 6,
+    "events_value_ttest": 6,
+    "events_cusum_changepoint": 6,
+    "data_quality_report": 6,
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -308,20 +338,37 @@ CORE_ENTRIES = {
 
 def test_core_entries_inside_driver_window():
     head = set(list(load_suite())[:DRIVER_WINDOW])
-    missing = (CORE_ENTRIES - ROTATED_OUT) - head
+    missing = (CORE_ENTRIES - ROTATED_OUT - set(ROTATED_OUT_FRESH)) - head
     assert not missing, (
         f"§2-core entries evicted from the driver's {DRIVER_WINDOW}-row "
         f"checked window: {sorted(missing)} — adding a new entry requires "
         "demoting a twin via _DEPRIORITIZED"
     )
-    # the round-5 promotions must actually be in the window
+    # entries that must sit in the window this round: the round-6
+    # stale-tail re-promotions + NEW operators (VERDICT r5 #1/#3/#4),
+    # and the round-5 debuts that still hold their slot
     promoted = {
+        # round-6 re-promotions (last driver-green row was r1/r2)
+        "customers_without_orders",
+        "top_orders_per_customer",
+        "order_cube_revenue",
+        "customer_order_frames",
+        "salted_agg_priority_revenue",
+        "events_tumbling_hourly",
+        "events_sliding_hourly",
+        "events_json_value_counts",
+        "group_concat_docs",
+        "bigram_topk",
+        "knn_ivf_cells",
+        "embedding_neardup_pairs",
+        # round-6 new operators — never driver-checked, must debut
+        # inside the window, not in the tail
+        "orders_merge_bucketed",
+        "knn_ivf_pruned",
+        # round-4/5 debuts still holding their window slot
         "doc_chunk_windows",
         "url_canonical_dedup",
-        "events_stream_dedup",
         "wizard_chain_stages",
-        # round-5 new operators — never driver-checked, must debut
-        # inside the window, not in the tail
         "duplicate_span_flags",
         "line_dedup_rebuild",
         "quality_representative_dedup",
@@ -330,19 +377,17 @@ def test_core_entries_inside_driver_window():
         "dsir_importance_select",
         "events_type_pivot",
         "orders_upsert_merge",
-    "sql_interface_segment_revenue",
-    "shipping_priority_q3",
+        "sql_interface_segment_revenue",
         "events_funnel_stages",
         "bigram_lm_perplexity",
-    "source_vocab_overlap",
+        "source_vocab_overlap",
         "user_decayed_value",
         "event_outliers_mad",
         "part_affinity_topk",
-    "part_pagerank",
-    "data_quality_report",
-    "incremental_revenue_merge",
-    "price_decile_histogram",
-    "lineitem_unpivot_stats",
+        "part_pagerank",
+        "incremental_revenue_merge",
+        "price_decile_histogram",
+        "lineitem_unpivot_stats",
         "phrase_match_docs",
     }
     assert promoted <= head, sorted(promoted - head)
@@ -369,15 +414,59 @@ def _driver_green_rounds(name: str) -> int:
     return n
 
 
+def _round_artifact(n: int) -> dict:
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, f"CORRECTNESS_r{n:02d}.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
 def test_rotated_out_entries_have_driver_evidence():
-    """The rotation policy's precondition, executable: an entry may
-    only be rotation-demoted from the checked window if the committed
-    driver artifacts show it hash-green in at least 2 prior rounds."""
+    """Rotation policy clause (a), executable: an entry may only be
+    rotation-demoted under clause (a) if the committed driver
+    artifacts show it hash-green in at least 2 prior rounds."""
     for name in sorted(ROTATED_OUT):
         assert _driver_green_rounds(name) >= 2, (
             f"{name} rotated out with <2 rounds of driver-green "
             "evidence — it must stay in the checked window"
         )
+
+
+def test_fresh_rotations_were_green_the_round_before():
+    """Rotation policy clause (b), executable: an entry demoted in
+    round N with <2 green rounds must have been driver-green in round
+    N-1 — fully hash-green for oracled entries, a recorded rows-only
+    pass for the no-oracle ones (which can never hash-match)."""
+    suite = load_suite()
+    for name, demoted_in in sorted(ROTATED_OUT_FRESH.items()):
+        e = _round_artifact(demoted_in - 1).get(name)
+        assert e is not None, (
+            f"{name}: no round-{demoted_in - 1} driver row — clause "
+            "(b) demotion requires evidence from the prior round"
+        )
+        if suite[name].oracle is None:
+            ok = e.get("err") == "no_oracle" and e.get("spark_rows") is not None
+        else:
+            ok = bool(
+                e.get("hash_match")
+                and e.get("rows_match")
+                and e.get("schema_match")
+            )
+        assert ok, f"{name}: round-{demoted_in - 1} row was not green: {e}"
+
+
+def test_rotation_sets_disjoint_and_actually_demoted():
+    """Clause (a) and (b) sets must not overlap, and every clause-(b)
+    entry must actually sit in the deprioritized tail."""
+    assert not (ROTATED_OUT & set(ROTATED_OUT_FRESH))
+    for name in ROTATED_OUT_FRESH:
+        assert name in _DEPRIORITIZED, name
 
 
 def test_rows_only_entries_pinned():
