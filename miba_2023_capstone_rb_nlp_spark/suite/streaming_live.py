@@ -240,3 +240,133 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.table(_SSJ_TABLE)
+
+
+# --- foreachBatch incremental MERGE (CDC / lakehouse ingest) --------
+# The remaining §2.10 ingest shape after windows/dedup/state/joins:
+# a stream whose micro-batches UPSERT into a warehouse table at rest.
+# Logical result = plain per-user aggregates (same oracle family as
+# events_stateful_running), but the MECHANISM is the production one:
+# foreachBatch + full-outer merge into a base BUCKETED by the merge
+# key (the orders_merge_bucketed layout under a stream), so the
+# 100 TB base never re-shuffles per batch — only the micro-batch's
+# own partial aggregate moves.
+_UPSERT_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+_UPSERT_BUCKETS = 8
+
+
+def _warehouse_dir(*parts: str) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "spark-warehouse",
+        *parts,
+    )
+
+
+def _write_bucketed_state(df: DataFrame, name: str, path: str) -> None:
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.bucketBy(_UPSERT_BUCKETS, "user_id")
+        .sortBy("user_id")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+
+
+@register("events_streaming_upsert", oracle=_UPSERT_ORACLE)
+def q_events_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest with per-batch MERGE: events stream in as a
+    multi-file drop (maxFilesPerTrigger=1 → one micro-batch per
+    file); each batch's per-user partial aggregate full-outer-merges
+    into the running state table, ping-ponging between two bucketed
+    tables (a table can't overwrite itself while being read). The
+    final state must equal the one-shot batch aggregate — the oracle
+    proves the incremental merges composed correctly across batches.
+
+    Scale shape: state lives bucketed by user_id at rest, so the base
+    side of every per-batch merge is exchange-free (pinned for the
+    identical layout by tests/test_plans.py's bucketed-merge test);
+    sums are exact DECIMAL across batches (associative — batch split
+    cannot change the answer) and cast to double only at the end. On
+    a real feed the sink is a transactional MERGE keyed additionally
+    by batchId for exactly-once under retries; AvailableNow + memory
+    state here keeps the harness hermetic.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    drop_dir = _warehouse_dir("stream_ingest", sf_name)
+    ev = normalize_event_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ).select("user_id", "value")
+    # the file-drop layout: 4 files → 4 micro-batches
+    ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+    schema = spark.read.parquet(drop_dir).schema
+
+    tables = ("stream_upsert_a", "stream_upsert_b")
+    empty = spark.createDataFrame(
+        [], "user_id bigint, n_events bigint, sum_dec decimal(18,2)"
+    )
+    _write_bucketed_state(
+        empty, tables[0], _warehouse_dir("stream_ingest", sf_name + "_a")
+    )
+    state = {"cur": 0, "batches": 0}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("b_n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("b_sum"),
+        )
+        base = spark.table(tables[state["cur"]])
+        merged = base.join(agg, "user_id", "full_outer").select(
+            "user_id",
+            (
+                F.coalesce(F.col("n_events"), F.lit(0))
+                + F.coalesce(F.col("b_n"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("sum_dec"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("b_sum"), F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("decimal(18,2)")
+            .alias("sum_dec"),
+        )
+        nxt = 1 - state["cur"]
+        _write_bucketed_state(
+            merged,
+            tables[nxt],
+            _warehouse_dir(
+                "stream_ingest", sf_name + ("_a" if nxt == 0 else "_b")
+            ),
+        )
+        state["cur"] = nxt
+        state["batches"] += 1
+
+    with _state_partitions(spark):
+        query = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop_dir)
+            .writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    assert state["batches"] >= 2, (
+        "streaming upsert must compose ACROSS micro-batches; the drop "
+        f"folder produced only {state['batches']}"
+    )
+    return spark.table(tables[state["cur"]]).select(
+        "user_id",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )

@@ -130,6 +130,12 @@ def test_suite_persists_release_on_next_entry(spark):
     assert len(suite._LIVE_PERSISTS) >= 1
     tracked = list(suite._LIVE_PERSISTS)
     df.count()  # materialize: the caches fill
-    SUITE["lang_id"].fn(spark, sf)  # next entry releases them
+    # re-invoking the SAME entry (a bench rep) must NOT release —
+    # the fresh persist dedups in CacheManager and reps run warm
+    SUITE["prefix_jaccard_pairs"].fn(spark, sf)
+    assert len(suite._LIVE_PERSISTS) > len(tracked)
+    assert all(t.storageLevel.useMemory for t in tracked)
+    # a DIFFERENT entry releases everything tracked so far
+    SUITE["lang_id"].fn(spark, sf)
     assert suite._LIVE_PERSISTS == []
     assert all(not t.storageLevel.useMemory for t in tracked)

@@ -86,6 +86,7 @@ EXPECTED = {
     "events_hourly_gapfill",
     "events_cusum_changepoint",
     "events_value_ttest",
+    "events_streaming_upsert",
     # text
     "doc_stats_quality",
     "lang_id",
@@ -279,6 +280,7 @@ ROTATED_OUT_FRESH = {
     "events_value_ttest": 6,
     "events_cusum_changepoint": 6,
     "data_quality_report": 6,
+    "weekly_active_users": 6,
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -365,6 +367,7 @@ def test_core_entries_inside_driver_window():
         # inside the window, not in the tail
         "orders_merge_bucketed",
         "knn_ivf_pruned",
+        "events_streaming_upsert",
         # round-4/5 debuts still holding their window slot
         "doc_chunk_windows",
         "url_canonical_dedup",
