@@ -104,6 +104,14 @@ def register(name: str, oracle: str | None = None):
 #       (b)-demoted entry re-enters the window within ~2 rounds.
 _DEPRIORITIZED = (
     "approx_distinct_parts",
+    # Registered in round 6 with local sf0.001 parity but NEVER
+    # driver-checked yet — round-7 window debuts alongside the three
+    # stale targets below (they are engine-breadth additions, not §2
+    # rows, so they wait their turn rather than evicting a checked
+    # entry mid-round):
+    "local_supplier_volume_q5",
+    "promo_revenue_q14",
+    "disjunctive_revenue_q19",
     # NEXT-ROUND (r7) ROTATION TARGETS: these three are the only
     # oracled entries whose last driver-green row predates round 3
     # after the r6 re-promotions — promote them first next round.

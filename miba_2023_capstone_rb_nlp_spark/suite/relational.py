@@ -1338,3 +1338,178 @@ def q_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# --- TPC-H Q5: local supplier volume ---------------------------------
+# The classic 6-table star: revenue from orders where the customer and
+# the supplier sit in the same ASIA nation. Registered round 6 with
+# local parity; window debut planned for round 7 (rotation policy).
+_Q5_ORACLE = f"""
+SELECT n.n_name,
+       CAST(sum({_DISC}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC
+"""
+
+
+@register("local_supplier_volume_q5", oracle=_Q5_ORACLE)
+def q_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: per-nation revenue where customer and supplier share
+    the nation, region-restricted, one order year.
+
+    Plan: nation⋈region prunes to the 5-nation ASIA dim FIRST and
+    broadcasts; supplier and the filtered customer dim broadcast too,
+    so the only shuffle is the lineitem⋈orders fact join on orderkey —
+    the same-nation condition rides the supplier broadcast as an
+    equi-key (c_nationkey = s_nationkey), never a second fact
+    exchange. Date predicate pushes to the orders scan."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice", 2, 12) * (
+        F.lit(1) - dec("l_discount", 2, 4)
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# --- TPC-H Q14: promotion effect -------------------------------------
+_Q14_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_DISC}
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           AS promo,
+         CAST(sum({_DISC}) AS DOUBLE) AS total
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+)
+SELECT floor((100.0 * promo / total) * 1000000.0) / 1000000.0
+         AS promo_revenue_pct
+FROM m
+"""
+
+
+@register("promo_revenue_q14", oracle=_Q14_ORACLE)
+def q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from PROMO parts.
+
+    Plan: shipdate range pushes to the lineitem scan, part broadcasts
+    (only p_partkey/p_type read), and BOTH sums come out of ONE
+    aggregate over the joined month — conditional-sum instead of two
+    scans. Exact decimal sums; the ratio divides once, in the same
+    textual order as the oracle, then floor-quantizes."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = dec("l_extendedprice", 2, 12) * (
+        F.lit(1) - dec("l_discount", 2, 4)
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    m = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero)
+            )
+            .cast("double")
+            .alias("promo"),
+            F.sum(disc_price).cast("double").alias("total"),
+        )
+    )
+    return m.select(
+        fixed(F.lit(100.0) * F.col("promo") / F.col("total"), 6).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+# --- TPC-H Q19: discounted revenue (disjunctive predicates) ----------
+_Q19_ORACLE = f"""
+SELECT CAST(sum({_DISC}) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("disjunctive_revenue_q19", oracle=_Q19_ORACLE)
+def q_disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR-of-ANDs predicate spanning both
+    join sides.
+
+    Plan: Catalyst factors the cross-side disjunction — the
+    brand/size terms (part-only) reduce the BROADCAST side before the
+    join, the quantity bounds (lineitem-only: 1..40 overall) push to
+    the fact scan as a range filter, and the residual mixed predicate
+    evaluates post-join. The naive reading (filter only after the
+    join) would scan every lineitem row against the full part dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    disc_price = dec("l_extendedprice", 2, 12) * (
+        F.lit(1) - dec("l_discount", 2, 4)
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & sz.between(1, 15)
+            & q.between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & sz.between(1, 20)
+            & q.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & sz.between(1, 25)
+            & q.between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -678,3 +678,38 @@ def test_ivf_pruned_probe_is_partition_pruning(spark):
     assert "PartitionFilters: [label" in entry_plan.replace(
         "PartitionFilters: [ label", "PartitionFilters: [label"
     )
+
+
+def test_q5_all_dims_broadcast_one_fact_exchange(spark):
+    """Q5: the 6-table star keeps every dim side broadcast (region →
+    nation → supplier chain and the customer dim), so the ONLY
+    exchanges are the fact join and the final group — and the order
+    year pushes to the orders scan."""
+    df = SUITE["local_supplier_volume_q5"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_q14_month_pushdown_single_conditional_agg(spark):
+    """Q14: the ship-month range reaches the lineitem scan and both
+    sums (promo + total) come from ONE aggregate pass."""
+    df = SUITE["promo_revenue_q14"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "GreaterThanOrEqual(l_shipdate,1996-09-01" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan  # map-side combined conditional sums
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """Q19: Catalyst must factor the OR-of-ANDs so each side's scan
+    gets its own disjunctive filter — quantity bounds on lineitem,
+    brand/size on part — instead of evaluating everything post-join."""
+    df = SUITE["disjunctive_revenue_q19"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    li_scans = [s for s in plan.split("PushedFilters: [")[1:] if "l_quantity" in s.splitlines()[0]]
+    p_scans = [s for s in plan.split("PushedFilters: [")[1:] if "p_brand" in s.splitlines()[0]]
+    assert li_scans and "Or(" in li_scans[0].splitlines()[0]
+    assert p_scans and "Or(" in p_scans[0].splitlines()[0]

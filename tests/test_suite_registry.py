@@ -44,6 +44,9 @@ EXPECTED = {
     "brand_price_regression",
     "part_price_skyline",
     "returned_items_q10",
+    "local_supplier_volume_q5",
+    "promo_revenue_q14",
+    "disjunctive_revenue_q19",
     "part_affinity_topk",
     "part_pagerank",
     "data_quality_report",
