@@ -100,3 +100,71 @@ def test_centroids_skip_null_vectors(spark):
     df = spark.createDataFrame(rows, "label int, v array<double>")
     [out] = centroids(df, "v", "label", dim=2).collect()
     assert out["centroid"] == [3.0, 6.0]
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The OTHER skew lever SURVEY §9 names besides salting: AQE's
+    runtime re-plan. Under an adversarial distribution and test-sized
+    thresholds, the executed SortMergeJoin must carry skew=true —
+    proof the engine SPLITS the hot partition at runtime instead of
+    serializing it onto one task (the 100 TB failure mode)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = _skewed(spark, n=2_000_000)
+        # a PLAIN dim side: if the probe side were an aggregate on the
+        # join key, the join would consume the agg's exchange directly
+        # (no AQEShuffleRead to re-split) and the rule bails — the
+        # salting operators remain the lever for that shape
+        right = spark.range(10).select(
+            F.col("id").cast("int").alias("k"), (F.col("id") * 3).alias("rv")
+        )
+        joined = left.join(right, "k").agg(
+            F.sum(F.col("v") + F.col("rv")).alias("s")
+        )
+        rows = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+        assert len(rows) == 1
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_join_entries_correct_without_broadcast(spark):
+    """Correctness must not depend on the broadcast planner choice:
+    the join-heavy entries produce identical results with broadcast
+    disabled entirely (every join forced to shuffle) — the situation
+    a 100 TB dim-side growth produces."""
+    from miba_2023_capstone_rb_nlp_spark.suite import load_suite
+
+    suite = load_suite()
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "local_supplier_volume_q5",
+        "returned_items_q10",
+        "orders_upsert_merge",
+        "part_affinity_topk",
+    ]
+    baseline = {
+        n: sorted(map(tuple, suite[n].fn(spark, sf).collect())) for n in names
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for n in names:
+            got = sorted(map(tuple, suite[n].fn(spark, sf).collect()))
+            assert got == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
