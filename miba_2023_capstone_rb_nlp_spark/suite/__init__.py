@@ -112,6 +112,7 @@ _DEPRIORITIZED = (
     "local_supplier_volume_q5",
     "promo_revenue_q14",
     "disjunctive_revenue_q19",
+    "part_triangle_counts",
     # NEXT-ROUND (r7) ROTATION TARGETS: these three are the only
     # oracled entries whose last driver-green row predates round 3
     # after the r6 re-promotions — promote them first next round.

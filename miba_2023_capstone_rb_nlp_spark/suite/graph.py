@@ -159,3 +159,121 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("node").alias("part"), "pr")
+
+
+# --- triangle counting (node-iterator++ with degree orientation) -----
+# The third graph primitive after PageRank and connected components:
+# per-part triangle participation in the co-order graph. Edges keep
+# only support >= 2 pairs (co-ordered at least twice) — the standard
+# significance prune that also keeps the graph sparse. Registered
+# round 6 with local parity; window debut planned for round 7.
+_TRI_SUPPORT = 2
+
+_TRIANGLES_ORACLE = f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_SUPPORT}
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS part FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY part
+"""
+
+
+@register("part_triangle_counts", oracle=_TRIANGLES_ORACLE)
+def q_part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the support-pruned co-order
+    graph.
+
+    Plan (Cohen / node-iterator++): every undirected edge is ORIENTED
+    from its lower-(degree, id) endpoint to the higher one, wedges
+    enumerate only pairs of OUT-neighbors, and the closing edge
+    resolves with one semi-join against the canonical edge set. The
+    orientation is the scale lever: out-degree is bounded by
+    O(sqrt(E)) regardless of hubs, so wedge count is O(E^1.5) instead
+    of Σdeg² — a hub with a million neighbors contributes NOTHING to
+    wedge fan-out because all its edges point inward. The oracle
+    enumerates the same triangle set by id order (a<b<c); both
+    strategies find each triangle exactly once, so per-part counts
+    agree. Support pruning and the affinity basket guard
+    (relational.py) bound the upstream pair aggregate."""
+    li = catalog.table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    # the same executable blow-up guard as part_affinity_topk: the
+    # pair self-join is quadratic in the LARGEST basket
+    top = basket.groupBy("l_orderkey").count().agg(
+        F.max("count").alias("mx")
+    ).collect()[0]["mx"]
+    if top is not None and top > 1_000:
+        raise ValueError(
+            f"part_triangle_counts: largest basket holds {top:,} items; "
+            "cap baskets before the pair self-join (see "
+            "part_affinity_topk's guard)"
+        )
+    a, b = basket.alias("a"), basket.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ea"), F.col("b.l_partkey").alias("eb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRI_SUPPORT)
+        .select("ea", "eb")
+    )
+    e = persist_tracked(e)
+    # degrees over the undirected edge set (one explode + count)
+    deg = (
+        e.select(F.explode(F.array("ea", "eb")).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("p").alias("ea"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("p").alias("eb"), F.col("d").alias("d_b"))
+    # orient low-(degree, id) → high; the degree table is |V|-bounded
+    # and broadcasts
+    oriented = (
+        e.join(F.broadcast(da), "ea")
+        .join(F.broadcast(db), "eb")
+        .select(
+            F.when(
+                (F.col("d_a") < F.col("d_b"))
+                | ((F.col("d_a") == F.col("d_b")) & (F.col("ea") < F.col("eb"))),
+                F.struct(F.col("ea").alias("src"), F.col("eb").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("eb").alias("src"), F.col("ea").alias("dst"))
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
+    closing = e.select(
+        F.col("ea").alias("v"), F.col("eb").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    return (
+        tri.select(F.explode(F.array("src", "v", "w")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -713,3 +713,14 @@ def test_q19_disjunction_pushes_to_both_scans(spark):
     p_scans = [s for s in plan.split("PushedFilters: [")[1:] if "p_brand" in s.splitlines()[0]]
     assert li_scans and "Or(" in li_scans[0].splitlines()[0]
     assert p_scans and "Or(" in p_scans[0].splitlines()[0]
+
+
+def test_triangle_wedges_oriented_and_semi_closed(spark):
+    """Triangle counting: the degree table rides broadcast joins, the
+    closing-edge check stays a LeftSemi (existence only — no payload
+    fan-out), and nothing nested-loops."""
+    df = SUITE["part_triangle_counts"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -49,6 +49,7 @@ EXPECTED = {
     "disjunctive_revenue_q19",
     "part_affinity_topk",
     "part_pagerank",
+    "part_triangle_counts",
     "data_quality_report",
     "incremental_revenue_merge",
     "price_decile_histogram",
