@@ -117,6 +117,32 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_DEDUP_TABLE)
 
 
+def _split_events(spark: SparkSession, sf_dir: str):
+    """Idempotent per-sf split copy of events (4 files) — a real feed
+    arrives as many files; the single-parquet testdata can't exercise
+    cross-batch state. Cache key includes a content fingerprint of the
+    source (mtime + size) so regenerated testdata at the same path
+    invalidates it. → (raw_schema, split_dir)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(path)
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
+    st = os.stat(path)
+    fingerprint = f"{int(st.st_mtime)}_{st.st_size}"
+    split_dir = os.path.abspath(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "..",
+            ".stream_cache", f"events_{sf_key}_{fingerprint}",
+        )
+    )
+    if not os.path.isdir(split_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(split_dir)
+    ):
+        batch.repartition(4).write.mode("overwrite").parquet(split_dir)
+    return batch.schema, split_dir
+
+
 _STATEFUL_TABLE = "events_stateful_running_result"
 
 _STATEFUL_ORACLE = """
@@ -139,29 +165,7 @@ def q_events_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_stats,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = os.path.join(sf_dir, "events.parquet")
-    batch = spark.read.parquet(path)
-    raw_schema = batch.schema
-
-    # idempotent per-sf split copy (a real feed arrives as many files;
-    # the single-parquet testdata can't exercise cross-batch state).
-    # Cache key includes a content fingerprint of the source (mtime +
-    # size) so regenerated testdata at the same path invalidates it.
-    sf_key = os.path.basename(sf_dir.rstrip("/"))
-    st = os.stat(path)
-    fingerprint = f"{int(st.st_mtime)}_{st.st_size}"
-    split_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "..",
-        ".stream_cache", f"events_{sf_key}_{fingerprint}",
-    )
-    split_dir = os.path.abspath(split_dir)
-    if not os.path.isdir(split_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(split_dir)
-    ):
-        batch.repartition(4).write.mode("overwrite").parquet(split_dir)
-
+    raw_schema, split_dir = _split_events(spark, sf_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -369,4 +373,85 @@ def q_events_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_events",
         F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+# --- transformWithState running user profiles (Spark 4 API) ----------
+# GATED, not registered: the transformWithStateInPandas runtime spins
+# up a streaming Python driver worker that imports google.protobuf,
+# which is absent in this container — the stream crashes at START
+# regardless of the processor's correctness (verified: state plumbing
+# is exercised by tests/test_tws_plumbing.py with a fake handle, and
+# the plan/schema builds; only the protobuf-backed runner is missing).
+# On an environment with protobuf installed, register_tws_entry()
+# promotes this to a full oracle-checked suite entry.
+_TWS_TABLE = "events_tws_profiles_result"
+
+_TWS_ORACLE = """
+WITH base AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         count(DISTINCT event_type) AS n_types
+  FROM events GROUP BY user_id
+),
+tc AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+top AS (
+  SELECT user_id, event_type AS top_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type ASC) AS rk
+  FROM tc
+)
+SELECT b.user_id, b.n_events, b.sum_value,
+       CAST(b.n_types AS BIGINT) AS n_types, t.top_type
+FROM base b JOIN top t ON b.user_id = t.user_id AND t.rk = 1
+"""
+
+
+def q_events_tws_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running profiles on the transformWithState API
+    (Spark 4's arbitrary-state successor to applyInPandasWithState):
+    a ValueState carries exact running totals and a MapState the
+    per-event-type counts, across 4 REAL micro-batches. The update-
+    mode memory sink keeps every snapshot; max_by(n_events) reduces
+    to the final one per user, which must equal the batch aggregate
+    (count, exact money sum, distinct types, deterministic
+    top-type argmax)."""
+    from miba_2023_capstone_rb_nlp_spark.streaming.tws import (
+        running_user_profiles,
+    )
+
+    raw_schema, split_dir = _split_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    stream = normalize_event_ts(stream)
+    out = running_user_profiles(stream)
+    with _state_partitions(spark):
+        query = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(_TWS_TABLE)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    emissions = spark.table(_TWS_TABLE)
+    return emissions.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+        F.max_by("n_types", "n_events").alias("n_types"),
+        F.max_by("top_type", "n_events").alias("top_type"),
+    )
+
+
+def register_tws_entry() -> None:
+    """Opt-in registration for environments with protobuf installed
+    (the transformWithState streaming runner's hard dependency)."""
+    register("events_tws_profiles", oracle=_TWS_ORACLE)(
+        q_events_tws_profiles
     )
