@@ -239,6 +239,15 @@ def q_part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ea", "eb")
     )
     e = persist_tracked(e)
+    return triangle_counts(e)
+
+
+def triangle_counts(e: DataFrame) -> DataFrame:
+    """Per-node triangle counts from a canonical undirected edge set
+    ``(ea < eb, distinct)`` — the node-iterator++ kernel, factored so
+    tests can feed arbitrary random graphs
+    (tests/test_graph_kernels.py cross-checks against a pure-Python
+    enumeration)."""
     # degrees over the undirected edge set (one explode + count)
     deg = (
         e.select(F.explode(F.array("ea", "eb")).alias("p"))
