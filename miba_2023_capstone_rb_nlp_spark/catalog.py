@@ -27,6 +27,18 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def warehouse_dir(*parts: str) -> str:
+    """Repo-local warehouse root for the at-rest layouts suite
+    entries write (bucketed merge tables, cell-partitioned IVF
+    corpora, stream-ingest drops) — ONE derivation, shared by every
+    writer, independent of the caller's cwd."""
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        *parts,
+    )
+
+
 _TZ_WARNED: set[str] = set()
 
 

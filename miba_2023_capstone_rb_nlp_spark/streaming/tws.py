@@ -70,7 +70,11 @@ class UserProfileProcessor(StatefulProcessor):
             k[0]: v[0]
             for k, v in self.type_counts.iterator()
         }
-        top = min(counts, key=lambda t: (-counts[t], t))
+        # a key whose rows so far all carry null event_type has an
+        # empty map — min() over it would kill the query
+        top = (
+            min(counts, key=lambda t: (-counts[t], t)) if counts else None
+        )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],

@@ -9,6 +9,13 @@ Conventions (driver contract):
   - floats rounded at the query boundary so the order-insensitive
     value hash is engine-deterministic
   - flat output schemas (no nested structs) where an oracle exists
+  - MATERIALIZE EACH RESULT BEFORE BUILDING THE NEXT QUERY: invoking
+    a different entry releases the previous entry's tracked persists
+    (see persist_tracked below), so a plan-all-then-run consumer
+    silently loses caches — results stay CORRECT (unpersisted plans
+    recompute), but the persisted subtrees rebuild once per consumer
+    branch. Every known sweep (driver, bench, verify, pytest) is
+    interleaved; this note is for future callers.
 """
 
 from __future__ import annotations

@@ -211,19 +211,13 @@ def q_part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategies find each triangle exactly once, so per-part counts
     agree. Support pruning and the affinity basket guard
     (relational.py) bound the upstream pair aggregate."""
+    from miba_2023_capstone_rb_nlp_spark.suite.relational import (
+        guard_max_basket,
+    )
+
     li = catalog.table(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
-    # the same executable blow-up guard as part_affinity_topk: the
-    # pair self-join is quadratic in the LARGEST basket
-    top = basket.groupBy("l_orderkey").count().agg(
-        F.max("count").alias("mx")
-    ).collect()[0]["mx"]
-    if top is not None and top > 1_000:
-        raise ValueError(
-            f"part_triangle_counts: largest basket holds {top:,} items; "
-            "cap baskets before the pair self-join (see "
-            "part_affinity_topk's guard)"
-        )
+    guard_max_basket(basket, "part_triangle_counts")
     a, b = basket.alias("a"), basket.alias("b")
     e = (
         a.join(

@@ -602,13 +602,11 @@ def q_orders_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    from miba_2023_capstone_rb_nlp_spark.catalog import warehouse_dir
+
     base = _t(spark, sf_dir, "orders")
     changes = _merge_changes(base)
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        "spark-warehouse",
-        "merge_bucketed",
-    )
+    root = warehouse_dir("merge_bucketed")
     for name, df in (("mrg_base_bkt", base), ("mrg_changes_bkt", changes)):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
@@ -677,6 +675,27 @@ FROM ranked WHERE rk <= 3
 _AFFINITY_MAX_BASKET = 1_000
 
 
+def guard_max_basket(
+    basket: DataFrame, caller: str, cap: int = _AFFINITY_MAX_BASKET
+) -> None:
+    """Executable co-occurrence safety condition shared by every
+    basket self-join (affinity, triangle counting): the join emits
+    Σ C(|basket|, 2) rows, quadratic in the LARGEST key — one
+    scalar-to-driver aggregate refuses to run past the cap BEFORE any
+    shuffle starts."""
+    top = basket.groupBy("l_orderkey").count().agg(
+        F.max("count").alias("mx")
+    ).collect()[0]["mx"]
+    if top is not None and top > cap:
+        raise ValueError(
+            f"{caller}: largest basket holds {top:,} items "
+            f"(> {cap:,}); the orderkey self-join would emit ~C(n,2) "
+            "pairs for that key. Cap baskets first (rank-window top-N "
+            "items per order) or mine pairs with a frequency-pruned "
+            "FP-growth pass instead."
+        )
+
+
 @register("part_affinity_topk", oracle=_AFFINITY_ORACLE)
 def q_part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 co-ordered parts per part with lift scores.
@@ -693,20 +712,7 @@ def q_part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
-    # executable co-occurrence safety condition: the self-join emits
-    # Σ C(|basket|, 2) rows, quadratic in the LARGEST key — one
-    # scalar-to-driver aggregate guards it before any shuffle runs
-    top = basket.groupBy("l_orderkey").count().agg(
-        F.max("count").alias("mx")
-    ).collect()[0]["mx"]
-    if top is not None and top > _AFFINITY_MAX_BASKET:
-        raise ValueError(
-            f"part_affinity_topk: largest basket holds {top:,} items "
-            f"(> {_AFFINITY_MAX_BASKET:,}); the orderkey self-join "
-            "would emit ~C(n,2) pairs for that key. Cap baskets first "
-            "(rank-window top-N items per order) or mine pairs with "
-            "a frequency-pruned FP-growth pass instead."
-        )
+    guard_max_basket(basket, "part_affinity_topk")
     n_orders = li.agg(F.countDistinct("l_orderkey").alias("no"))
     part_n = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pn"))
     a = basket.alias("a")

@@ -89,11 +89,10 @@ def ivf_layout_path(sf_dir: str) -> str:
     the cell-partitioned corpus layout, one per scale factor."""
     import os
 
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        "spark-warehouse",
-        "ivf_layout",
-        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    from miba_2023_capstone_rb_nlp_spark.catalog import warehouse_dir
+
+    return warehouse_dir(
+        "ivf_layout", os.path.basename(os.path.normpath(sf_dir)) or "sf"
     )
 
 

@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from miba_2023_capstone_rb_nlp_spark.catalog import normalize_event_ts
+from miba_2023_capstone_rb_nlp_spark.catalog import _set_utc, normalize_event_ts
 from miba_2023_capstone_rb_nlp_spark.streaming.windows import tumbling_counts
 from miba_2023_capstone_rb_nlp_spark.suite import register
 from miba_2023_capstone_rb_nlp_spark.suite.events import _TUMBLING_ORACLE
@@ -53,7 +53,7 @@ def q_events_tumbling_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conf set here too so this query is order-independent under an
     # external session that has not touched the catalog yet
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _set_utc(spark)  # warn-once UTC pin (catalog policy)
     raw_schema = spark.read.parquet(path).schema
     # FileStreamSource rejects a bare file path ("basePath must be a
     # directory") but accepts a glob that matches it
@@ -93,7 +93,7 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     viable on an unbounded 100 TB/day feed."""
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _set_utc(spark)  # warn-once UTC pin (catalog policy)
     raw_schema = spark.read.parquet(path).schema
 
     def read():
@@ -124,7 +124,7 @@ def _split_events(spark: SparkSession, sf_dir: str):
     source (mtime + size) so regenerated testdata at the same path
     invalidates it. → (raw_schema, split_dir)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _set_utc(spark)  # warn-once UTC pin (catalog policy)
     path = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(path)
     sf_key = os.path.basename(sf_dir.rstrip("/"))
@@ -212,7 +212,7 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _set_utc(spark)  # warn-once UTC pin (catalog policy)
     raw_schema = spark.read.parquet(path).schema
 
     def read(event_type):
@@ -265,11 +265,9 @@ _UPSERT_BUCKETS = 8
 
 
 def _warehouse_dir(*parts: str) -> str:
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        "spark-warehouse",
-        *parts,
-    )
+    from miba_2023_capstone_rb_nlp_spark.catalog import warehouse_dir
+
+    return warehouse_dir(*parts)
 
 
 def _write_bucketed_state(df: DataFrame, name: str, path: str) -> None:
@@ -304,7 +302,7 @@ def q_events_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     state here keeps the harness hermetic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _set_utc(spark)  # warn-once UTC pin (catalog policy)
     sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     drop_dir = _warehouse_dir("stream_ingest", sf_name)
     ev = normalize_event_ts(

@@ -131,14 +131,20 @@ class WordWizard:
         re-runs ETL+embedding from the source (measured ~5× the chain
         cost). This mirrors the reference's always-in-memory pandas
         frame at the analog point (``word_wizard.py:117``).
+
+        The output column is the SENTENCE name explicitly — not
+        ``self.embed_col``, which PREFERS the word lineage and would
+        therefore overwrite/duplicate ``_word_embeddings`` when M1 ran
+        first (the reference's M1-then-M2 order).
         """
+        out = self.interest + EMBEDDING_SUFFIX
         if lean:
             self.df = hash_embeddings(
-                self.df, self.interest, self.id_col, dim=dim, out_col=self.embed_col
+                self.df, self.interest, self.id_col, dim=dim, out_col=out
             )
         else:
             self.df = transformer_embeddings(
-                self.df, self.interest, out_col=self.embed_col,
+                self.df, self.interest, out_col=out,
                 model_loader=model_loader,
             )
         self.df = self.df.persist()

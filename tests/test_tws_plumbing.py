@@ -120,3 +120,18 @@ def test_transform_with_state_plan_builds(spark):
         "user_id", "n_events", "sum_value", "n_types", "top_type",
     ]
     assert OUT_SCHEMA.split(",")[0].strip() == "user_id bigint"
+
+
+def test_processor_tolerates_all_null_event_types():
+    p = UserProfileProcessor()
+    p.init(_FakeHandle())
+    out = list(
+        p.handleInputRows(
+            (9,),
+            iter([pd.DataFrame({"value": [1.0], "event_type": [None]})]),
+            None,
+        )
+    )
+    row = out[0].iloc[0]
+    assert row["n_events"] == 1 and row["n_types"] == 0
+    assert row["top_type"] is None

@@ -183,3 +183,22 @@ def test_sentence_only_lineage_unchanged(spark, clean_df):
     assert wiz.embed_col == "paragraph_sentence_embeddings"
     wiz = wiz.create_sentence_embeddings()
     assert wiz.embed_col == "paragraph_sentence_embeddings"
+
+
+def test_word_then_sentence_order_keeps_both_lineages(spark, clean_df):
+    """The reference's M1-then-M2 order (word_wizard.py:150-202 then
+    204-231): creating word embeddings FIRST must not hijack the
+    sentence output column — both lineages exist and differ."""
+    wiz = (
+        WordWizard(clean_df, interest="paragraph")
+        .create_word_embeddings()
+        .create_sentence_embeddings()
+    )
+    cols = wiz.df.columns
+    assert cols.count("paragraph_word_embeddings") == 1
+    assert cols.count("paragraph_sentence_embeddings") == 1
+    assert wiz.embed_col == "paragraph_word_embeddings"
+    row = wiz.df.select(
+        "paragraph_word_embeddings", "paragraph_sentence_embeddings"
+    ).first()
+    assert row[0] != row[1]
