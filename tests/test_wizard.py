@@ -202,3 +202,30 @@ def test_word_then_sentence_order_keeps_both_lineages(spark, clean_df):
         "paragraph_word_embeddings", "paragraph_sentence_embeddings"
     ).first()
     assert row[0] != row[1]
+
+
+def test_word_embeddings_full_path_plumbing(spark, clean_df):
+    """M1's lean=False path: the gated BERT mean-pool model rides the
+    same iterator-mapInPandas plumbing as M2 — a fake loader proves
+    the model name, output column and schema without torch."""
+    import numpy as np
+
+    def loader(name):
+        # runs EXECUTOR-side: surface a wrong model name as a job
+        # failure (driver-side capture never sees worker state)
+        assert name == "bert-base-cased", name
+
+        class FakeBert:
+            def encode(self, texts, batch_size=64, convert_to_numpy=True):
+                return np.array(
+                    [[float(len(t)), 1.0] for t in texts], dtype=np.float32
+                )
+
+        return FakeBert()
+
+    wiz = WordWizard(clean_df, interest="paragraph").create_word_embeddings(
+        lean=False, model_loader=loader
+    )
+    out = wiz.df.select("paragraph_word_embeddings").first()
+    assert len(out[0]) == 2 and out[0][1] == 1.0
+    assert wiz.embed_col == "paragraph_word_embeddings"
