@@ -3,11 +3,12 @@
 flukes that only appear with more rows near floor boundaries (the
 failure class the fixed-point recipe is designed to exclude).
 
-Slow (~3 min on local[32]); opt in with SPARK_GRAFT_SF01_PARITY=1.
-Last full run: round 5 (final), 104/104 oracles green (208 s) —
-including every round-5 addition (BPE pair, incremental dedup,
-fuzzy matching, prefix-filter join post-redesign, grouped OLS,
-skyline, TPC-H Q10).
+Slow (~3-5 min on local[32]); opt in with SPARK_GRAFT_SF01_PARITY=1.
+Last full run: round 6 (final), 111/111 oracles green (279 s) —
+including every round-6 addition (bucketed MERGE, partition-pruned
+IVF, streaming foreachBatch upsert, TPC-H Q5/Q14/Q19, triangle
+counting) and the round-6 review fixes (M1/M2 ordering, shared
+guards).
 """
 
 from __future__ import annotations
