@@ -1,0 +1,41 @@
+"""Results must not depend on the physical partitioning: the same
+entries produce identical rows under a prime, tiny shuffle-partition
+count and under the test default — the determinism axis the
+fixed-point/decimal recipe exists to guarantee (windows, aggregates,
+LSH banding, keyed sampling all shuffle differently at 3 vs 4+
+partitions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from miba_2023_capstone_rb_nlp_spark.suite import load_suite
+from tests.conftest import SF_TEST_DIR
+
+SUITE = load_suite()
+
+# one representative per shuffle-heavy family
+ENTRIES = [
+    "order_window_enrich",       # rank/lag windows
+    "pricing_summary",           # grouped decimal aggs
+    "minhash_lsh_pairs",         # banded LSH self-join
+    "stratified_sample_docs",    # keyed-md5 sampling
+    "top_terms_per_source",      # weighted top-k window
+    "part_triangle_counts",      # oriented wedge join
+]
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_result_invariant_under_partitioning(spark, name):
+    baseline = sorted(
+        map(tuple, SUITE[name].fn(spark, SF_TEST_DIR).collect())
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        got = sorted(
+            map(tuple, SUITE[name].fn(spark, SF_TEST_DIR).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert got == baseline
