@@ -862,3 +862,55 @@ def q_events_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_stat"),
     )
+
+
+# --- multi-format source round-trip (JSON lines) --------------------
+# Format breadth beyond the parquet catalog: the engine must ingest
+# the schema-on-read formats a real lake carries. The entry writes
+# events as JSON lines once (the at-rest copy), reads it back with an
+# EXPLICIT schema (never inference — an inference pass is a full
+# extra scan at 100 TB and can widen types between batches), and the
+# aggregate must equal the same aggregate over the parquet original —
+# proving the text round-trip loses nothing (doubles survive via
+# round-trip-safe formatting). Registered round 6 with local parity;
+# window debut planned round 7.
+_JSON_RT_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_json_roundtrip", oracle=_JSON_RT_ORACLE)
+def q_events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines at rest → schema-on-read aggregate.
+
+    Plan: one parquet scan to lay the JSON copy (pruned to the three
+    needed columns BEFORE serialization — writing unread columns into
+    a text format is pure waste), then the JSON scan feeds a plain
+    partial-agg groupBy. The explicit read schema keeps the scan a
+    single pass; at scale the JSON copy is the upstream reality (logs,
+    API dumps), not something the engine writes itself.
+    """
+    import os
+
+    from miba_2023_capstone_rb_nlp_spark.catalog import warehouse_dir
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    path = warehouse_dir(
+        "json_events", os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    )
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_type string, user_id bigint, value double"
+    ).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("sum_value"),
+    )

@@ -91,6 +91,7 @@ EXPECTED = {
     "events_cusum_changepoint",
     "events_value_ttest",
     "events_streaming_upsert",
+    "events_json_roundtrip",
     # text
     "doc_stats_quality",
     "lang_id",
