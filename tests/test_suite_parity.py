@@ -36,18 +36,36 @@ def test_rows_only_runs(spark, name):
     assert df.count() >= 0 and len(df.schema) > 0
 
 
-def test_catalog_defends_against_foreign_session_tz(spark, oracle):
+# One representative per family of entries that touch timestamps
+# OUTSIDE the catalog's table() path (streaming file sources, the
+# split-copy helper, the JSON at-rest copy) plus the catalog baseline
+# — each must re-pin UTC itself (via catalog._set_utc) and still
+# hash-match when the session starts in another timezone.
+_TZ_ENTRIES = [
+    "events_tumbling_hourly",     # catalog path (baseline)
+    "events_stream_dedup",        # readStream glob source
+    "events_stateful_running",    # split-copy + applyInPandasWithState
+    "events_asof_cogroup",        # cogroup Arrow stage
+    "events_json_roundtrip",      # JSON at-rest copy
+]
+
+
+@pytest.mark.parametrize("name", _TZ_ENTRIES)
+def test_catalog_defends_against_foreign_session_tz(spark, oracle, name):
     """An external driver session running in another timezone must
-    still hash-match: catalog.table() re-asserts UTC at build time
-    (the round-4 ADVICE hazard, made executable). Simulates the
-    driver by flipping the session TZ before building the plan."""
-    name = "events_tumbling_hourly"
+    still hash-match: every timestamp-touching build path re-asserts
+    UTC at build time with the warn-once catalog pin (the round-4
+    ADVICE hazard + round-6 review finding, made executable)."""
+    import warnings
+
     q = SUITE[name]
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
-        df = q.fn(spark, SF_TEST_DIR)
-        # building any events frame must have re-pinned UTC
-        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
-        compare(df, oracle.execute(q.oracle).df(), name)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # the pin warns, by design
+            df = q.fn(spark, SF_TEST_DIR)
+            # building any events frame must have re-pinned UTC
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+            compare(df, oracle.execute(q.oracle).df(), name)
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
