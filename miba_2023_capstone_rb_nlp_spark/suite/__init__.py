@@ -121,6 +121,7 @@ _DEPRIORITIZED = (
     "disjunctive_revenue_q19",
     "part_triangle_counts",
     "events_json_roundtrip",
+    "hybrid_rrf_search",
     # NEXT-ROUND (r7) ROTATION TARGETS: these three are the only
     # oracled entries whose last driver-green row predates round 3
     # after the r6 re-promotions — promote them first next round.

@@ -222,3 +222,241 @@ def q_phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         F.min("p").cast("bigint").alias("first_pos"),
     )
+
+
+# --- hybrid search: BM25 + dense cosine, reciprocal-rank fusion -----
+# The modern retrieval stack a training-data platform runs for
+# query-based curation and decontamination: a lexical ranker (BM25
+# over the inverted index) and a dense ranker (embedding cosine over
+# the SAME corpus) fused with RRF (Cormack et al. 2009) — score(d) =
+# Σ_r 1/(60 + rank_r(d)), which needs no score calibration between
+# rankers. Registered round 6 with local parity; window debut round 7.
+_RRF_K = 60
+_RRF_TOP = 10
+_DENSE_DIM = 8
+
+
+def _query_dense_vec() -> list[float]:
+    """The query string's hash embedding, computed driver-side with
+    the exact md5-bucket-sign-normalize recipe of ml/embeddings.py —
+    pure constants, embedded as literals in BOTH engines' plans."""
+    import hashlib
+    import math
+
+    s = [0] * _DENSE_DIM
+    for t in QUERY_TERMS:
+        hv = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        sgn = 1 if (hv >> 10) & 1 == 1 else -1
+        s[hv % _DENSE_DIM] += sgn
+    n = math.sqrt(sum(float(x) * x for x in s))
+    return [
+        math.floor((x / n) * 1000000.0) / 1000000.0 if n > 0 else 0.0
+        for x in s
+    ]
+
+
+_QVEC = _query_dense_vec()
+
+
+def _hybrid_oracle() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN hv % {_DENSE_DIM} = {d} THEN sgn ELSE 0 END) AS s{d}"
+        for d in range(_DENSE_DIM)
+    )
+    norm = " + ".join(f"CAST(s{d} AS DOUBLE) * s{d}" for d in range(_DENSE_DIM))
+    elems = ",\n       ".join(
+        f"CASE WHEN _n > 0 THEN floor((s{d} / _n) * 1000000.0) / 1000000.0 "
+        f"ELSE 0.0 END AS e{d}"
+        for d in range(_DENSE_DIM)
+    )
+    dot = " + ".join(f"e{d} * {_QVEC[d]!r}" for d in range(_DENSE_DIM))
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+dls AS (SELECT doc_id, len(t) AS dl, t FROM base),
+stats AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dls),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM dls)
+  WHERE term IN ({_terms_sql})
+  GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sp_scored AS (
+  SELECT f.doc_id,
+         CAST(floor(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (f.tf * {K1 + 1.0})
+           / (f.tf + {K1} * (1.0 - {B} + {B} * f.dl / (s.sum_dl / s.n_docs)))
+           * 1000000.0) AS BIGINT) AS term_score_micro
+  FROM tf f JOIN dft d USING (term) CROSS JOIN stats s
+),
+sp_top AS (
+  SELECT doc_id, CAST(sum(term_score_micro) AS BIGINT) AS score_micro
+  FROM sp_scored GROUP BY doc_id
+  ORDER BY score_micro DESC, doc_id ASC LIMIT {TOP_K}
+),
+sp_rank AS (
+  SELECT doc_id, row_number() OVER (
+           ORDER BY score_micro DESC, doc_id ASC) AS rs
+  FROM sp_top
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+h AS (
+  SELECT doc_id, hv,
+         CASE WHEN (hv >> 10) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+        FROM tok)
+),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+vec AS (SELECT doc_id, {elems} FROM (SELECT *, sqrt({norm}) AS _n FROM s)),
+dn_top AS (
+  SELECT doc_id, floor(({dot}) * 1000000.0) / 1000000.0 AS cos_q
+  FROM vec ORDER BY cos_q DESC, doc_id ASC LIMIT {TOP_K}
+),
+dn_rank AS (
+  SELECT doc_id, row_number() OVER (
+           ORDER BY cos_q DESC, doc_id ASC) AS rd
+  FROM dn_top
+),
+fused AS (
+  SELECT coalesce(sp_rank.doc_id, dn_rank.doc_id) AS doc_id,
+         floor((coalesce(1.0 / ({_RRF_K} + rs), 0.0)
+                + coalesce(1.0 / ({_RRF_K} + rd), 0.0)) * 1000000.0)
+           / 1000000.0 AS rrf,
+         CAST(coalesce(rs, 0) AS INT) AS sparse_rank,
+         CAST(coalesce(rd, 0) AS INT) AS dense_rank
+  FROM sp_rank FULL OUTER JOIN dn_rank USING (doc_id)
+)
+SELECT doc_id, rrf, sparse_rank, dense_rank
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {_RRF_TOP}
+"""
+
+
+@register("hybrid_rrf_search", oracle=_hybrid_oracle())
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ∪ dense-cosine top-k fused by reciprocal-rank fusion.
+
+    Plan: the sparse side IS bm25_topk's shape (term filter before
+    the posting aggregate, heap top-k); the dense side is a map-only
+    8-dim hash-embedding cosine against a CONSTANT query vector
+    (folded into codegen) with its own heap top-k; ranks attach via a
+    row_number window over ≤k rows (single tiny partition by
+    construction — never the corpus), and the fusion is a k-row
+    full-outer join. At 100 TB each ranker keeps its own scale story
+    (inverted-index pruning / ANN probing via knn_ivf_pruned); RRF
+    touches only the two k-row lists. 1/(60+rank) needs no
+    cross-ranker score calibration — the reason production hybrid
+    search fuses on ranks, not scores.
+    """
+    from pyspark.sql import Window
+
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
+    from miba_2023_capstone_rb_nlp_spark.functions.text import md5_long
+
+    d = catalog.cpu_table(spark, sf_dir, "documents")
+    # --- sparse: BM25 (bm25_topk's exact pipeline) ---
+    dls = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    ).select("doc_id", F.size("t").alias("dl"), "t")
+    stats = dls.agg(
+        F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs")
+    )
+    tf = (
+        dls.select("doc_id", "dl", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(K1) * (
+        F.lit(1.0 - B)
+        + F.lit(B) * F.col("dl") / (F.col("sum_dl") / F.col("n_docs"))
+    )
+    term_score = F.floor(
+        idf * (F.col("tf") * F.lit(K1 + 1.0)) / denom * F.lit(1000000.0)
+    ).cast("bigint")
+    sp_top = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score_micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_score_micro").cast("bigint").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(TOP_K)
+    )
+    sp_rank = sp_top.withColumn(
+        "rs",
+        F.row_number().over(
+            Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "rs")
+    # --- dense: hash-embedding cosine vs the constant query vector ---
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    h = tok.select(
+        "doc_id", md5_long(F.col("t")).alias("hv")
+    ).withColumn(
+        "sgn",
+        F.when(F.shiftright("hv", 10).bitwiseAND(1) == 1, F.lit(1)).otherwise(-1),
+    )
+    sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("hv") % _DENSE_DIM == dd, F.col("sgn")).otherwise(0)
+            ).alias(f"s{dd}")
+            for dd in range(_DENSE_DIM)
+        ]
+    )
+    norm_sq = None
+    for dd in range(_DENSE_DIM):
+        t_ = F.col(f"s{dd}").cast("double") * F.col(f"s{dd}")
+        norm_sq = t_ if norm_sq is None else norm_sq + t_
+    vec = sums.withColumn("_n", F.sqrt(norm_sq)).select(
+        "doc_id",
+        *[
+            F.when(
+                F.col("_n") > 0, fixed(F.col(f"s{dd}") / F.col("_n"), 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"e{dd}")
+            for dd in range(_DENSE_DIM)
+        ],
+    )
+    dot = None
+    for dd in range(_DENSE_DIM):
+        t_ = F.col(f"e{dd}") * F.lit(_QVEC[dd])
+        dot = t_ if dot is None else dot + t_
+    dn_top = (
+        vec.select("doc_id", fixed(dot, 6).alias("cos_q"))
+        .orderBy(F.col("cos_q").desc(), F.col("doc_id").asc())
+        .limit(TOP_K)
+    )
+    dn_rank = dn_top.withColumn(
+        "rd",
+        F.row_number().over(
+            Window.orderBy(F.col("cos_q").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "rd")
+    # --- RRF fusion over the two k-row lists ---
+    fused = sp_rank.join(dn_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        fixed(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rs")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("rd")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+        F.coalesce(F.col("rs"), F.lit(0)).cast("int").alias("sparse_rank"),
+        F.coalesce(F.col("rd"), F.lit(0)).cast("int").alias("dense_rank"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(
+        _RRF_TOP
+    )

@@ -115,6 +115,7 @@ EXPECTED = {
     # retrieval / packing
     "bm25_topk",
     "bigram_topk",
+    "hybrid_rrf_search",
     "phrase_match_docs",
     "sequence_packing",
     "hash_split_profile",
