@@ -66,13 +66,44 @@ def _valid_payload(payload, sf_val) -> dict[str, float] | None:
     return clean or None
 
 
+def detail_sidecar_path(sf_val) -> str:
+    """Per-sf sidecar with EVERY entry's per-rep timings — including
+    the ones the stdout line folds into "_folded" (VERDICT r6 #8), so
+    round-over-round per-entry comparison never loses half the suite
+    to the 1900-char line budget."""
+    return os.path.join(_REPO_DIR, f"bench_detail_sf{sf_val}.json")
+
+
+def _sidecar_queries(sf_val) -> dict[str, float] | None:
+    try:
+        with open(detail_sidecar_path(sf_val)) as f:
+            payload = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    qs = payload.get("queries")
+    if not isinstance(qs, dict):
+        return None
+    clean = {
+        k: v["best"]
+        for k, v in qs.items()
+        if isinstance(v, dict)
+        and isinstance(v.get("best"), (int, float))
+        and not isinstance(v["best"], bool)
+    }
+    return clean or None
+
+
 def _baseline_queries(sf_val) -> dict[str, float] | None:
     """Newest parseable same-sf BENCH_r*.json beats the static
     fallback — the guard then always compares against the latest round
     without a manual refresh. (Driver round names are zero-padded, so
-    lexicographic sort orders rounds correctly.)"""
+    lexicographic sort orders rounds correctly.) Entries the stdout
+    line folded (absent from the artifact) are backfilled from the
+    committed detail sidecar, so the regression table covers the FULL
+    suite (VERDICT r6 #8)."""
     import glob
 
+    best: dict[str, float] | None = None
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "BENCH_r*.json")),
                        reverse=True):
         try:
@@ -83,14 +114,23 @@ def _baseline_queries(sf_val) -> dict[str, float] | None:
                 sf_val,
             )
             if qs:
-                return qs
+                best = qs
+                break
         except (OSError, json.JSONDecodeError):
             continue
-    try:
-        with open(BASELINE_FILE) as f:
-            return _valid_payload(json.load(f), sf_val)
-    except (OSError, json.JSONDecodeError):
-        return None
+    if best is None:
+        try:
+            with open(BASELINE_FILE) as f:
+                best = _valid_payload(json.load(f), sf_val)
+        except (OSError, json.JSONDecodeError):
+            best = None
+    side = _sidecar_queries(sf_val)
+    if side:
+        merged = dict(side)
+        if best:
+            merged.update({k: v for k, v in best.items() if k != FOLD_KEY})
+        return merged
+    return best
 REGRESSION_RATIO = 1.5
 REGRESSION_ABS_SEC = 0.5
 JUSTIFIED_REGRESSIONS: dict[str, str] = {
@@ -138,7 +178,15 @@ def report_regressions(timings: dict[str, float], sf_val) -> None:
               file=sys.stderr)
 
 
-def encode_line(timings: dict[str, float], sf_val: float | str) -> str:
+# an entry whose max/min rep spread exceeds this is "noisy": its
+# best-of-N is still recorded, but the burst is machine-visible in
+# the sidecar instead of only prose (VERDICT r6 #2)
+NOISY_SPREAD = 1.3
+
+
+def encode_line(
+    timings: dict[str, float], sf_val: float | str, n_noisy: int = 0
+) -> str:
     def dump(qs: dict[str, float]) -> str:
         return json.dumps(
             {
@@ -147,6 +195,9 @@ def encode_line(timings: dict[str, float], sf_val: float | str) -> str:
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in sorted(qs.items())},
                 "sf": sf_val,
+                # entries whose rep spread exceeded NOISY_SPREAD —
+                # per-entry spreads live in the detail sidecar
+                "noisy": n_noisy,
             },
             separators=(",", ":"),
         )
@@ -205,16 +256,24 @@ def main() -> None:
     # driver-checked core first) so encode_line's fold-from-the-end
     # sacrifices the deprioritized twins, never a core entry
     timings: dict[str, float] = {}
+    details: dict[str, dict] = {}
     for name, q in suite.items():
         if name in SKIP:
             continue
-        best = None
+        reps: list[float] = []
         for _ in range(max(1, REPS)):
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            reps.append(time.perf_counter() - t0)
+        best = min(reps)
+        spread = max(reps) / best if best > 0 else 1.0
         timings[name] = round(best, 3)
+        details[name] = {
+            "best": round(best, 3),
+            "reps": [round(r, 3) for r in reps],
+            "spread": round(spread, 2),
+            "noisy": spread > NOISY_SPREAD,
+        }
         # Measurement hygiene between entries, OUTSIDE the timed
         # region: suite queries persist fan-out bases (wizard chain)
         # and leave shuffle files behind; letting caches pile up
@@ -230,7 +289,8 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    line = encode_line(timings, sf_val)
+    n_noisy = sum(1 for d in details.values() if d["noisy"])
+    line = encode_line(timings, sf_val, n_noisy)
     # The regression table is diagnostics; NOTHING may stand between a
     # finished suite run and the artifact line — a malformed baseline
     # file must not cost the run (the driver only records stdout).
@@ -238,6 +298,35 @@ def main() -> None:
         report_regressions(timings, sf_val)
     except Exception as e:  # noqa: BLE001 - diagnostics must not kill the run
         print(f"regression check failed: {e!r}", file=sys.stderr)
+    # the FULL per-entry record (reps, spread, fold-immune) — the
+    # stdout line keeps only what fits the driver's tail window
+    try:
+        with open(detail_sidecar_path(sf_val), "w") as f:
+            json.dump(
+                {
+                    "sf": sf_val,
+                    "total": round(sum(timings.values()), 2),
+                    "reps_per_entry": max(1, REPS),
+                    "noisy_threshold": NOISY_SPREAD,
+                    "queries": details,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+        if n_noisy:
+            noisy = sorted(
+                (n for n, d in details.items() if d["noisy"]),
+                key=lambda n: -details[n]["spread"],
+            )
+            print(
+                f"noisy entries (rep spread > {NOISY_SPREAD}x): "
+                + ", ".join(f"{n}({details[n]['spread']}x)" for n in noisy),
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001
+        print(f"sidecar write failed: {e!r}", file=sys.stderr)
     # stop Spark BEFORE printing: the JSON line must be the absolute
     # last stdout so the driver's 2000-char tail window contains it
     spark.stop()

@@ -39,6 +39,61 @@ def warehouse_dir(*parts: str) -> str:
     )
 
 
+def sf_name(sf_dir: str) -> str:
+    """Collision-safe short name for a scale-factor directory, used
+    to key at-rest layout paths AND table names so two sessions (or
+    two scale factors) never clobber each other's layouts (ADVICE
+    r6 #4)."""
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return "".join(c if c.isalnum() else "_" for c in base)
+
+
+def source_fingerprint(sf_dir: str, *names: str) -> str:
+    """Cheap content fingerprint of source parquet tables: the
+    (relative path, size, mtime_ns) of every data file, md5-hashed.
+    At-rest layout writers stamp this next to the layout and skip the
+    rewrite while it still matches — so a docstring's "one-time cost"
+    is actually paid once per data generation, not once per
+    invocation (ADVICE r6 #4)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for name in names:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        paths: list[str] = []
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                paths.extend(os.path.join(root, f) for f in files)
+        elif os.path.exists(p):
+            paths.append(p)
+        for fp in sorted(paths):
+            st = os.stat(fp)
+            h.update(
+                f"{os.path.relpath(fp, sf_dir)}:{st.st_size}"
+                f":{st.st_mtime_ns};".encode()
+            )
+    return h.hexdigest()
+
+
+_FINGERPRINT_FILE = "_LAYOUT_FINGERPRINT"
+
+
+def layout_is_current(path: str, fingerprint: str) -> bool:
+    """True when ``path`` holds a layout stamped with ``fingerprint``
+    (i.e. written from the exact source files we would read now)."""
+    try:
+        with open(os.path.join(path, _FINGERPRINT_FILE)) as f:
+            return f.read().strip() == fingerprint
+    except OSError:
+        return False
+
+
+def stamp_layout(path: str, fingerprint: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _FINGERPRINT_FILE), "w") as f:
+        f.write(fingerprint)
+
+
 _TZ_WARNED: set[str] = set()
 
 

@@ -111,25 +111,41 @@ def register(name: str, oracle: str | None = None):
 #       (b)-demoted entry re-enters the window within ~2 rounds.
 _DEPRIORITIZED = (
     "approx_distinct_parts",
-    # Registered in round 6 with local sf0.001 parity but NEVER
-    # driver-checked yet — round-7 window debuts alongside the three
-    # stale targets below (they are engine-breadth additions, not §2
-    # rows, so they wait their turn rather than evicting a checked
-    # entry mid-round):
-    "local_supplier_volume_q5",
-    "promo_revenue_q14",
-    "disjunctive_revenue_q19",
-    "part_triangle_counts",
-    "events_json_roundtrip",
-    "hybrid_rrf_search",
-    # NEXT-ROUND (r7) ROTATION TARGETS: these three are the only
-    # oracled entries whose last driver-green row predates round 3
-    # after the r6 re-promotions — promote them first next round.
-    "video_frame_sample",  # mapInPandas multimodal plumbing ⊂
-    # media_features; posexplode order pinned by explode_paragraphs +
-    # tests/test_multimodal.py
-    "temperature_resample",  # keyed-md5 rate filter ⊂ stratified_sample_docs
-    "hash_split_profile",  # md5 bucketing ⊂ stratified_sample_docs
+    # == round-7 rotation (VERDICT r6 next-round #1): ten clause-(a)
+    # == demotions (each ≥2 hash-green rounds, all freshly green in
+    # == r6) freeing the window for the NINE-entry queue — the six
+    # == never-driver-checked r6 debuts plus the three entries stale
+    # == since round 2 — and the NEW orders_merge_steady (#4).
+    "customers_without_orders",  # greens r1+r6; anti-join machinery
+    # stays in-window via line_dedup_rebuild's anti-join rebuild
+    "top_orders_per_customer",  # greens r1+r2+r6; rank-top-k-per-
+    # group ⊂ returned_items_q10's heap top-k + pairwise_medoids-
+    # family rank windows (quality_representative_dedup in-window)
+    "order_cube_revenue",  # greens r1+r2+r6; the Expand machinery
+    # CUBE compiles to is in-window via lineitem_unpivot_stats
+    "customer_order_frames",  # greens r1+r6; rows-between frame
+    # windows ⊂ user_decayed_value + retention_cohorts (in-window)
+    "salted_agg_priority_revenue",  # greens r1+r6; salting result-
+    # invariance pinned by tests/test_skew.py; grouped decimal agg
+    # ⊂ incremental_revenue_merge (in-window)
+    "events_tumbling_hourly",  # greens r1+r6; hourly bucket agg
+    # ⊂ events_hourly_gapfill (in-window, same date_trunc buckets)
+    "events_sliding_hourly",  # greens r1+r6; overlapping-window
+    # explode ⊂ doc_chunk_windows (in-window) + tumbling machinery
+    # via events_hourly_gapfill
+    "events_json_value_counts",  # greens r1+r6; from_json/get_json
+    # machinery re-proven in-window by the promoted
+    # events_json_roundtrip (same events JSON columns, full schema)
+    "knn_ivf_cells",  # greens r1+r6; the IVF cell-rank kernel runs
+    # in-window inside knn_ivf_pruned (same knn_ivf_cells call over
+    # the partition-pruned corpus, same oracle)
+    "embedding_neardup_pairs",  # greens r1+r6; cosine kernel
+    # in-window via knn_int8_rerank's exact re-rank + the promoted
+    # hybrid_rrf_search's dense ranker
+    # NEXT-ROUND (r8) ROTATION TARGETS: after the r7 promotions the
+    # only entries with zero driver evidence are r7's own late adds
+    # (if any); the stalest oracled tail entries are the r5-demoted
+    # singles below (last green r5).
     # -- round-5 rotation: these four are r4-green with ≥3 rounds of
     # -- driver history each; demoted one round so the never-checked
     # -- r4 additions (doc_chunk_windows, url_canonical_dedup), the
@@ -343,24 +359,27 @@ _DEPRIORITIZED = (
 # module registration order.
 _PRIORITIZED = (
     "cluster_viz_summary",  # flagship: entry() runs this
-    # -- round-6 re-promotions (VERDICT r5 next-round #1): the stale
-    # -- tail whose last driver-green row is from round 1 or 2
-    "customers_without_orders",
-    "top_orders_per_customer",
-    "order_cube_revenue",
-    "customer_order_frames",
-    "salted_agg_priority_revenue",
-    "events_tumbling_hourly",
-    "events_sliding_hourly",
-    "events_json_value_counts",
+    # -- round-7 promotions (VERDICT r6 next-round #1): the six
+    # -- never-driver-checked r6 debuts...
+    "local_supplier_volume_q5",
+    "promo_revenue_q14",
+    "disjunctive_revenue_q19",
+    "part_triangle_counts",
+    "events_json_roundtrip",
+    "hybrid_rrf_search",
+    # -- ...plus the three entries whose last green predates round 3
+    "video_frame_sample",
+    "temperature_resample",
+    "hash_split_profile",
+    # -- round-7 NEW operator: steady-state bucketed MERGE (VERDICT
+    # -- r6 next-round #4) — debuts inside the window, not the tail
+    "orders_merge_steady",
+    # -- round-6 promotions holding their slot (1 green each so far)
     "group_concat_docs",
     "bigram_topk",
-    "knn_ivf_cells",
-    "embedding_neardup_pairs",
-    # -- round-6 NEW operators: must debut inside the window
-    "orders_merge_bucketed",  # VERDICT r5 next-round #3
-    "knn_ivf_pruned",  # VERDICT r5 next-round #4
-    "events_streaming_upsert",  # foreachBatch CDC merge (§2.10)
+    "orders_merge_bucketed",
+    "knn_ivf_pruned",
+    "events_streaming_upsert",
 )
 
 _MODULES = (

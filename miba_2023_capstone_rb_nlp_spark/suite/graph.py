@@ -217,7 +217,7 @@ def q_part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = catalog.table(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
-    guard_max_basket(basket, "part_triangle_counts")
+    guard_max_basket(basket, "part_triangle_counts", sf_dir=sf_dir)
     a, b = basket.alias("a"), basket.alias("b")
     e = (
         a.join(

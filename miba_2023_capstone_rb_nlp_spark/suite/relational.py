@@ -586,6 +586,54 @@ def q_orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MERGE_BUCKETS = 8
 
 
+def ensure_merge_layout(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> tuple[str, str]:
+    """Materialize base+changes bucketed+sorted by the merge key and
+    return the two table names. Table names and paths are keyed by
+    scale factor so concurrent sessions / scale factors never clobber
+    each other (ADVICE r6 #4). Unless ``force``, a layout whose
+    source fingerprint still matches is REUSED: on-disk files are
+    kept, and a fresh session merely re-registers the bucketed table
+    over them (CREATE TABLE ... CLUSTERED BY ... LOCATION) — the
+    production posture, where the 100 TB base is bucketed once at
+    ingest and never rewritten per merge."""
+    import os
+
+    from miba_2023_capstone_rb_nlp_spark import catalog as cat
+
+    sf = cat.sf_name(sf_dir)
+    root = cat.warehouse_dir("merge_bucketed", sf)
+    fp = cat.source_fingerprint(sf_dir, "orders")
+    base = _t(spark, sf_dir, "orders")
+    names = (f"mrg_base_bkt_{sf}", f"mrg_changes_bkt_{sf}")
+    for name, df in zip(names, (base, _merge_changes(base))):
+        path = os.path.join(root, name)
+        if not force and cat.layout_is_current(path, fp):
+            if not spark.catalog.tableExists(name):
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                    f"CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) "
+                    f"INTO {_MERGE_BUCKETS} BUCKETS "
+                    f"LOCATION '{path}'"
+                )
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(_MERGE_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        cat.stamp_layout(path, fp)
+    return names
+
+
 @register("orders_merge_bucketed", oracle=_MERGE_ORACLE)
 def q_orders_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed-at-rest MERGE path (VERDICT r5 next-round #3):
@@ -593,32 +641,27 @@ def q_orders_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the same full-outer merge runs with ZERO exchanges on either
     join input — the scan feeds SortMergeJoin directly.
 
-    This entry pays the one-time write-side shuffle INSIDE the entry
-    (honest accounting); a production table pays it once at ingest
-    and amortizes it over every subsequent merge: each incremental
-    batch shuffles only itself into the bucket layout while the
-    100 TB base is never re-shuffled again. Same oracle as
+    This entry pays the write-side shuffle INSIDE the entry every
+    invocation (``force=True`` — honest accounting of the layout
+    cost); orders_merge_steady below measures the amortized
+    steady-state a production table actually lives in. Same oracle as
     orders_upsert_merge — the layout must not change the answer.
     """
-    import os
+    b, c = ensure_merge_layout(spark, sf_dir, force=True)
+    return _merge_fingerprint(spark.table(b), spark.table(c))
 
-    from miba_2023_capstone_rb_nlp_spark.catalog import warehouse_dir
 
-    base = _t(spark, sf_dir, "orders")
-    changes = _merge_changes(base)
-    root = warehouse_dir("merge_bucketed")
-    for name, df in (("mrg_base_bkt", base), ("mrg_changes_bkt", changes)):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.write.bucketBy(_MERGE_BUCKETS, "o_orderkey")
-            .sortBy("o_orderkey")
-            .option("path", os.path.join(root, name))
-            .mode("overwrite")
-            .saveAsTable(name)
-        )
-    return _merge_fingerprint(
-        spark.table("mrg_base_bkt"), spark.table("mrg_changes_bkt")
-    )
+@register("orders_merge_steady", oracle=_MERGE_ORACLE)
+def q_orders_merge_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state bucketed MERGE (VERDICT r6 next-round #4): the
+    layout write is skipped whenever the stamped source fingerprint
+    still matches, so this entry times ONLY the recurring cost — the
+    exchange-free full-outer merge over the at-rest buckets. Pairs
+    with orders_merge_bucketed (which times layout+merge): together
+    they bound the amortization argument the 100 TB design rests on.
+    Same oracle — layout reuse must not change the answer."""
+    b, c = ensure_merge_layout(spark, sf_dir, force=False)
+    return _merge_fingerprint(spark.table(b), spark.table(c))
 
 
 # --- item-item co-occurrence affinity (market-basket top-k) ---------
@@ -675,17 +718,39 @@ FROM ranked WHERE rk <= 3
 _AFFINITY_MAX_BASKET = 1_000
 
 
+_BASKET_GUARD_MEMO: dict[tuple[str, int], int | None] = {}
+
+
 def guard_max_basket(
-    basket: DataFrame, caller: str, cap: int = _AFFINITY_MAX_BASKET
+    basket: DataFrame,
+    caller: str,
+    cap: int = _AFFINITY_MAX_BASKET,
+    sf_dir: str | None = None,
 ) -> None:
     """Executable co-occurrence safety condition shared by every
     basket self-join (affinity, triangle counting): the join emits
     Σ C(|basket|, 2) rows, quadratic in the LARGEST key — one
     scalar-to-driver aggregate refuses to run past the cap BEFORE any
-    shuffle starts."""
-    top = basket.groupBy("l_orderkey").count().agg(
-        F.max("count").alias("mx")
-    ).collect()[0]["mx"]
+    shuffle starts.
+
+    The scalar is memoized per source fingerprint (ADVICE r6 #3):
+    the guard's answer only changes when the underlying lineitem
+    files do, so plan-only consumers and bench reps don't re-pay a
+    full scan+shuffle per invocation — the entry stays effectively
+    lazy after the first check."""
+    key = None
+    if sf_dir is not None:
+        from miba_2023_capstone_rb_nlp_spark import catalog as cat
+
+        key = (cat.source_fingerprint(sf_dir, "lineitem"), cap)
+    if key is not None and key in _BASKET_GUARD_MEMO:
+        top = _BASKET_GUARD_MEMO[key]
+    else:
+        top = basket.groupBy("l_orderkey").count().agg(
+            F.max("count").alias("mx")
+        ).collect()[0]["mx"]
+        if key is not None:
+            _BASKET_GUARD_MEMO[key] = top
     if top is not None and top > cap:
         raise ValueError(
             f"{caller}: largest basket holds {top:,} items "
@@ -712,7 +777,7 @@ def q_part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
-    guard_max_basket(basket, "part_affinity_topk")
+    guard_max_basket(basket, "part_affinity_topk", sf_dir=sf_dir)
     n_orders = li.agg(F.countDistinct("l_orderkey").alias("no"))
     part_n = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pn"))
     a = basket.alias("a")

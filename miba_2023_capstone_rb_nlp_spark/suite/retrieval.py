@@ -189,6 +189,37 @@ FROM hits GROUP BY doc_id
 """
 
 
+# posting-count memo for the rarest-term-first join order, keyed by
+# the documents table's source fingerprint (re-counted only when the
+# data changes — the guard_max_basket memoization posture)
+_PHRASE_DF_MEMO: dict[str, tuple[str, ...]] = {}
+
+
+def phrase_join_order(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    """PHRASE terms ordered by ascending posting count (VERDICT r6
+    next-round #6): joining the two rarest terms first shrinks the
+    intermediate fastest — the classic inverted-index intersection
+    order, and at web scale the difference between streaming a few
+    postings and streaming the stopword's list through every join."""
+    from miba_2023_capstone_rb_nlp_spark import catalog as cat
+    from miba_2023_capstone_rb_nlp_spark.functions.text import tokens
+
+    key = cat.source_fingerprint(sf_dir, "documents")
+    if key not in _PHRASE_DF_MEMO:
+        docs = catalog.cpu_table(spark, sf_dir, "documents")
+        counts = dict(
+            docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+            .filter(F.col("w").isin(*PHRASE))
+            .groupBy("w")
+            .count()
+            .collect()
+        )
+        _PHRASE_DF_MEMO[key] = tuple(
+            sorted(PHRASE, key=lambda t: (counts.get(t, 0), t))
+        )
+    return _PHRASE_DF_MEMO[key]
+
+
 @register("phrase_match_docs", oracle=_PHRASE_ORACLE)
 def q_phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-term phrase search over a positional posting list.
@@ -197,8 +228,13 @@ def q_phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the three phrase terms prunes the stream BEFORE any exchange
     (pushed into the generate's output, so non-phrase tokens never
     shuffle); two self-equi-joins on (doc_id, pos+offset) assemble
-    adjacency; ONE per-doc count agg. 1-indexed positions match the
-    SQL oracle's list indexing.
+    adjacency, ordered RAREST TERM FIRST (phrase_join_order — a
+    3-row memoized scalar decides the order, so the intermediate
+    after the first join is bounded by the two smallest posting
+    lists); ONE per-doc count agg. 1-indexed positions match the SQL
+    oracle's list indexing; the join keys normalize every term's
+    position to the phrase head's, so join order can't change the
+    answer.
     """
     from miba_2023_capstone_rb_nlp_spark.functions.text import tokens
 
@@ -210,14 +246,17 @@ def q_phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w").isin(*PHRASE))
         .select("doc_id", (F.col("p0") + 1).alias("p"), "w")
     )
-    t0 = pos.filter(F.col("w") == PHRASE[0]).select("doc_id", "p")
-    t1 = pos.filter(F.col("w") == PHRASE[1]).select(
-        "doc_id", (F.col("p") - 1).alias("p")
+    # one branch per term, position normalized to the phrase head
+    branch = {
+        t: pos.filter(F.col("w") == t).select(
+            "doc_id", (F.col("p") - PHRASE.index(t)).alias("p")
+        )
+        for t in PHRASE
+    }
+    first, second, third = phrase_join_order(spark, sf_dir)
+    hits = branch[first].join(branch[second], ["doc_id", "p"]).join(
+        branch[third], ["doc_id", "p"]
     )
-    t2 = pos.filter(F.col("w") == PHRASE[2]).select(
-        "doc_id", (F.col("p") - 2).alias("p")
-    )
-    hits = t0.join(t1, ["doc_id", "p"]).join(t2, ["doc_id", "p"])
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("p").cast("bigint").alias("first_pos"),
@@ -302,7 +341,8 @@ sp_rank AS (
            ORDER BY score_micro DESC, doc_id ASC) AS rs
   FROM sp_top
 ),
-tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents),
 h AS (
   SELECT doc_id, hv,
          CASE WHEN (hv >> 10) & 1 = 1 THEN 1 ELSE -1 END AS sgn
@@ -399,7 +439,12 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("doc_id", "rs")
     # --- dense: hash-embedding cosine vs the constant query vector ---
-    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    # lowercased to match the sparse tokenizer (ADVICE r6 #5): the
+    # query vector is built from lowercase QUERY_TERMS, so capitalized
+    # occurrences must hash into the same buckets as the query's
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    )
     h = tok.select(
         "doc_id", md5_long(F.col("t")).alias("hv")
     ).withColumn(

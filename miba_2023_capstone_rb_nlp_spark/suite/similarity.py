@@ -87,23 +87,31 @@ def q_knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_layout_path(sf_dir: str) -> str:
     """Deterministic location (inside the repo's warehouse dir) for
     the cell-partitioned corpus layout, one per scale factor."""
-    import os
+    from miba_2023_capstone_rb_nlp_spark.catalog import sf_name, warehouse_dir
 
-    from miba_2023_capstone_rb_nlp_spark.catalog import warehouse_dir
-
-    return warehouse_dir(
-        "ivf_layout", os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    )
+    return warehouse_dir("ivf_layout", sf_name(sf_dir))
 
 
 def write_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
     """Write the embeddings corpus PARTITIONED BY cell (Hive layout:
     one directory per cell). This is the ANN story's at-rest layout:
     probing a cell is then partition pruning — the scan never opens
-    non-probed cells' files."""
+    non-probed cells' files.
+
+    The write is skipped while the stamped source fingerprint still
+    matches (ADVICE r6 #4): a production corpus keeps this layout
+    permanently, so re-paying the partition rewrite on every probe
+    would both misprice the bench and let two sessions clobber each
+    other mid-read. Paths are keyed per scale factor."""
+    from miba_2023_capstone_rb_nlp_spark import catalog as cat
+
     path = ivf_layout_path(sf_dir)
+    fp = cat.source_fingerprint(sf_dir, "embeddings")
+    if cat.layout_is_current(path, fp):
+        return path
     e = catalog.table(spark, sf_dir, "embeddings")
     e.write.partitionBy("label").mode("overwrite").parquet(path)
+    cat.stamp_layout(path, fp)
     return path
 
 
@@ -120,9 +128,9 @@ def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells are never opened. Ranking completes inside each cell group
     (knn_ivf_cells kernel); same oracle as knn_ivf_cells: the layout
     must not change the answer. A production corpus keeps this layout
-    permanently (partition or bucket by cell at ingest); the write
-    here is the entry's honest one-time cost, like
-    orders_merge_bucketed's.
+    permanently (partition or bucket by cell at ingest);
+    write_ivf_layout mirrors that by writing once per source
+    fingerprint and reusing the at-rest files on every later probe.
     """
     path = write_ivf_layout(spark, sf_dir)
     # partition-column values come back from directory names; cast to

@@ -270,6 +270,35 @@ def _warehouse_dir(*parts: str) -> str:
     return warehouse_dir(*parts)
 
 
+def merge_user_state(base: DataFrame, agg: DataFrame) -> DataFrame:
+    """One micro-batch's CDC merge: running (n_events, sum_dec) state
+    full-outer-merged with a batch partial aggregate on user_id.
+
+    eqNullSafe, not "=": the batch aggregate keeps NULL user_ids as
+    ONE group (matching the batch-oracle's GROUP BY), so the state
+    merge must keep matching that group across batches too — a plain
+    equi-join never matches NULL keys and would fragment them into
+    one state row per micro-batch (ADVICE r6 #1; pinned by
+    tests/test_guards_r7.py). <=> is still an equi-predicate, so the
+    SortMergeJoin over the bucketed base is unchanged."""
+    s, g = base.alias("s"), agg.alias("g")
+    return s.join(
+        g, F.col("s.user_id").eqNullSafe(F.col("g.user_id")), "full_outer"
+    ).select(
+        F.coalesce(F.col("s.user_id"), F.col("g.user_id")).alias("user_id"),
+        (
+            F.coalesce(F.col("s.n_events"), F.lit(0))
+            + F.coalesce(F.col("g.b_n"), F.lit(0))
+        ).alias("n_events"),
+        (
+            F.coalesce(F.col("s.sum_dec"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("g.b_sum"), F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("decimal(18,2)")
+        .alias("sum_dec"),
+    )
+
+
 def _write_bucketed_state(df: DataFrame, name: str, path: str) -> None:
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -303,7 +332,9 @@ def q_events_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _set_utc(spark)  # warn-once UTC pin (catalog policy)
-    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    from miba_2023_capstone_rb_nlp_spark.catalog import sf_name as _sfn
+
+    sf_name = _sfn(sf_dir)  # alnum-safe: doubles as a table-name key
     drop_dir = _warehouse_dir("stream_ingest", sf_name)
     ev = normalize_event_ts(
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -312,7 +343,9 @@ def q_events_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
     schema = spark.read.parquet(drop_dir).schema
 
-    tables = ("stream_upsert_a", "stream_upsert_b")
+    # table names keyed by scale factor, like the paths — two
+    # sessions on different sf_dirs must not clobber each other
+    tables = (f"stream_upsert_{sf_name}_a", f"stream_upsert_{sf_name}_b")
     empty = spark.createDataFrame(
         [], "user_id bigint, n_events bigint, sum_dec decimal(18,2)"
     )
@@ -328,20 +361,7 @@ def q_events_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,2)")
             .alias("b_sum"),
         )
-        base = spark.table(tables[state["cur"]])
-        merged = base.join(agg, "user_id", "full_outer").select(
-            "user_id",
-            (
-                F.coalesce(F.col("n_events"), F.lit(0))
-                + F.coalesce(F.col("b_n"), F.lit(0))
-            ).alias("n_events"),
-            (
-                F.coalesce(F.col("sum_dec"), F.lit(0).cast("decimal(18,2)"))
-                + F.coalesce(F.col("b_sum"), F.lit(0).cast("decimal(18,2)"))
-            )
-            .cast("decimal(18,2)")
-            .alias("sum_dec"),
-        )
+        merged = merge_user_state(spark.table(tables[state["cur"]]), agg)
         nxt = 1 - state["cur"]
         _write_bucketed_state(
             merged,

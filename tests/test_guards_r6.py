@@ -108,7 +108,12 @@ def test_bpe_degenerate_corpus_parity(spark, tmp_path):
     assert enc.count() == 3  # one row per doc despite missing merges
 
 
-def test_tz_override_warns_not_silent(spark):
+def test_tz_override_warns_not_silent(spark, monkeypatch):
+    # _TZ_WARNED is a warn-once memo keyed by (session, tz); another
+    # test may already have consumed the America/New_York warning on
+    # the shared session — reset it so this test is order-independent
+    # (ADVICE r6 #2)
+    monkeypatch.setattr(catalog, "_TZ_WARNED", set())
     prev = spark.conf.get("spark.sql.session.timeZone", None)
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")

@@ -724,3 +724,59 @@ def test_triangle_wedges_oriented_and_semi_closed(spark):
     assert "LeftSemi" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phrase_join_order_rarest_first(spark):
+    """phrase_match_docs joins the two rarest-posting terms FIRST
+    (VERDICT r6 next-round #6): the inverted-index intersection order.
+    Pins (a) the chosen order equals ascending true posting counts,
+    and (b) the executed join tree actually places the most frequent
+    term's branch last — its filter literal prints in the final
+    (outermost-right) subtree of the plan."""
+    from miba_2023_capstone_rb_nlp_spark.functions.text import tokens
+    from miba_2023_capstone_rb_nlp_spark.suite.retrieval import (
+        PHRASE,
+        phrase_join_order,
+    )
+
+    docs = catalog.cpu_table(spark, SF_TEST_DIR, "documents")
+    truth = dict(
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").isin(*PHRASE))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    order = phrase_join_order(spark, SF_TEST_DIR)
+    assert set(order) == set(PHRASE)
+    counts = [truth.get(t, 0) for t in order]
+    assert counts == sorted(counts), (order, truth)
+    plan = _executed_plan(SUITE["phrase_match_docs"].fn(spark, SF_TEST_DIR))
+    # tree print order: the outer join's right child (the LAST branch
+    # joined — the most frequent term) prints after both rarer ones
+    positions = [plan.rfind(f"= {t})") for t in order]
+    assert all(p >= 0 for p in positions), (order, plan[:2000])
+    assert positions[2] == max(positions), (order, positions)
+
+
+def test_merge_steady_reuses_layout_and_stays_exchange_free(spark):
+    """orders_merge_steady: the second invocation must NOT rewrite
+    the bucket layout (fingerprint reuse — the amortized production
+    posture), and the merge join stays exchange-free on both sides."""
+    import os
+
+    from miba_2023_capstone_rb_nlp_spark import catalog as cat
+    from miba_2023_capstone_rb_nlp_spark.suite.relational import (
+        ensure_merge_layout,
+    )
+
+    b, c = ensure_merge_layout(spark, SF_TEST_DIR)
+    root = cat.warehouse_dir("merge_bucketed", cat.sf_name(SF_TEST_DIR))
+    stamp = os.path.join(root, b, cat._FINGERPRINT_FILE)
+    mtime = os.stat(stamp).st_mtime_ns
+    df = SUITE["orders_merge_steady"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert os.stat(stamp).st_mtime_ns == mtime  # no rewrite happened
+    assert "FullOuter" in plan and "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan

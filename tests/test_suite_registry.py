@@ -39,6 +39,7 @@ EXPECTED = {
     "order_rollup_revenue",
     "orders_upsert_merge",
     "orders_merge_bucketed",
+    "orders_merge_steady",
     "sql_interface_segment_revenue",
     "shipping_priority_q3",
     "brand_price_regression",
@@ -265,6 +266,20 @@ ROTATED_OUT = {
     "events_stateful_running",
     "events_stream_dedup",
     "hyperplane_lsh_pairs",
+    # round-7 clause-(a) demotions (each ≥2 hash-green rounds, all
+    # freshly green in r6) freeing the window for the nine-entry
+    # rotation queue + the NEW orders_merge_steady (VERDICT r6 #1/#4);
+    # machinery siblings named in _DEPRIORITIZED
+    "customers_without_orders",
+    "top_orders_per_customer",
+    "order_cube_revenue",
+    "customer_order_frames",
+    "salted_agg_priority_revenue",
+    "events_tumbling_hourly",
+    "events_sliding_hourly",
+    "events_json_value_counts",
+    "knn_ivf_cells",
+    "embedding_neardup_pairs",
 }
 
 # Round-6 policy amendment, clause (b): an entry may also rotate out
@@ -352,25 +367,28 @@ def test_core_entries_inside_driver_window():
         f"checked window: {sorted(missing)} — adding a new entry requires "
         "demoting a twin via _DEPRIORITIZED"
     )
-    # entries that must sit in the window this round: the round-6
-    # stale-tail re-promotions + NEW operators (VERDICT r5 #1/#3/#4),
-    # and the round-5 debuts that still hold their slot
+    # entries that must sit in the window this round: the round-7
+    # rotation queue (VERDICT r6 #1 — six never-checked r6 debuts +
+    # three entries stale since r2) + the NEW steady-state MERGE
+    # (VERDICT r6 #4), the round-6 promotions still earning their
+    # second green, and the round-5 debuts that still hold their slot
     promoted = {
-        # round-6 re-promotions (last driver-green row was r1/r2)
-        "customers_without_orders",
-        "top_orders_per_customer",
-        "order_cube_revenue",
-        "customer_order_frames",
-        "salted_agg_priority_revenue",
-        "events_tumbling_hourly",
-        "events_sliding_hourly",
-        "events_json_value_counts",
+        # round-7 queue: never driver-checked r6 debuts
+        "local_supplier_volume_q5",
+        "promo_revenue_q14",
+        "disjunctive_revenue_q19",
+        "part_triangle_counts",
+        "events_json_roundtrip",
+        "hybrid_rrf_search",
+        # round-7 queue: last driver-green row was r1/r2
+        "video_frame_sample",
+        "temperature_resample",
+        "hash_split_profile",
+        # round-7 new operator — debuts inside the window
+        "orders_merge_steady",
+        # round-6 promotions holding their slot (1 green each)
         "group_concat_docs",
         "bigram_topk",
-        "knn_ivf_cells",
-        "embedding_neardup_pairs",
-        # round-6 new operators — never driver-checked, must debut
-        # inside the window, not in the tail
         "orders_merge_bucketed",
         "knn_ivf_pruned",
         "events_streaming_upsert",
