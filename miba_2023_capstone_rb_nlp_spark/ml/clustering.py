@@ -20,9 +20,81 @@ from pyspark.sql import functions as F
 
 SEED = 42
 
+# Below this many fit rows the fit runs DRIVER-SIDE (bounded collect,
+# seeded numpy Lloyd's) and only the assignment stays distributed —
+# the posture production pipelines use (fit on a bounded sample,
+# broadcast the centers) and the one this package already takes for
+# HDBSCAN/UMAP. Rationale: MLlib's Lloyd's pays one distributed job
+# per iteration (~90 ms fixed driver latency in local mode), so a
+# 2.7k-row fit costs ~2 s of pure job scheduling for microseconds of
+# arithmetic. At 100 TB n_hint is large and the MLlib path keeps the
+# fit distributed (pinned by tests/test_ml_plumbing.py's explicit
+# MLlib-path test so that branch is still executed in CI).
+LOCAL_FIT_MAX_ROWS = 100_000
+
 
 def _with_vector(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+
+
+def _lloyd_fit_local(vecs, k: int, seed: int, max_iter: int = 20,
+                     tol: float = 1e-4):
+    """Seeded Lloyd's on a bounded collected sample: random init (k
+    distinct rows), empty clusters reseeded at the farthest point,
+    convergence when no center moves more than ``tol``. Deterministic
+    for a given (rows, order, seed)."""
+    import numpy as np
+
+    vecs = np.asarray(vecs, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centers = vecs[rng.choice(len(vecs), size=k, replace=False)].copy()
+    labels = None
+    for _ in range(max_iter):
+        # chunked distance matrix: peak memory stays O(chunk × k × d)
+        n = len(vecs)
+        labels = np.empty(n, dtype=np.int64)
+        mind = np.empty(n, dtype=np.float64)
+        for s in range(0, n, 8192):
+            d = ((vecs[s:s + 8192, None, :] - centers[None, :, :]) ** 2).sum(2)
+            labels[s:s + 8192] = d.argmin(1)
+            mind[s:s + 8192] = d.min(1)
+        new = np.empty_like(centers)
+        for j in range(k):
+            pts = vecs[labels == j]
+            new[j] = pts.mean(0) if len(pts) else vecs[mind.argmax()]
+        moved = np.sqrt(((new - centers) ** 2).sum(1)).max()
+        centers = new
+        if moved < tol:
+            break
+    return centers
+
+
+def _assign_centers_expr(df: DataFrame, vec_col: str, centers,
+                         out_col: str) -> DataFrame:
+    """Nearest-center assignment as a pure Catalyst expression: one
+    squared-distance fold per center (zip_with + aggregate over the
+    broadcast-literal center), argmin via least + first-match when
+    chain (ties → lowest index, = numpy argmin). Whole-stage codegen,
+    no Python workers, map-only — THE scalable transform regardless
+    of where the fit ran."""
+    vec = F.col(vec_col).cast("array<double>")
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(c)) for c in center]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for center in centers
+    ]
+    m = F.least(*dists) if len(dists) > 1 else dists[0]
+    label = F.when(dists[0] == m, F.lit(0))
+    for j in range(1, len(dists)):
+        label = label.when(dists[j] == m, F.lit(j))
+    return df.withColumn(out_col, label.cast("int"))
 
 
 def kmeans_assign(
@@ -44,7 +116,26 @@ def kmeans_assign(
     whole fit (measured ~2.5× wall on local[32]) while Lloyd's fully
     recovers quality, so small fits use "random". At 100 TB (n_hint
     large or unknown) the default stays "k-means||".
+
+    FIT placement is adaptive by the same logic (LOCAL_FIT_MAX_ROWS):
+    below ~100k fit rows, each distributed Lloyd's round is a job
+    whose fixed driver latency dwarfs the arithmetic, so the fit runs
+    driver-side on the bounded collected sample (seeded numpy
+    Lloyd's) and ONLY the assignment stays distributed — as a pure
+    codegen expression over the broadcast-literal centers, so the
+    transform scales identically either way. Large or unknown n keeps
+    the fully-distributed MLlib fit.
     """
+    local = (
+        n_hint is not None
+        and n_hint <= LOCAL_FIT_MAX_ROWS
+        and n_hint > k
+    )
+    if local:
+        src = df if fit_df is None else fit_df
+        vecs = [r[0] for r in src.select(vec_col).collect()]
+        centers = _lloyd_fit_local(vecs, k, SEED)
+        return _assign_centers_expr(df, vec_col, centers, out_col)
     if init_mode is None:
         init_mode = "random" if (n_hint is not None and n_hint < 1_000_000) else "k-means||"
     feat = _with_vector(df, vec_col)

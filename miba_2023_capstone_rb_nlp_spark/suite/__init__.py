@@ -142,6 +142,15 @@ _DEPRIORITIZED = (
     "embedding_neardup_pairs",  # greens r1+r6; cosine kernel
     # in-window via knn_int8_rerank's exact re-rank + the promoted
     # hybrid_rrf_search's dense ranker
+    "source_vocab_overlap",  # greens r5+r6; token-set machinery ⊂
+    # bigram_lm_perplexity + bpe_encode_stats (both in-window);
+    # demoted for the NEW volume_shipping_q7
+    "events_type_pivot",  # greens r5+r6; the Expand machinery pivot
+    # compiles to is in-window via lineitem_unpivot_stats; demoted
+    # for the NEW small_qty_revenue_q17
+    "incremental_revenue_merge",  # greens r5+r6; partial-state merge
+    # machinery ⊂ orders_upsert_merge + orders_merge_bucketed/steady
+    # (all in-window); demoted for the NEW events_csv_roundtrip
     # NEXT-ROUND (r8) ROTATION TARGETS: after the r7 promotions the
     # only entries with zero driver evidence are r7's own late adds
     # (if any); the stalest oracled tail entries are the r5-demoted
@@ -371,9 +380,13 @@ _PRIORITIZED = (
     "video_frame_sample",
     "temperature_resample",
     "hash_split_profile",
-    # -- round-7 NEW operator: steady-state bucketed MERGE (VERDICT
-    # -- r6 next-round #4) — debuts inside the window, not the tail
+    # -- round-7 NEW operators: steady-state bucketed MERGE (VERDICT
+    # -- r6 next-round #4) + the Q7/Q17 TPC-H battery extensions —
+    # -- all debut inside the window, not the tail
     "orders_merge_steady",
+    "volume_shipping_q7",
+    "small_qty_revenue_q17",
+    "events_csv_roundtrip",
     # -- round-6 promotions holding their slot (1 green each so far)
     "group_concat_docs",
     "bigram_topk",

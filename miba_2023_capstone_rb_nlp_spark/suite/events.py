@@ -914,3 +914,56 @@ def q_events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum("value").alias("sum_value"),
     )
+
+
+# --- CSV source round-trip (schema-on-read, no inference) ------------
+# Same fingerprint aggregate as the JSON round-trip, so the check is
+# that the CSV text format — quoting, nulls-as-empty, full-precision
+# float repr — preserves the data exactly, per column type.
+_CSV_RT_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_csv_roundtrip", oracle=_CSV_RT_ORACLE)
+def q_events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV at rest (header, explicit quote/escape) →
+    EXPLICIT-schema read → aggregate; the oracle aggregates the
+    ORIGINAL parquet, so the entry proves the text round-trip is
+    lossless for every column type crossing it (strings with the
+    quote character, nullable bigints, full-precision doubles).
+
+    Plan: column-pruned before serialization (unread columns in a
+    text format are pure waste); the read pins an explicit schema so
+    the scan is ONE pass — schema inference on CSV costs a full extra
+    pass over the data at 100 TB, the classic silent 2× read. At
+    scale CSV is the upstream reality (exports, legacy feeds); the
+    engine's job is to cross it once and land columnar."""
+    import os
+
+    from miba_2023_capstone_rb_nlp_spark.catalog import sf_name, warehouse_dir
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    path = warehouse_dir("csv_events", sf_name(sf_dir))
+    (
+        ev.write.mode("overwrite")
+        .options(header=True, quote='"', escape='"')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("event_type string, user_id bigint, value double")
+        .options(header=True, quote='"', escape='"')
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("sum_value"),
+    )

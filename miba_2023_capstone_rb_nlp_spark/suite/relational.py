@@ -1584,3 +1584,143 @@ def q_disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --- TPC-H Q7: volume shipping between a nation pair -----------------
+# Bidirectional trade revenue between two nations by ship year. The
+# synthetic nations are NATION_0..24 (TESTDATA.md), so the classic
+# FRANCE/GERMANY pair maps to NATION_1/NATION_2; ship years 1995-1996.
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(sum({_DISC}) AS DOUBLE) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+    OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("volume_shipping_q7", oracle=_Q7_ORACLE)
+def q_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bidirectional revenue between a nation pair by ship
+    year.
+
+    Plan: BOTH dim chains shrink before broadcasting — supplier and
+    customer each join their (2-row) nation slice first, so the pair
+    disjunction evaluates over two tiny broadcast dims, never as a
+    post-join residual on the full fact. The ship-date range pushes
+    to the lineitem scan; the only shuffle is lineitem⋈orders on
+    orderkey. At 100 TB the nation-pair filter makes the broadcast
+    sides a fraction of the dims — the disjunction costs one extra
+    predicate on a join already bounded by the pair."""
+    pair = (_Q7_N1, _Q7_N2)
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"),
+                             F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    disc_price = dec("l_extendedprice", 2, 12) * (
+        F.lit(1) - dec("l_discount", 2, 4)
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(
+            (
+                (F.col("supp_nation") == _Q7_N1)
+                & (F.col("cust_nation") == _Q7_N2)
+            )
+            | (
+                (F.col("supp_nation") == _Q7_N2)
+                & (F.col("cust_nation") == _Q7_N1)
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(F.sum(disc_price).cast("double").alias("revenue"))
+
+
+# --- TPC-H Q17: small-quantity-order revenue -------------------------
+# The correlated-subquery classic: revenue from orders of a brand's
+# parts whose quantity is below 20% of that part's average — run as
+# the standard decorrelation (per-part aggregate joined back), never
+# a per-row subquery. The 0.2*avg threshold is floor-quantized to
+# micro-units in BOTH engines so the strict < comparison can't flip
+# on float summation-order noise.
+_Q17_ORACLE = """
+WITH lim AS (
+  SELECT l_partkey,
+         floor(0.2 * avg(l_quantity) * 1000000.0) / 1000000.0 AS qlim
+  FROM lineitem GROUP BY l_partkey
+),
+sel AS (
+  SELECT l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+  JOIN lim a ON a.l_partkey = l.l_partkey
+  WHERE l.l_quantity < a.qlim
+)
+SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0 * 100.0) / 100.0 AS avg_yearly
+FROM sel
+"""
+
+
+@register("small_qty_revenue_q17", oracle=_Q17_ORACLE)
+def q_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from below-average-quantity orders of one
+    brand's parts, decorrelated.
+
+    Plan: the correlated `l_quantity < 0.2*avg(quantity per part)`
+    subquery becomes ONE per-part aggregate joined back — the
+    brand-filtered part dim broadcasts into BOTH the threshold
+    aggregate's input and the probe side, so the avg runs over only
+    the brand's lineitem rows (partial agg before its exchange), and
+    the threshold table (≤|brand's parts| rows) broadcasts back onto
+    the same filtered fact. Nothing scans lineitem more than twice,
+    and nothing shuffles the full table. The oracle computes lim over
+    ALL parts — equivalent after the equi-join on the brand's
+    partkeys — so the optimization is visible as plan shape, not as a
+    different answer."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    lim = brand_li.groupBy("l_partkey").agg(
+        fixed(F.lit(0.2) * F.avg("l_quantity"), 6).alias("qlim")
+    )
+    sel = brand_li.join(F.broadcast(lim), "l_partkey").filter(
+        F.col("l_quantity") < F.col("qlim")
+    )
+    return sel.agg(
+        fixed(
+            dsum("l_extendedprice").cast("double") / F.lit(7.0) * 100.0, 0
+        ).alias("_t")
+    ).select((F.col("_t") / 100.0).alias("avg_yearly"))

@@ -486,3 +486,41 @@ def test_choose_k_silhouette_sweep(spark):
     assert k == 3 and max(scores, key=lambda kk: (scores[kk], -kk)) == 3
     k_floored, _ = choose_k_silhouette(df, "v", k_min=5, k_max=6)
     assert k_floored == 5
+
+
+def test_kmeans_fit_placement_adaptive(spark):
+    """kmeans_assign routes tiny fits driver-side (seeded numpy
+    Lloyd's + codegen nearest-center expression — no Python workers,
+    no MLlib jobs) and keeps the distributed MLlib fit for large or
+    unknown n — BOTH branches execute here, so neither is ever an
+    executed-never path."""
+    import random
+
+    from miba_2023_capstone_rb_nlp_spark.ml.clustering import kmeans_assign
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(float(i % 3) * 4.0, 0.25) for _ in range(4)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+
+    local = kmeans_assign(df, "v", k=3, n_hint=90, out_col="c")
+    plan = local._jdf.queryExecution().executedPlan().toString()
+    assert "_features" not in plan  # no MLlib lineage in the local path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = {r["id"]: r["c"] for r in local.collect()}
+    # the three well-separated generators each land in one cluster
+    by_gen = {g: {got[i] for i in got if i % 3 == g} for g in range(3)}
+    assert all(len(s) == 1 for s in by_gen.values())
+    assert len({next(iter(s)) for s in by_gen.values()}) == 3
+
+    mllib = kmeans_assign(df, "v", k=3, n_hint=None, out_col="c")
+    got_m = {r["id"]: r["c"] for r in mllib.collect()}
+    by_gen_m = {g: {got_m[i] for i in got_m if i % 3 == g} for g in range(3)}
+    assert all(len(s) == 1 for s in by_gen_m.values())
+    # identical partition of the ids, modulo label permutation
+    groups = lambda m: sorted(  # noqa: E731
+        tuple(sorted(i for i in m if m[i] == c)) for c in set(m.values())
+    )
+    assert groups(got) == groups(got_m)

@@ -780,3 +780,29 @@ def test_merge_steady_reuses_layout_and_stays_exchange_free(spark):
     assert "FullOuter" in plan and "SortMergeJoin" in plan
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_q7_pair_dims_broadcast_one_fact_exchange(spark):
+    """Q7: both nation-pair dim chains broadcast (supplier and
+    customer each pre-joined to the 2-row nation slice), ship-date
+    range reaches the lineitem scan, and the only shuffle join is
+    lineitem⋈orders."""
+    df = SUITE["volume_shipping_q7"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "GreaterThanOrEqual(l_shipdate,1995-01-01" in plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_decorrelated_threshold_broadcasts(spark):
+    """Q17: the correlated avg-quantity subquery decorrelates to ONE
+    per-part aggregate whose (brand-bounded) threshold table
+    broadcasts back — no per-row subquery, no fact self-shuffle; the
+    brand filter reaches the part scan."""
+    df = SUITE["small_qty_revenue_q17"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "partial_" in plan  # map-side combined per-part aggregate

@@ -48,6 +48,8 @@ EXPECTED = {
     "local_supplier_volume_q5",
     "promo_revenue_q14",
     "disjunctive_revenue_q19",
+    "volume_shipping_q7",
+    "small_qty_revenue_q17",
     "part_affinity_topk",
     "part_pagerank",
     "part_triangle_counts",
@@ -93,6 +95,7 @@ EXPECTED = {
     "events_value_ttest",
     "events_streaming_upsert",
     "events_json_roundtrip",
+    "events_csv_roundtrip",
     # text
     "doc_stats_quality",
     "lang_id",
@@ -280,6 +283,11 @@ ROTATED_OUT = {
     "events_json_value_counts",
     "knn_ivf_cells",
     "embedding_neardup_pairs",
+    # round-7 second wave: three more twice-green demotions for the
+    # Q7/Q17 TPC-H and CSV-source debuts (siblings in _DEPRIORITIZED)
+    "source_vocab_overlap",
+    "events_type_pivot",
+    "incremental_revenue_merge",
 }
 
 # Round-6 policy amendment, clause (b): an entry may also rotate out
@@ -384,8 +392,11 @@ def test_core_entries_inside_driver_window():
         "video_frame_sample",
         "temperature_resample",
         "hash_split_profile",
-        # round-7 new operator — debuts inside the window
+        # round-7 new operators — debut inside the window
         "orders_merge_steady",
+        "volume_shipping_q7",
+        "small_qty_revenue_q17",
+        "events_csv_roundtrip",
         # round-6 promotions holding their slot (1 green each)
         "group_concat_docs",
         "bigram_topk",
@@ -402,17 +413,14 @@ def test_core_entries_inside_driver_window():
         "events_stream_stream_join",
         "knn_int8_rerank",
         "dsir_importance_select",
-        "events_type_pivot",
         "orders_upsert_merge",
         "sql_interface_segment_revenue",
         "events_funnel_stages",
         "bigram_lm_perplexity",
-        "source_vocab_overlap",
         "user_decayed_value",
         "event_outliers_mad",
         "part_affinity_topk",
         "part_pagerank",
-        "incremental_revenue_merge",
         "price_decile_histogram",
         "lineitem_unpivot_stats",
         "phrase_match_docs",
