@@ -178,9 +178,13 @@ def report_regressions(timings: dict[str, float], sf_val) -> None:
               file=sys.stderr)
 
 
-# an entry whose max/min rep spread exceeds this is "noisy": its
+# an entry whose POST-WARMUP rep spread exceeds this is "noisy": its
 # best-of-N is still recorded, but the burst is machine-visible in
-# the sidecar instead of only prose (VERDICT r6 #2)
+# the sidecar instead of only prose (VERDICT r6 #2). The first rep is
+# excluded from the noise metric — it systematically pays one-time
+# codegen compilation and cache fill (measured 1.5-6× across the
+# suite), which is warmup, not co-tenant burst; the all-reps spread
+# is still recorded separately so the warmup factor stays visible.
 NOISY_SPREAD = 1.3
 
 
@@ -267,12 +271,21 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         best = min(reps)
         spread = max(reps) / best if best > 0 else 1.0
+        # burst is only measurable with ≥2 post-warmup samples; with
+        # fewer (REPS ≤ 2) the metric would just re-flag warmup
+        warm = reps[1:]
+        warm_spread = (
+            round(max(warm) / min(warm), 2)
+            if len(warm) >= 2 and min(warm) > 0
+            else None
+        )
         timings[name] = round(best, 3)
         details[name] = {
             "best": round(best, 3),
             "reps": [round(r, 3) for r in reps],
             "spread": round(spread, 2),
-            "noisy": spread > NOISY_SPREAD,
+            "warm_spread": warm_spread,
+            "noisy": warm_spread is not None and warm_spread > NOISY_SPREAD,
         }
         # Measurement hygiene between entries, OUTSIDE the timed
         # region: suite queries persist fan-out bases (wizard chain)
@@ -318,11 +331,13 @@ def main() -> None:
         if n_noisy:
             noisy = sorted(
                 (n for n, d in details.items() if d["noisy"]),
-                key=lambda n: -details[n]["spread"],
+                key=lambda n: -details[n]["warm_spread"],
             )
             print(
-                f"noisy entries (rep spread > {NOISY_SPREAD}x): "
-                + ", ".join(f"{n}({details[n]['spread']}x)" for n in noisy),
+                f"noisy entries (post-warmup rep spread > {NOISY_SPREAD}x): "
+                + ", ".join(
+                    f"{n}({details[n]['warm_spread']}x)" for n in noisy
+                ),
                 file=sys.stderr,
             )
     except Exception as e:  # noqa: BLE001

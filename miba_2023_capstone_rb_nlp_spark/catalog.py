@@ -43,9 +43,15 @@ def sf_name(sf_dir: str) -> str:
     """Collision-safe short name for a scale-factor directory, used
     to key at-rest layout paths AND table names so two sessions (or
     two scale factors) never clobber each other's layouts (ADVICE
-    r6 #4)."""
-    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return "".join(c if c.isalnum() else "_" for c in base)
+    r6 #4). The readable basename is suffixed with a short hash of
+    the ABSOLUTE path: two different directories sharing a leaf name
+    (/data1/sf0.1 vs /data2/sf0.1) must not share layouts."""
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    base = os.path.basename(norm) or "sf"
+    safe = "".join(c if c.isalnum() else "_" for c in base)
+    return f"{safe}_{hashlib.md5(norm.encode()).hexdigest()[:6]}"
 
 
 def source_fingerprint(sf_dir: str, *names: str) -> str:
@@ -66,6 +72,15 @@ def source_fingerprint(sf_dir: str, *names: str) -> str:
                 paths.extend(os.path.join(root, f) for f in files)
         elif os.path.exists(p):
             paths.append(p)
+        if not paths:
+            # a missing source must raise, not hash to the shared
+            # empty-input sentinel — that constant would alias every
+            # absent table into one cache key (false layout currency,
+            # cross-corpus memo hits)
+            raise FileNotFoundError(
+                f"source_fingerprint: no files for table {name!r} "
+                f"under {sf_dir!r}"
+            )
         for fp in sorted(paths):
             st = os.stat(fp)
             h.update(

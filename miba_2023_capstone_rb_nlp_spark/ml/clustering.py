@@ -59,9 +59,13 @@ def _lloyd_fit_local(vecs, k: int, seed: int, max_iter: int = 20,
             labels[s:s + 8192] = d.argmin(1)
             mind[s:s + 8192] = d.min(1)
         new = np.empty_like(centers)
+        # empty clusters reseed at DISTINCT farthest points — handing
+        # two empties the same point would collapse them into
+        # permanently identical centers (effective k silently shrinks)
+        far = iter(np.argsort(-mind))
         for j in range(k):
             pts = vecs[labels == j]
-            new[j] = pts.mean(0) if len(pts) else vecs[mind.argmax()]
+            new[j] = pts.mean(0) if len(pts) else vecs[next(far)]
         moved = np.sqrt(((new - centers) ** 2).sum(1)).max()
         centers = new
         if moved < tol:
@@ -76,7 +80,12 @@ def _assign_centers_expr(df: DataFrame, vec_col: str, centers,
     broadcast-literal center), argmin via least + first-match when
     chain (ties → lowest index, = numpy argmin). Whole-stage codegen,
     no Python workers, map-only — THE scalable transform regardless
-    of where the fit ran."""
+    of where the fit ran.
+
+    NULL or mis-dimensioned vectors fail LOUDLY (raise_error), the
+    same contract as the MLlib transform path — the two branches must
+    not diverge on malformed input (a null would otherwise fall
+    through every when() to a silent NULL label)."""
     vec = F.col(vec_col).cast("array<double>")
     dists = [
         F.aggregate(
@@ -94,6 +103,17 @@ def _assign_centers_expr(df: DataFrame, vec_col: str, centers,
     label = F.when(dists[0] == m, F.lit(0))
     for j in range(1, len(dists)):
         label = label.when(dists[j] == m, F.lit(j))
+    label = label.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "kmeans_assign: NULL or mis-dimensioned vector in "
+                    f"column {vec_col!r} (expected dim "
+                    f"{len(centers[0])})"
+                )
+            )
+        )
+    )
     return df.withColumn(out_col, label.cast("int"))
 
 
@@ -127,15 +147,22 @@ def kmeans_assign(
     the fully-distributed MLlib fit.
     """
     local = (
-        n_hint is not None
+        init_mode is None  # an explicit init_mode asks for MLlib
+        and n_hint is not None
         and n_hint <= LOCAL_FIT_MAX_ROWS
         and n_hint > k
     )
     if local:
         src = df if fit_df is None else fit_df
-        vecs = [r[0] for r in src.select(vec_col).collect()]
-        centers = _lloyd_fit_local(vecs, k, SEED)
-        return _assign_centers_expr(df, vec_col, centers, out_col)
+        # n_hint is ADVISORY — never let a stale/wrong hint unbound
+        # the driver collect: limit caps the transfer, and overflow
+        # (more rows than the hint promised) falls back to the
+        # distributed MLlib fit instead of OOMing the driver
+        rows = src.select(vec_col).limit(LOCAL_FIT_MAX_ROWS + 1).collect()
+        if k < len(rows) <= LOCAL_FIT_MAX_ROWS:
+            vecs = [r[0] for r in rows]
+            centers = _lloyd_fit_local(vecs, k, SEED)
+            return _assign_centers_expr(df, vec_col, centers, out_col)
     if init_mode is None:
         init_mode = "random" if (n_hint is not None and n_hint < 1_000_000) else "k-means||"
     feat = _with_vector(df, vec_col)

@@ -159,7 +159,13 @@ def _fabricate(spark: SparkSession, sf_dir: str):
 # (session, sf_dir) is immutable, so the built DataFrame is cached
 # and reused; no action runs at build time, so this changes nothing
 # about execution or caching semantics.
-_CLEAN_PLAN_MEMO: dict[tuple[str, str], DataFrame] = {}
+#
+# Keyed by SESSION IDENTITY (the object, compared with `is` — not
+# applicationId, which spark.newSession() siblings share despite
+# having separate temp catalogs/confs), and bounded FIFO so dead
+# sessions' analyzed plans can't accumulate in a long-lived process.
+_CLEAN_PLAN_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+_CLEAN_PLAN_MEMO_MAX = 8
 
 
 @register("etl_clean_articles", oracle=_build_oracle())
@@ -174,13 +180,17 @@ def q_etl_clean_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded rows). The cleaning chain itself stays one narrow
     single-evaluation projection (operators/cleaning.py).
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CLEAN_PLAN_MEMO:
+    key = (id(spark), sf_dir)
+    hit = _CLEAN_PLAN_MEMO.get(key)
+    if hit is None or hit[0] is not spark:  # id() reuse after GC
         links, content = _fabricate(spark, sf_dir)
         content = content.repartition(spark.sparkContext.defaultParallelism)
         raw = assemble_articles(links, content).drop("pos", "bs_link")
-        _CLEAN_PLAN_MEMO[key] = cleaning.clean_articles(raw)
-    return _CLEAN_PLAN_MEMO[key]
+        while len(_CLEAN_PLAN_MEMO) >= _CLEAN_PLAN_MEMO_MAX:
+            _CLEAN_PLAN_MEMO.pop(next(iter(_CLEAN_PLAN_MEMO)))
+        hit = (spark, cleaning.clean_articles(raw))
+        _CLEAN_PLAN_MEMO[key] = hit
+    return hit[1]
 
 
 _EXPLODE_ORACLE = f"""

@@ -602,11 +602,25 @@ def ensure_merge_layout(
 
     from miba_2023_capstone_rb_nlp_spark import catalog as cat
 
+    import hashlib
+
     sf = cat.sf_name(sf_dir)
     root = cat.warehouse_dir("merge_bucketed", sf)
-    fp = cat.source_fingerprint(sf_dir, "orders")
     base = _t(spark, sf_dir, "orders")
     names = (f"mrg_base_bkt_{sf}", f"mrg_changes_bkt_{sf}")
+    # the stamp must invalidate on ANYTHING that shaped the files,
+    # not just the source data: bucket count (declared metadata must
+    # match the physical mod-N layout or the exchange-free join pairs
+    # wrong buckets), the written schema, and a version bumped when
+    # the _merge_changes derivation changes
+    layout_spec = (
+        f"|buckets={_MERGE_BUCKETS}"
+        f"|schema={base.schema.simpleString()}"
+        "|derivation=v1"
+    )
+    fp = hashlib.md5(
+        (cat.source_fingerprint(sf_dir, "orders") + layout_spec).encode()
+    ).hexdigest()
     for name, df in zip(names, (base, _merge_changes(base))):
         path = os.path.join(root, name)
         if not force and cat.layout_is_current(path, fp):
@@ -1674,7 +1688,9 @@ def q_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q17_ORACLE = """
 WITH lim AS (
   SELECT l_partkey,
-         floor(0.2 * avg(l_quantity) * 1000000.0) / 1000000.0 AS qlim
+         floor(0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                           AS DOUBLE) / count(l_quantity))
+               * 1000000.0) / 1000000.0 AS qlim
   FROM lineitem GROUP BY l_partkey
 ),
 sel AS (
@@ -1713,8 +1729,13 @@ def q_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     brand_li = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    # exact-decimal sum / count, not float avg: the repo's davg
+    # convention — engine-order float summation under a strict <
+    # comparison could flip membership at a quantization boundary
     lim = brand_li.groupBy("l_partkey").agg(
-        fixed(F.lit(0.2) * F.avg("l_quantity"), 6).alias("qlim")
+        fixed(
+            F.lit(0.2) * (dsum("l_quantity") / F.count("l_quantity")), 6
+        ).alias("qlim")
     )
     sel = brand_li.join(F.broadcast(lim), "l_partkey").filter(
         F.col("l_quantity") < F.col("qlim")

@@ -195,12 +195,16 @@ FROM hits GROUP BY doc_id
 _PHRASE_DF_MEMO: dict[str, tuple[str, ...]] = {}
 
 
-def phrase_join_order(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
-    """PHRASE terms ordered by ascending posting count (VERDICT r6
-    next-round #6): joining the two rarest terms first shrinks the
-    intermediate fastest — the classic inverted-index intersection
-    order, and at web scale the difference between streaming a few
-    postings and streaming the stopword's list through every join."""
+def phrase_join_order(spark: SparkSession, sf_dir: str) -> tuple[int, ...]:
+    """Phrase POSITIONS (0-based offsets into PHRASE) ordered by
+    ascending posting count of their term (VERDICT r6 next-round #6):
+    joining the two rarest terms first shrinks the intermediate
+    fastest — the classic inverted-index intersection order, and at
+    web scale the difference between streaming a few postings and
+    streaming the stopword's list through every join. Positions, not
+    terms: a phrase with a REPEATED term needs one join branch per
+    occurrence (each with its own offset), not one per distinct
+    term."""
     from miba_2023_capstone_rb_nlp_spark import catalog as cat
     from miba_2023_capstone_rb_nlp_spark.functions.text import tokens
 
@@ -215,7 +219,10 @@ def phrase_join_order(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
             .collect()
         )
         _PHRASE_DF_MEMO[key] = tuple(
-            sorted(PHRASE, key=lambda t: (counts.get(t, 0), t))
+            sorted(
+                range(len(PHRASE)),
+                key=lambda i: (counts.get(PHRASE[i], 0), i),
+            )
         )
     return _PHRASE_DF_MEMO[key]
 
@@ -246,17 +253,18 @@ def q_phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w").isin(*PHRASE))
         .select("doc_id", (F.col("p0") + 1).alias("p"), "w")
     )
-    # one branch per term, position normalized to the phrase head
-    branch = {
-        t: pos.filter(F.col("w") == t).select(
-            "doc_id", (F.col("p") - PHRASE.index(t)).alias("p")
+    # one branch per PHRASE POSITION (repeated terms get one branch
+    # per occurrence), each normalized to the phrase head's position
+    branch = [
+        pos.filter(F.col("w") == PHRASE[i]).select(
+            "doc_id", (F.col("p") - i).alias("p")
         )
-        for t in PHRASE
-    }
-    first, second, third = phrase_join_order(spark, sf_dir)
-    hits = branch[first].join(branch[second], ["doc_id", "p"]).join(
-        branch[third], ["doc_id", "p"]
-    )
+        for i in range(len(PHRASE))
+    ]
+    order = phrase_join_order(spark, sf_dir)
+    hits = branch[order[0]]
+    for i in order[1:]:
+        hits = hits.join(branch[i], ["doc_id", "p"])
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("p").cast("bigint").alias("first_pos"),

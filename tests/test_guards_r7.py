@@ -13,6 +13,9 @@
 - ensure_merge_layout re-registers an existing bucketed layout in a
   fresh catalog WITHOUT rewriting the files (VERDICT r6 #4's
   amortized steady-state).
+- phrase_match_docs joins one branch per PHRASE POSITION, so phrases
+  with repeated terms stay correct under the rarest-first join order
+  (round-7 code-review finding).
 """
 
 from __future__ import annotations
@@ -139,3 +142,25 @@ def test_merge_layout_reregisters_without_rewrite(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_phrase_match_handles_repeated_terms(spark, tmp_path, monkeypatch):
+    """A phrase with a REPEATED term needs one join branch per
+    POSITION, not per distinct term (code-review r7): with
+    PHRASE=('a','b','a'), 'a b a b a' matches at head positions 1 and
+    3, and 'a b c' matches nowhere."""
+    from miba_2023_capstone_rb_nlp_spark.suite import retrieval
+
+    monkeypatch.setattr(retrieval, "PHRASE", ("a", "b", "a"))
+    monkeypatch.setattr(retrieval, "_PHRASE_DF_MEMO", {})
+    d = str(tmp_path / "corpus")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b c"), (3, "x a b a y")],
+        "doc_id bigint, text string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in retrieval.q_phrase_match_docs(spark, d).collect()
+    }
+    assert rows == {1: (2, 1), 3: (1, 2)}

@@ -748,13 +748,14 @@ def test_phrase_join_order_rarest_first(spark):
         .collect()
     )
     order = phrase_join_order(spark, SF_TEST_DIR)
-    assert set(order) == set(PHRASE)
-    counts = [truth.get(t, 0) for t in order]
+    assert sorted(order) == list(range(len(PHRASE)))
+    terms = [PHRASE[i] for i in order]
+    counts = [truth.get(t, 0) for t in terms]
     assert counts == sorted(counts), (order, truth)
     plan = _executed_plan(SUITE["phrase_match_docs"].fn(spark, SF_TEST_DIR))
     # tree print order: the outer join's right child (the LAST branch
     # joined — the most frequent term) prints after both rarer ones
-    positions = [plan.rfind(f"= {t})") for t in order]
+    positions = [plan.rfind(f"= {t})") for t in terms]
     assert all(p >= 0 for p in positions), (order, plan[:2000])
     assert positions[2] == max(positions), (order, positions)
 
