@@ -164,3 +164,50 @@ def test_phrase_match_handles_repeated_terms(spark, tmp_path, monkeypatch):
         for r in retrieval.q_phrase_match_docs(spark, d).collect()
     }
     assert rows == {1: (2, 1), 3: (1, 2)}
+
+
+def test_sf_name_distinguishes_same_basename_dirs(tmp_path):
+    """Two different directories sharing a leaf name must not share
+    layout keys (code-review r7): sf_name suffixes an absolute-path
+    hash."""
+    a = tmp_path / "one" / "sf0.1"
+    b = tmp_path / "two" / "sf0.1"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    na, nb = catalog.sf_name(str(a)), catalog.sf_name(str(b))
+    assert na != nb
+    assert na.startswith("sf0_1_") and nb.startswith("sf0_1_")
+    # stable for the same path
+    assert catalog.sf_name(str(a)) == na
+
+
+def test_source_fingerprint_missing_table_raises(tmp_path):
+    """A missing source table must raise, not hash to the shared
+    empty-input sentinel (which would alias every absent table into
+    one memo/layout key)."""
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        catalog.source_fingerprint(str(tmp_path), "lineitem")
+
+
+def test_merge_layout_invalidates_on_bucket_count_change(spark, monkeypatch):
+    """The layout stamp covers the BUCKET COUNT, not just source
+    data: declaring INTO 16 BUCKETS over files physically bucketed
+    mod 8 would silently pair wrong buckets in the exchange-free
+    join, so a bucket-count change must force a rewrite."""
+    from miba_2023_capstone_rb_nlp_spark.suite import relational
+
+    b, c = relational.ensure_merge_layout(spark, SF)
+    root = catalog.warehouse_dir("merge_bucketed", catalog.sf_name(SF))
+    stamp = os.path.join(root, b, catalog._FINGERPRINT_FILE)
+    mtime = os.stat(stamp).st_mtime_ns
+    relational.ensure_merge_layout(spark, SF)
+    assert os.stat(stamp).st_mtime_ns == mtime  # unchanged params reuse
+    monkeypatch.setattr(relational, "_MERGE_BUCKETS", 16)
+    b2, _ = relational.ensure_merge_layout(spark, SF)
+    assert b2 == b
+    assert os.stat(stamp).st_mtime_ns != mtime  # rewrite forced
+    # restore the mod-8 layout for any later test in this session
+    monkeypatch.undo()
+    relational.ensure_merge_layout(spark, SF)
