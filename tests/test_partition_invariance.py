@@ -22,6 +22,9 @@ ENTRIES = [
     "stratified_sample_docs",    # keyed-md5 sampling
     "top_terms_per_source",      # weighted top-k window
     "part_triangle_counts",      # oriented wedge join
+    "volume_shipping_q7",        # pair-dim broadcast star (r7)
+    "small_qty_revenue_q17",     # decorrelated threshold join (r7)
+    "orders_merge_steady",       # exchange-free bucketed merge (r7)
 ]
 
 
