@@ -187,6 +187,14 @@ def report_regressions(timings: dict[str, float], sf_val) -> None:
 # is still recorded separately so the warmup factor stays visible.
 NOISY_SPREAD = 1.3
 
+# Adaptive reps (VERDICT r7 #6): an entry whose post-warmup spread
+# exceeds NOISY_SPREAD after the base REPS gets extra reps (up to
+# MAX_REPS total) so its best-of-N is trustworthy on a bursty box —
+# a co-tenant spike during a 3-rep window otherwise leaves a noisy
+# "best" that the regression table then mis-reads as a slowdown.
+# Entries that are quiet after REPS pay nothing.
+MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "5"))
+
 
 def encode_line(
     timings: dict[str, float], sf_val: float | str, n_noisy: int = 0
@@ -264,19 +272,43 @@ def main() -> None:
     for name, q in suite.items():
         if name in SKIP:
             continue
-        reps: list[float] = []
-        for _ in range(max(1, REPS)):
+        def one_rep() -> float:
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            reps.append(time.perf_counter() - t0)
+            return time.perf_counter() - t0
+
+        def warm_spread_of(rs: list[float]) -> float | None:
+            # burst is only measurable with ≥2 post-warmup samples;
+            # with fewer (REPS ≤ 2) the metric would re-flag warmup
+            warm = rs[1:]
+            if len(warm) >= 2 and min(warm) > 0:
+                return round(max(warm) / min(warm), 2)
+            return None
+
+        reps: list[float] = [one_rep() for _ in range(max(1, REPS))]
+        # adaptive extension: noisy after the base reps → keep
+        # sampling (bounded by MAX_REPS) until the post-warmup window
+        # quiets down or the budget runs out; "noisy" in the sidecar
+        # then means "still bursty after MAX_REPS", not "we only
+        # looked three times"
+        while (
+            len(reps) < MAX_REPS
+            and (ws := warm_spread_of(reps)) is not None
+            and ws > NOISY_SPREAD
+        ):
+            reps.append(one_rep())
         best = min(reps)
         spread = max(reps) / best if best > 0 else 1.0
-        # burst is only measurable with ≥2 post-warmup samples; with
-        # fewer (REPS ≤ 2) the metric would just re-flag warmup
-        warm = reps[1:]
-        warm_spread = (
-            round(max(warm) / min(warm), 2)
-            if len(warm) >= 2 and min(warm) > 0
+        warm_spread = warm_spread_of(reps)
+        # the noisy FLAG judges the recorded best, not the box: after
+        # extension, one spike would pin the all-warm spread above
+        # threshold forever, so the flag uses the 3 fastest warm reps
+        # — "even the quietest samples disagree >1.3×" — while the
+        # full-burst picture stays recorded in warm_spread/reps
+        quiet = sorted(reps[1:])[:3]
+        quiet_spread = (
+            round(max(quiet) / min(quiet), 2)
+            if len(quiet) >= 2 and min(quiet) > 0
             else None
         )
         timings[name] = round(best, 3)
@@ -285,7 +317,9 @@ def main() -> None:
             "reps": [round(r, 3) for r in reps],
             "spread": round(spread, 2),
             "warm_spread": warm_spread,
-            "noisy": warm_spread is not None and warm_spread > NOISY_SPREAD,
+            "quiet_spread": quiet_spread,
+            "noisy": quiet_spread is not None and quiet_spread > NOISY_SPREAD,
+            "extra_reps": max(0, len(reps) - max(1, REPS)),
         }
         # Measurement hygiene between entries, OUTSIDE the timed
         # region: suite queries persist fan-out bases (wizard chain)

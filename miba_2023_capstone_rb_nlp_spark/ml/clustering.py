@@ -42,7 +42,9 @@ def _lloyd_fit_local(vecs, k: int, seed: int, max_iter: int = 20,
     """Seeded Lloyd's on a bounded collected sample: random init (k
     distinct rows), empty clusters reseeded at the farthest point,
     convergence when no center moves more than ``tol``. Deterministic
-    for a given (rows, order, seed)."""
+    for a given (rows, order, seed); kmeans_assign feeds it a
+    canonically SORTED sample, so end-to-end the labels depend only
+    on (data, seed), not physical layout."""
     import numpy as np
 
     vecs = np.asarray(vecs, dtype=np.float64)
@@ -157,8 +159,22 @@ def kmeans_assign(
         # n_hint is ADVISORY — never let a stale/wrong hint unbound
         # the driver collect: limit caps the transfer, and overflow
         # (more rows than the hint promised) falls back to the
-        # distributed MLlib fit instead of OOMing the driver
-        rows = src.select(vec_col).limit(LOCAL_FIT_MAX_ROWS + 1).collect()
+        # distributed MLlib fit instead of OOMing the driver.
+        # Sorted by the vector itself before the capped collect
+        # (ADVICE r7 #2): a bare limit().collect() returns rows in
+        # physical scan order, and _lloyd_fit_local's seeded init
+        # indexes into that order — sorting makes the labels a pure
+        # function of (data, seed), invariant under partitioning /
+        # file layout, so the local branch passes the same
+        # partition-invariance battery as every other operator.
+        # n ≤ LOCAL_FIT_MAX_ROWS+1 rows, so the sort is driver-noise
+        # cheap (TakeOrderedAndProject, no full shuffle).
+        rows = (
+            src.select(vec_col)
+            .orderBy(F.col(vec_col).cast("array<double>"))
+            .limit(LOCAL_FIT_MAX_ROWS + 1)
+            .collect()
+        )
         if k < len(rows) <= LOCAL_FIT_MAX_ROWS:
             vecs = [r[0] for r in rows]
             centers = _lloyd_fit_local(vecs, k, SEED)

@@ -110,289 +110,172 @@ def register(name: str, oracle: str | None = None):
 #       more slots than the ≥2-green population can free. A
 #       (b)-demoted entry re-enters the window within ~2 rounds.
 _DEPRIORITIZED = (
-    "approx_distinct_parts",
-    # == round-7 rotation (VERDICT r6 next-round #1): ten clause-(a)
-    # == demotions (each ≥2 hash-green rounds, all freshly green in
-    # == r6) freeing the window for the NINE-entry queue — the six
-    # == never-driver-checked r6 debuts plus the three entries stale
-    # == since round 2 — and the NEW orders_merge_steady (#4).
-    "customers_without_orders",  # greens r1+r6; anti-join machinery
-    # stays in-window via line_dedup_rebuild's anti-join rebuild
-    "top_orders_per_customer",  # greens r1+r2+r6; rank-top-k-per-
-    # group ⊂ returned_items_q10's heap top-k + pairwise_medoids-
-    # family rank windows (quality_representative_dedup in-window)
-    "order_cube_revenue",  # greens r1+r2+r6; the Expand machinery
-    # CUBE compiles to is in-window via lineitem_unpivot_stats
-    "customer_order_frames",  # greens r1+r6; rows-between frame
-    # windows ⊂ user_decayed_value + retention_cohorts (in-window)
-    "salted_agg_priority_revenue",  # greens r1+r6; salting result-
-    # invariance pinned by tests/test_skew.py; grouped decimal agg
-    # ⊂ incremental_revenue_merge (in-window)
-    "events_tumbling_hourly",  # greens r1+r6; hourly bucket agg
-    # ⊂ events_hourly_gapfill (in-window, same date_trunc buckets)
-    "events_sliding_hourly",  # greens r1+r6; overlapping-window
-    # explode ⊂ doc_chunk_windows (in-window) + tumbling machinery
-    # via events_hourly_gapfill
-    "events_json_value_counts",  # greens r1+r6; from_json/get_json
-    # machinery re-proven in-window by the promoted
-    # events_json_roundtrip (same events JSON columns, full schema)
-    "knn_ivf_cells",  # greens r1+r6; the IVF cell-rank kernel runs
-    # in-window inside knn_ivf_pruned (same knn_ivf_cells call over
-    # the partition-pruned corpus, same oracle)
-    "embedding_neardup_pairs",  # greens r1+r6; cosine kernel
-    # in-window via knn_int8_rerank's exact re-rank + the promoted
-    # hybrid_rrf_search's dense ranker
-    "source_vocab_overlap",  # greens r5+r6; token-set machinery ⊂
-    # bigram_lm_perplexity + bpe_encode_stats (both in-window);
-    # demoted for the NEW volume_shipping_q7
-    "events_type_pivot",  # greens r5+r6; the Expand machinery pivot
-    # compiles to is in-window via lineitem_unpivot_stats; demoted
-    # for the NEW small_qty_revenue_q17
-    "incremental_revenue_merge",  # greens r5+r6; partial-state merge
-    # machinery ⊂ orders_upsert_merge + orders_merge_bucketed/steady
-    # (all in-window); demoted for the NEW events_csv_roundtrip
-    # NEXT-ROUND (r8) ROTATION TARGETS: after the r7 promotions the
-    # only entries with zero driver evidence are r7's own late adds
-    # (if any); the stalest oracled tail entries are the r5-demoted
-    # singles below (last green r5).
-    # -- round-5 rotation: these four are r4-green with ≥3 rounds of
-    # -- driver history each; demoted one round so the never-checked
-    # -- r4 additions (doc_chunk_windows, url_canonical_dedup), the
-    # -- §2.10 north-star events_stream_dedup (last evidence r2), and
-    # -- the new wizard_chain_stages get driver-green rows
-    "simhash_pairs",  # banded self-join ⊂ minhash_lsh/hyperplane_lsh
-    "winnowing_fingerprints",  # map-only rolling scan ⊂ gopher_repetition
-    "lemma_term_counts",  # text map+agg ⊂ sentence_stats/bpe_token_stats
-    "doc_stats_quality",  # map-only text kernel ⊂ lang_id/gopher flags
-    # -- round-5 second wave: three more multiply-evidenced entries
-    # -- (4, 4 and 3 green rounds) demoted so the NEW span-dedup /
-    # -- rebuild / quality-representative operators earn driver rows
-    # -- in their first round instead of waiting in the tail
-    "ngram_jaccard_pairs",  # O(n²) precision oracle; minhash_lsh_pairs
-    # is the in-window scale path and dedup_canonical_corpus exercises
-    # the same shared-shingle machinery in-window
-    "knn_bruteforce",  # cosine kernel + partial top-k combiner ⊂
-    # knn_ivf_multiprobe (in-window)
-    "pii_redaction",  # map-only regex kernel ⊂ lang_id/sentence_stats/
-    # gopher_repetition_flags (all in-window)
-    "events_tumbling_streaming",  # 4 green rounds; identical oracle to
-    # events_tumbling_hourly, and the streaming source/sink/watermark
-    # machinery stays in-window via events_stream_dedup,
-    # events_stateful_running and the NEW events_stream_stream_join
-    "hash_embeddings",  # 3 green rounds; the hash-embedding kernel's
-    # full vector output is re-proven in-window by wizard_chain_stages
-    # (e0..e63 through the same wizard machinery); demoted for the NEW
-    # knn_int8_rerank
-    "contamination_ngram_overlap",  # 3 green rounds; the 4-gram
-    # decontam machinery runs inside corpus_prep_chain's in-window
-    # oracle; demoted for the NEW dsir_importance_select
-    "argmax_per_flag",  # 4 green rounds; the struct-max argmax is
-    # re-proven in-window by quality_representative_dedup; demoted
-    # for the NEW events_type_pivot
-    "order_window_enrich",  # 4 green rounds; rank windows in-window
-    # via pairwise_medoids, partition-window aggs via
-    # cluster_viz_summary; demoted for the NEW orders_upsert_merge
-    "sentence_stats",  # 4 green rounds; map+agg text kernel re-proven
-    # in-window by bpe_token_stats + lang_id; demoted for the NEW
-    # events_funnel_stages
-    # -- round-5 third wave: five 4-green-round entries demoted so the
-    # -- NEW LM-perplexity / decayed-value / affinity / MAD-outlier /
-    # -- phrase-search operators debut inside the checked window
-    "region_revenue",  # broadcast-dim join+agg ⊂ pricing_summary +
-    # salted_join_nation_customers + order_priority_semijoin
-    "price_quantiles",  # exact-percentile machinery re-proven
-    # in-window by the NEW event_outliers_mad (median + MAD fence)
-    "lang_id",  # map-only text kernel ⊂ bpe_token_stats +
-    # gopher_repetition_flags + the NEW bigram_lm_perplexity
-    "explode_paragraphs",  # posexplode order/position machinery
-    # re-proven in-window by the NEW phrase_match_docs (positional
-    # postings) + doc_chunk_windows
-    "top_terms_per_source",  # weighted top-k explode ⊂ ner_top_orgs
-    # + ctfidf_topics_per_lang (both in-window)
-    # -- round-5 fourth wave: four more multi-green entries demoted so
-    # -- the NEW WAU / retention / vocab-overlap / pagerank operators
-    # -- debut inside the checked window
-    "order_priority_semijoin",  # LeftSemi pinned by test_plans.py;
-    # semi/anti machinery in-window via corpus_prep_chain decontam
-    "nation_set_ops",  # union/intersect/except ⊂ etl_clean_articles
-    # S7 union-dedup + part_affinity_topk's unionAll symmetrize
-    "exact_dedup",  # md5-groupBy dedup kernel ⊂ url_canonical_dedup
-    # + stratified_sample_docs (both in-window)
-    "medoid_summaries",  # distinct→stub-infer→join ⊂
-    # sentiment_distinct_join; medoid machinery in-window via
-    # pairwise_medoids + cluster_viz_summary
-    # -- round-5 fifth wave: three more multi-green demotions so the
-    # -- NEW validation / incremental-merge / transition operators
-    # -- debut inside the checked window
-    "minhash_lsh_pairs",  # banded LSH self-join ⊂
-    # hyperplane_lsh_pairs (in-window, same banding machinery)
-    "neardup_components",  # min-label CC ⊂ dedup_canonical_corpus
-    # (in-window: star CC + canonical emission over the same graph)
-    "bpe_token_stats",  # map+agg text kernel ⊂ gopher_repetition_flags
-    # + bigram_lm_perplexity (both in-window)
-    "stratified_sample_docs",  # 3 green rounds; keyed-md5 rate/bucket
-    # kernel ⊂ dsir_importance_select's md5 bucketing (in-window);
-    # demoted for the NEW events_asof_cogroup (§2.11 cogroup surface)
-    # -- round-5 sixth wave: two more demotions for the gap-fill and
-    # -- decile-histogram debuts
-    "sentiment_distinct_join",  # 3 green rounds; the distinct→stub-
-    # infer→join chain runs in-window inside wizard_chain_stages
-    # (find_sentiment stage, same machinery)
-    "gopher_repetition_flags",  # 3 green rounds; sorted-scan /
-    # quality-flag kernels ⊂ duplicate_span_flags +
-    # bigram_lm_perplexity (both in-window)
-    # -- round-5 seventh wave: two more demotions for the embedding
-    # -- dim-stats and unpivot debuts
-    "events_session_windows",  # 4 green rounds; user-sequence
-    # machinery in-window via events_funnel_stages +
-    # event_transition_matrix; the F.session_window op itself is
-    # exercised by tests/test_streaming.py's streaming session harness
-    "sequence_packing",  # 3 green rounds; token-budget machinery ⊂
-    # doc_chunk_windows, rank-window strata ⊂ pairwise_medoids
-    # (both in-window)
-    # -- round-5 eighth wave: two more demotions for the CUSUM and
-    # -- Welch t-test debuts
-    "etl_clean_articles",  # 4 green rounds; the ENTIRE cleaning
-    # chain executes in-window as wizard_chain_stages' first stage
-    # (same q_etl_clean_articles call, oracle-checked)
-    "pricing_summary",  # 4 green rounds; grouped exact-decimal agg
-    # machinery ⊂ order_rollup_revenue + incremental_revenue_merge
-    # (both in-window, same orders/lineitem decimal sums)
-    # -- round-5 ninth wave: one demotion for the dual-engine SQL
-    # -- interface debut
-    "events_asof_last_click",  # 3 green rounds; its EXACT oracle
-    # string runs in-window via events_asof_cogroup (same query,
-    # other physical strategy); the relational compile's plan shape
-    # stays pinned by tests/test_plans.py
-    # -- round-5 tenth wave: one demotion for the TPC-H Q3 debut
-    "order_rollup_revenue",  # 4 green rounds; the Expand machinery
-    # rollup compiles to is in-window via lineitem_unpivot_stats
-    # (same Expand + partial-agg shape), decimal agg ⊂
-    # incremental_revenue_merge
-    # -- round-5 eleventh wave: one demotion for the BPE merge-
-    # -- learning debut
-    "salted_join_nation_customers",  # 4 green rounds; broadcast-dim
-    # join+agg machinery in-window via shipping_priority_q3 +
-    # incremental_revenue_merge + orders_upsert_merge; the salting
-    # result-invariance itself is pinned by tests/test_skew.py's
-    # adversarial-skew equality checks
-    # -- round-5 twelfth wave: one demotion for the BPE encode debut
-    "bm25_topk",  # 3 green rounds; inverted-index posting machinery
-    # in-window via phrase_match_docs (positional postings, same
-    # term-filter-before-exchange shape); integer-exact BM25 scoring
-    # stays pinned by the local parity suite
-    # -- round-5 thirteenth wave: one demotion for the incremental
-    # -- (cross-corpus) MinHash dedup debut
-    "events_range_click_counts",  # 3 green rounds; the bucketed
-    # range-join compile stays pinned by tests/test_plans.py (no
-    # BNLJ), and interval/as-of machinery is in-window via
-    # events_asof_cogroup
-    # -- round-5 fourteenth wave: one demotion for the fuzzy-match
-    # -- (q-gram + levenshtein) debut
-    "knn_ivf_multiprobe",  # 3 green rounds; multi-probe banding
-    # machinery in-window via hyperplane_lsh_pairs (margin-directed
-    # probes), candidate-gen + exact re-rank in-window via
-    # knn_int8_rerank
-    # -- round-5 fifteenth wave: two demotions for the grouped-OLS
-    # -- and distributed-skyline debuts
-    "corpus_prep_chain",  # 3 green rounds; its constituent stages
-    # run in-window as url_canonical_dedup, dedup_canonical_corpus
-    # and dsir_importance_select (each oracle-checked standalone)
-    "pairwise_medoids",  # 3 green rounds; medoid-family machinery
-    # in-window via cluster_viz_summary (W1 centroid medoids) and
-    # the exact-distance re-rank inside knn_int8_rerank; the W2
-    # min-avg-pairwise semantics stay pinned by local parity + the
-    # sf0.1 sweep
-    # -- round-5 sixteenth wave: one demotion for the prefix-filtered
-    # -- set-similarity join debut
-    "ner_top_orgs",  # 4 green rounds (most-evidenced remaining
-    # entry); weighted top-k explode + broadcast term machinery
-    # in-window via phrase_match_docs and ctfidf_topics_per_lang;
-    # the gazetteer NER kernel stays pinned by tests + local parity
-    # -- round-5 seventeenth wave: one demotion for the TPC-H Q10
-    # -- debut
-    "media_features",  # 4 green rounds; the Arrow mapInPandas
-    # surface stays in-window via incremental_minhash_dedup's
-    # signature builder and part_price_skyline's local prune; the
-    # binary decode-stub semantics stay pinned by
-    # tests/test_multimodal.py and local parity
-    # == round-6 rotation (VERDICT r5 next-round #1): 14 slots freed
-    # == so the 12-entry r1/r2-evidence tail re-enters the checked
-    # == window alongside the 2 NEW entries (orders_merge_bucketed,
-    # == knn_ivf_pruned).
-    # -- clause (a) demotions: multi-round hash-green
-    "ctfidf_topics_per_lang",  # 4 green rounds; A3 group-concat
-    # machinery back in-window via the promoted group_concat_docs,
-    # topic join ⊂ ner/top-terms family pinned by local parity
-    "dedup_canonical_corpus",  # 4 green rounds; star-CC machinery
-    # in-window via quality_representative_dedup (components → argmax)
-    # and line_dedup_rebuild's anti-join rebuild
-    "events_stateful_running",  # 5 green rounds; streaming
-    # source/sink/watermark machinery stays in-window via
-    # events_stream_stream_join
-    "events_stream_dedup",  # 3 green rounds; watermarked-dedup twin
-    # of the in-window stream-stream join's state machinery
-    "hyperplane_lsh_pairs",  # 5 green rounds; banded candidate-gen +
-    # exact re-rank in-window via knn_int8_rerank, O(n²) cosine
-    # baseline back in-window via the promoted embedding_neardup_pairs
-    # -- clause (b) demotions: green in round 5 (the freshest
-    # -- evidence), each with a named in-window sibling
-    "wizard_full_chain",  # rows-only by design (crosses MLlib
-    # KMeans); its 7 stages are oracle-checked in-window by
-    # wizard_chain_stages every round
-    "kmeans_clusters",  # rows-only by design; consumed in-window by
-    # the flagship cluster_viz_summary each round
-    "pca_coords",  # rows-only by design; moment-pass plan pinned by
-    # tests/test_plans.py, medoid consumers in-window via flagship
-    "bpe_merge_learn",  # green r5; bpe_encode_stats runs the ENTIRE
-    # learn loop in-window (encode collects _bpe_learn's output)
-    "shipping_priority_q3",  # green r5; pushdown + broadcast-dim +
-    # heap-top-k shape in-window via returned_items_q10
-    "event_transition_matrix",  # green r5; per-user lag/sequence
-    # machinery in-window via events_funnel_stages
-    "events_value_ttest",  # green r5; the one-moment-pass recipe
-    # in-window via brand_price_regression
-    "events_cusum_changepoint",  # green r5; ordered per-user running
-    # scan ⊂ user_decayed_value, struct-argmax ⊂
-    # quality_representative_dedup (both in-window)
-    "data_quality_report",  # green r5; scalar metric pass ⊂
-    # lineitem_unpivot_stats, FK/predicate joins ⊂
-    # incremental_revenue_merge (both in-window)
-    "weekly_active_users",  # green r5; distinct-user counting ⊂
-    # retention_cohorts (in-window, same distinct machinery plus
-    # cohort windows); demoted for the NEW events_streaming_upsert
+    "approx_distinct_parts",  # rows-only HLL++ estimate, tail by design
+    # ================= ROUND-8 ROTATION (VERDICT r7 next-round #1/#2)
+    # The r7 window went 50/50 green, so EVERY r7-green entry except
+    # the flagship rotates out — clause (a) for the 39 with ≥2 green
+    # rounds, clause (b) (demoted_in=8, green r7) for the 10 one-green
+    # r7 debuts — freeing 49 slots: the ENTIRE 42-entry r4-stale
+    # cohort plus the five oldest one-green r5 singles re-enter the
+    # checked window, together with the two NEW Q21/Q2 debuts. After
+    # this round no oracled entry's last green predates round 5.
+    #
+    # R9 ROTATION SLATE (plan, per the standing policy): demote the
+    # r8 window's twice-green entries and promote (1) the 13
+    # r6-green entries below, (2) the 7 remaining r5-green entries
+    # (ctfidf_topics_per_lang, dedup_canonical_corpus,
+    # events_stateful_running, events_stream_dedup,
+    # hyperplane_lsh_pairs, data_quality_report,
+    # weekly_active_users), and (3) the three rows-only wizard/ML
+    # entries for fresh rows-only passes; backfill remaining slots
+    # with the oldest r7-green demotions (window order below).
+    #
+    # -- clause (a): ≥2 hash-green rounds, all freshly green in r7 --
+    "bigram_lm_perplexity",  # single-matrix scan ⊂ in-window bpe/text kernels
+    "bigram_topk",  # posting-list top-k ⊂ bm25_topk (in-window)
+    "bpe_encode_stats",  # encode runs _bpe_learn in-window via bpe_merge_learn
+    "brand_price_regression",  # one-moment-pass ⊂ events_value_ttest (in-window)
+    "doc_chunk_windows",  # overlapping windows ⊂ sequence_packing (in-window)
+    "dsir_importance_select",  # md5 bucketing ⊂ stratified_sample_docs (in-window)
+    "duplicate_span_flags",  # sorted-scan spans ⊂ winnowing/gopher (in-window)
+    "embedding_dim_stats",  # vector stats ⊂ hash_embeddings + knn_bruteforce
+    "event_outliers_mad",  # median/MAD fences ⊂ price_quantiles (in-window)
+    "events_asof_cogroup",  # same oracle in-window via events_asof_last_click
+    "events_funnel_stages",  # per-user sequences ⊂ event_transition_matrix
+    "events_hourly_gapfill",  # bucket aggs ⊂ events_tumbling_streaming
+    "events_stream_stream_join",  # streaming state ⊂ events_tumbling_streaming
+    "events_streaming_upsert",  # foreachBatch merge ⊂ orders-merge family tests
+    "fuzzy_name_matches",  # q-gram count filter ⊂ ngram_jaccard_pairs
+    "group_concat_docs",  # A3 concat runs in-window via ctfidf machinery twin
+    "incremental_minhash_dedup",  # banding ⊂ minhash_lsh_pairs (in-window)
+    "knn_int8_rerank",  # exact re-rank ⊂ knn_bruteforce + pairwise_medoids
+    "knn_ivf_pruned",  # cell-rank kernel ⊂ knn_ivf_multiprobe (in-window)
+    "line_dedup_rebuild",  # anti-join rebuild ⊂ exact_dedup + neardup_components
+    "lineitem_unpivot_stats",  # Expand machinery ⊂ order_rollup_revenue
+    "orders_merge_bucketed",  # bucketed SMJ pinned by test_plans + steady twin
+    "orders_upsert_merge",  # partial-state merge ⊂ salted_join family
+    "part_affinity_topk",  # basket self-join guard pinned by test_guards_r7
+    "part_pagerank",  # checkpointed rounds pinned by tests/test_graph
+    "part_price_skyline",  # local-prune mapInPandas ⊂ media_features surface
+    "phrase_match_docs",  # positional postings ⊂ explode_paragraphs + bm25
+    "prefix_jaccard_pairs",  # prefix filter ⊂ ngram_jaccard_pairs oracle
+    "price_decile_histogram",  # width-bucket histogram ⊂ price_quantiles
+    "quality_representative_dedup",  # struct-max ⊂ argmax_per_flag (in-window)
+    "retention_cohorts",  # cohort windows ⊂ order_window_enrich (in-window)
+    "returned_items_q10",  # heap top-k ⊂ order_window_enrich + q3 shape
+    "sql_interface_segment_revenue",  # dual-engine SQL ⊂ region_revenue twin
+    "temperature_resample",  # keyed-md5 rates ⊂ stratified_sample_docs
+    "hash_split_profile",  # md5 split ⊂ stratified_sample_docs (in-window)
+    "url_canonical_dedup",  # canonicalize+dedup ⊂ exact_dedup (in-window)
+    "user_decayed_value",  # running scans ⊂ events_cusum_changepoint
+    "video_frame_sample",  # sample-before-decode ⊂ media_features (in-window)
+    "wizard_chain_stages",  # its stages ⊂ etl_clean_articles +
+    # sentiment_distinct_join + hash_embeddings + medoid_summaries (all
+    # in-window this round)
+    # -- clause (b): one green round — the round immediately before
+    # -- this demotion (r7, recorded in ROTATED_OUT_FRESH) --
+    "local_supplier_volume_q5",  # Q5 star shape ⊂ region_revenue (in-window)
+    "promo_revenue_q14",  # conditional agg ⊂ pricing_summary (in-window)
+    "disjunctive_revenue_q19",  # OR-of-ANDs factoring pinned by test_plans
+    "part_triangle_counts",  # wedge orientation pinned by test_graph + guard
+    "events_json_roundtrip",  # schema-on-read ⊂ events_json_value_counts twin
+    "hybrid_rrf_search",  # RRF fuse ⊂ bm25_topk + knn_bruteforce (in-window)
+    "orders_merge_steady",  # steady-state merge; layout reuse pinned by
+    # test_guards_r7 + test_plans (bucketed twin demoted clause (a))
+    "volume_shipping_q7",  # pair-dim broadcast ⊂ region_revenue + invariance
+    "small_qty_revenue_q17",  # decorrelated avg ⊂ NEW min_cost_supplier_q2
+    "events_csv_roundtrip",  # explicit-schema text read ⊂ json roundtrip twin
+    # ================= older cohorts still demoted =================
+    # -- r6-green (2-3 greens each; r9 slate) --
+    "customers_without_orders",
+    "top_orders_per_customer",
+    "order_cube_revenue",
+    "customer_order_frames",
+    "salted_agg_priority_revenue",
+    "events_tumbling_hourly",
+    "events_sliding_hourly",
+    "events_json_value_counts",
+    "knn_ivf_cells",
+    "embedding_neardup_pairs",
+    "source_vocab_overlap",
+    "events_type_pivot",
+    "incremental_revenue_merge",
+    # -- r5-green multi-round (r9 slate) --
+    "ctfidf_topics_per_lang",
+    "dedup_canonical_corpus",
+    "events_stateful_running",
+    "events_stream_dedup",
+    "hyperplane_lsh_pairs",
+    # -- r5 clause-(b) singles not promoted this round (r9 slate) --
+    "data_quality_report",
+    "weekly_active_users",
+    # -- rows-only by design (fresh rows-only passes queued for r9) --
+    "wizard_full_chain",
+    "kmeans_clusters",
+    "pca_coords",
 )
 
 # Entries promoted to the registry head (after the flagship): these
 # must land inside the driver's 50-row checked window regardless of
-# module registration order.
+# module registration order. Round 8: the flagship + the two NEW
+# TPC-H decorrelation debuts (VERDICT r7 #5) + the ENTIRE r4-stale
+# cohort (42 entries, VERDICT r7 #1) + the five oldest one-green r5
+# singles = exactly the 50-slot window.
 _PRIORITIZED = (
     "cluster_viz_summary",  # flagship: entry() runs this
-    # -- round-7 promotions (VERDICT r6 next-round #1): the six
-    # -- never-driver-checked r6 debuts...
-    "local_supplier_volume_q5",
-    "promo_revenue_q14",
-    "disjunctive_revenue_q19",
-    "part_triangle_counts",
-    "events_json_roundtrip",
-    "hybrid_rrf_search",
-    # -- ...plus the three entries whose last green predates round 3
-    "video_frame_sample",
-    "temperature_resample",
-    "hash_split_profile",
-    # -- round-7 NEW operators: steady-state bucketed MERGE (VERDICT
-    # -- r6 next-round #4) + the Q7/Q17 TPC-H battery extensions —
-    # -- all debut inside the window, not the tail
-    "orders_merge_steady",
-    "volume_shipping_q7",
-    "small_qty_revenue_q17",
-    "events_csv_roundtrip",
-    # -- round-6 promotions holding their slot (1 green each so far)
-    "group_concat_docs",
-    "bigram_topk",
-    "orders_merge_bucketed",
-    "knn_ivf_pruned",
-    "events_streaming_upsert",
+    # -- round-8 NEW operators: semi/anti-join and scalar-min
+    # -- decorrelation (TPC-H Q21/Q2 shapes) — debut inside the window
+    "waiting_suppliers_q21",
+    "min_cost_supplier_q2",
+    # -- the r4-stale cohort (last hash-green row: round 4) --
+    "pricing_summary",
+    "region_revenue",
+    "order_priority_semijoin",
+    "nation_set_ops",
+    "order_window_enrich",
+    "argmax_per_flag",
+    "order_rollup_revenue",
+    "salted_join_nation_customers",
+    "price_quantiles",
+    "etl_clean_articles",
+    "explode_paragraphs",
+    "ner_top_orgs",
+    "media_features",
+    "events_session_windows",
+    "events_tumbling_streaming",
+    "events_asof_last_click",
+    "events_range_click_counts",
+    "doc_stats_quality",
+    "lang_id",
+    "top_terms_per_source",
+    "sentence_stats",
+    "lemma_term_counts",
+    "bpe_token_stats",
+    "bm25_topk",
+    "stratified_sample_docs",
+    "winnowing_fingerprints",
+    "gopher_repetition_flags",
+    "pii_redaction",
+    "contamination_ngram_overlap",
+    "corpus_prep_chain",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "neardup_components",
+    "knn_bruteforce",
+    "knn_ivf_multiprobe",
+    "hash_embeddings",
+    "sentiment_distinct_join",
+    "medoid_summaries",
+    "pairwise_medoids",
+    "sequence_packing",
+    # -- the five oldest one-green r5 singles (last green: round 5) --
+    "bpe_merge_learn",
+    "shipping_priority_q3",
+    "event_transition_matrix",
+    "events_value_ttest",
+    "events_cusum_changepoint",
 )
 
 _MODULES = (

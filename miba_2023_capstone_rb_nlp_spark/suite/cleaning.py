@@ -162,9 +162,14 @@ def _fabricate(spark: SparkSession, sf_dir: str):
 #
 # Keyed by SESSION IDENTITY (the object, compared with `is` — not
 # applicationId, which spark.newSession() siblings share despite
-# having separate temp catalogs/confs), and bounded FIFO so dead
-# sessions' analyzed plans can't accumulate in a long-lived process.
-_CLEAN_PLAN_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+# having separate temp catalogs/confs) PLUS the documents-table
+# source fingerprint (ADVICE r7 #1): the analyzed plan freezes the
+# resolved file listing, so regenerating sf_dir mid-session must
+# miss the memo and re-resolve instead of reading stale/missing
+# files. Bounded FIFO so dead sessions' plans can't accumulate.
+_CLEAN_PLAN_MEMO: dict[
+    tuple[int, str, str], tuple[SparkSession, DataFrame]
+] = {}
 _CLEAN_PLAN_MEMO_MAX = 8
 
 
@@ -180,7 +185,11 @@ def q_etl_clean_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded rows). The cleaning chain itself stays one narrow
     single-evaluation projection (operators/cleaning.py).
     """
-    key = (id(spark), sf_dir)
+    key = (
+        id(spark),
+        sf_dir,
+        catalog.source_fingerprint(sf_dir, "documents"),
+    )
     hit = _CLEAN_PLAN_MEMO.get(key)
     if hit is None or hit[0] is not spark:  # id() reuse after GC
         links, content = _fabricate(spark, sf_dir)

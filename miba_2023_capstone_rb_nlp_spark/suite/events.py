@@ -944,8 +944,6 @@ def q_events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the data at 100 TB, the classic silent 2× read. At
     scale CSV is the upstream reality (exports, legacy feeds); the
     engine's job is to cross it once and land columnar."""
-    import os
-
     from miba_2023_capstone_rb_nlp_spark.catalog import sf_name, warehouse_dir
 
     ev = catalog.table(spark, sf_dir, "events").select(

@@ -732,7 +732,14 @@ FROM ranked WHERE rk <= 3
 _AFFINITY_MAX_BASKET = 1_000
 
 
-_BASKET_GUARD_MEMO: dict[tuple[str, int], int | None] = {}
+# Keyed by (source fingerprint, cap, caller, basket columns): the
+# caller + column tuple is the DERIVATION token (ADVICE r7 #3) — a
+# future caller building a differently-shaped basket over the same
+# sf_dir must re-measure, not inherit another derivation's cached
+# max. FIFO-bounded so a long-lived process sweeping many corpora
+# can't grow the memo without bound.
+_BASKET_GUARD_MEMO: dict[tuple[str, int, str, tuple[str, ...]], int | None] = {}
+_BASKET_GUARD_MEMO_MAX = 64
 
 
 def guard_max_basket(
@@ -756,7 +763,12 @@ def guard_max_basket(
     if sf_dir is not None:
         from miba_2023_capstone_rb_nlp_spark import catalog as cat
 
-        key = (cat.source_fingerprint(sf_dir, "lineitem"), cap)
+        key = (
+            cat.source_fingerprint(sf_dir, "lineitem"),
+            cap,
+            caller,
+            tuple(sorted(basket.columns)),
+        )
     if key is not None and key in _BASKET_GUARD_MEMO:
         top = _BASKET_GUARD_MEMO[key]
     else:
@@ -764,6 +776,8 @@ def guard_max_basket(
             F.max("count").alias("mx")
         ).collect()[0]["mx"]
         if key is not None:
+            while len(_BASKET_GUARD_MEMO) >= _BASKET_GUARD_MEMO_MAX:
+                _BASKET_GUARD_MEMO.pop(next(iter(_BASKET_GUARD_MEMO)))
             _BASKET_GUARD_MEMO[key] = top
     if top is not None and top > cap:
         raise ValueError(
@@ -1745,3 +1759,187 @@ def q_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").cast("double") / F.lit(7.0) * 100.0, 0
         ).alias("_t")
     ).select((F.col("_t") / 100.0).alias("avg_yearly"))
+
+
+# --- TPC-H Q21: suppliers who kept orders waiting --------------------
+# The exists / not-exists anti-join classic. The synthetic lineitem
+# has no commit/receipt dates (TESTDATA.md), so "late" is adapted to
+# l_shipdate > o_orderdate + 70 days; the decorrelation shape under
+# test — two correlated subqueries over the same derived table,
+# rewritten to per-order supplier counts — is unchanged. The oracle
+# keeps the LITERAL correlated EXISTS / NOT EXISTS formulation, so
+# the driver proves the rewrite equivalent, not just self-consistent.
+_Q21_LATE_DAYS = 70
+_Q21_NATIONS = ("NATION_3", "NATION_8")
+_Q21_ORACLE = f"""
+WITH l1 AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1 a
+JOIN supplier s ON s.s_suppkey = a.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('{_Q21_NATIONS[0]}', '{_Q21_NATIONS[1]}')
+  AND a.l_shipdate > a.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM l1 b
+    WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM l1 c
+    WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey <> a.l_suppkey
+      AND c.l_shipdate > c.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY)
+GROUP BY s.s_name
+"""
+
+
+@register("waiting_suppliers_q21", oracle=_Q21_ORACLE)
+def q_waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the ONLY late supplier on a
+    finished multi-supplier order, decorrelated.
+
+    Plan: both correlated subqueries collapse into ONE per-order
+    profile computed from the same l1 the outer query scans —
+    `exists(other supplier)` ⟺ n_supp > 1 and `not exists(other LATE
+    supplier)` ⟺ n_late_supp = 1 (the probe row is itself late, so
+    the single late supplier must be its own). The profile is a
+    two-level aggregate — (orderkey, suppkey) then (orderkey) — and
+    because l1 leaves the lineitem⋈orders join hash-partitioned by
+    orderkey, BOTH aggregate levels and the profile⋈probe join reuse
+    that partitioning: the whole decorrelation costs zero exchanges
+    beyond the initial fact join. A per-row subquery (the literal
+    oracle formulation) would rescan lineitem once per probe row; at
+    100 TB the rewrite is the difference between one shuffle and a
+    quadratic re-read. Supplier and its 2-row nation slice broadcast.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l1 = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+        ).cast("int"),
+    )
+    # per-(order, supplier) lateness, then per-order counts — both
+    # satisfied by the orderkey partitioning l1 already carries
+    per_supp = l1.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+    )
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*_Q21_NATIONS)
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    waiting = (
+        l1.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --- TPC-H Q2: minimum-cost supplier ---------------------------------
+# The correlated scalar-min classic. The synthetic schema has no
+# partsupp table (TESTDATA.md), so supply cost is derived from
+# lineitem — min(l_extendedprice) per (part, supplier) — which keeps
+# the shape under test: a correlated `= (SELECT min(...))` scalar
+# subquery per probe row, decorrelated into one per-part aggregate
+# joined back on (partkey, cost). min over doubles is exact and
+# order-independent, so the float equality cannot flip across
+# engines. The oracle keeps the LITERAL correlated formulation.
+_Q2_REGION = "EUROPE"
+_Q2_ORACLE = f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+),
+eligible AS (
+  SELECT c.l_partkey, c.supplycost, s.s_name, s.s_acctbal, n.n_name
+  FROM cost c
+  JOIN supplier s ON s.s_suppkey = c.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{_Q2_REGION}'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+       e.supplycost
+FROM eligible e
+JOIN part p ON p.p_partkey = e.l_partkey
+WHERE p.p_size <= 10 AND p.p_type = 'ECONOMY'
+  AND e.supplycost = (SELECT min(e2.supplycost) FROM eligible e2
+                      WHERE e2.l_partkey = e.l_partkey)
+"""
+
+
+@register("min_cost_supplier_q2", oracle=_Q2_ORACLE)
+def q_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: the region's cheapest supplier(s) per qualifying
+    part, decorrelated.
+
+    Plan: the correlated `= (SELECT min(supplycost) ...)` becomes ONE
+    per-part min over the SAME eligible table, broadcast back onto it
+    as an equi-join on (partkey, cost). The part filter (size/type)
+    broadcasts into the cost aggregation's INPUT — the oracle
+    computes cost over all parts, but the per-part min among eligible
+    suppliers is identical after the equi-join, so the pushdown is
+    visible only as plan shape. lineitem shuffles once, keyed
+    (l_partkey, l_suppkey), with map-side partial min; everything
+    after operates on |qualifying parts × region suppliers| rows —
+    broadcast-sized at any scale factor. Supplier/nation/region dims
+    broadcast; no per-row subquery anywhere."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_brand")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q2_REGION
+    )
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    cost = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supplycost"))
+    )
+    elig = cost.join(
+        F.broadcast(eur), cost["l_suppkey"] == eur["s_suppkey"]
+    )
+    minc = elig.groupBy("l_partkey").agg(
+        F.min("supplycost").alias("min_cost")
+    ).withColumnRenamed("l_partkey", "m_partkey")
+    return (
+        elig.join(
+            F.broadcast(minc),
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "supplycost",
+        )
+    )

@@ -85,12 +85,23 @@ def test_basket_guard_memoized_no_second_scan(spark):
     guard_max_basket(basket, "memo-test", sf_dir=SF)
     fp = catalog.source_fingerprint(SF, "lineitem")
     assert any(k[0] == fp for k in _BASKET_GUARD_MEMO)
-    # poisoned frame: evaluating it fails (divide triggers ANSI error
-    # via raise_error), so a pass proves no job was launched
+    # poisoned frame: the GROUPING KEY itself is the raise_error
+    # expression (ADVICE r7 #4 — a poison in a non-grouping column
+    # could be pruned by Catalyst, making the test vacuous), with the
+    # same column set as the first call so the derivation-token memo
+    # key matches. A pass proves no job ran over it.
     poisoned = spark.range(1).select(
-        F.lit(1).alias("l_orderkey"),
-        F.raise_error(F.lit("guard re-scanned")).alias("count"),
+        F.raise_error(F.lit("guard re-scanned")).cast("bigint").alias(
+            "l_orderkey"
+        ),
+        F.col("id").alias("l_partkey"),
     )
+    # liveness control: the poison DOES fire when evaluated, so the
+    # memo assertion below cannot pass by accident
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="guard re-scanned"):
+        poisoned.groupBy("l_orderkey").count().collect()
     guard_max_basket(poisoned, "memo-test", sf_dir=SF)  # must not raise
 
 

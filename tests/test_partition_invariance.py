@@ -25,6 +25,13 @@ ENTRIES = [
     "volume_shipping_q7",        # pair-dim broadcast star (r7)
     "small_qty_revenue_q17",     # decorrelated threshold join (r7)
     "orders_merge_steady",       # exchange-free bucketed merge (r7)
+    # r8 (VERDICT r7 what's-wrong #1): the LOCAL KMeans branch is
+    # active at this sf (embeddings ≪ LOCAL_FIT_MAX_ROWS) — the fit
+    # sample is now canonically sorted before the capped collect, so
+    # the labels must be identical under any physical partitioning
+    "kmeans_clusters",           # driver-side seeded Lloyd's fit
+    "waiting_suppliers_q21",     # decorrelated exists/not-exists (r8)
+    "min_cost_supplier_q2",      # decorrelated scalar-min join (r8)
 ]
 
 

@@ -807,3 +807,41 @@ def test_q17_decorrelated_threshold_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "partial_" in plan  # map-side combined per-part aggregate
+
+
+def test_q21_decorrelated_no_per_row_subquery(spark):
+    """Q21: the exists/not-exists pair decorrelates to per-order
+    supplier counts over ONE derived l1 — no cartesian/nested-loop
+    anywhere, the o_orderstatus filter reaches the orders scan, and
+    both aggregate levels are map-side partial. (At sf0.001 AQE
+    broadcasts the tiny fact join; at scale the SMJ's orderkey
+    partitioning feeds both aggregate levels exchange-free.)"""
+    df = SUITE["waiting_suppliers_q21"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]  # AQE echoes both
+    assert "EqualTo(o_orderstatus,F)" in final
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_max" in final and "partial_count" in final
+    assert final.count("SortMergeJoin") <= 1
+
+
+def test_q2_decorrelated_scalar_min_broadcasts(spark):
+    """Q2: the correlated scalar-min subquery decorrelates to one
+    per-part min broadcast back as an equi-join; the part size/type
+    filters reach the part scan and bound the cost aggregate's input
+    via a broadcast join BEFORE the only fact exchange."""
+    df = SUITE["min_cost_supplier_q2"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]  # AQE echoes both
+    assert "EqualTo(p_type,ECONOMY)" in final
+    assert "LessThanOrEqual(p_size,10)" in final
+    assert "partial_min" in final
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # two logical hash exchanges — the (part, supplier) cost agg and
+    # the broadcast-sized per-part min — never a fact self-join; the
+    # shared cost subtree is echoed TEXTUALLY under both its
+    # consumers in the plan string, so the string count bound is 3
+    assert final.count("Exchange hashpartitioning") <= 3
+    assert final.count("SortMergeJoin") == 0

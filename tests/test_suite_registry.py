@@ -50,6 +50,8 @@ EXPECTED = {
     "disjunctive_revenue_q19",
     "volume_shipping_q7",
     "small_qty_revenue_q17",
+    "waiting_suppliers_q21",
+    "min_cost_supplier_q2",
     "part_affinity_topk",
     "part_pagerank",
     "part_triangle_counts",
@@ -178,101 +180,53 @@ def test_priority_ordering():
 # CORRECTNESS_r*.json rounds may rotate out.
 DRIVER_WINDOW = 50
 ROTATED_OUT = {
-    "simhash_pairs",
-    "winnowing_fingerprints",
-    "lemma_term_counts",
-    "doc_stats_quality",
-    # second wave: demoted for the round-5 span-dedup additions
-    "ngram_jaccard_pairs",
-    "knn_bruteforce",
-    "pii_redaction",
-    # third wave: demoted for the round-5 stream-stream join (its
-    # oracle is events_tumbling_hourly's; streaming machinery stays
-    # in-window via the other three streaming entries)
-    "events_tumbling_streaming",
-    # fourth wave: demoted for knn_int8_rerank; the hash-embedding
-    # vectors are re-proven in-window by wizard_chain_stages
-    "hash_embeddings",
-    # fifth wave: demoted for dsir_importance_select; the decontam
-    # machinery runs inside corpus_prep_chain's in-window oracle
-    "contamination_ngram_overlap",
-    # sixth wave: demoted for events_type_pivot / orders_upsert_merge;
-    # struct-max argmax re-proven by quality_representative_dedup,
-    # windows by pairwise_medoids + cluster_viz_summary
-    "argmax_per_flag",
-    "order_window_enrich",
-    # seventh wave: demoted for events_funnel_stages; text map+agg
-    # kernel re-proven in-window by bpe_token_stats + lang_id
-    "sentence_stats",
-    # eighth wave: demoted for the round-5 LM-perplexity / decayed-
-    # value / affinity / MAD-outlier / phrase-search debuts; each
-    # kernel named an in-window sibling in _DEPRIORITIZED
-    "region_revenue",
-    "price_quantiles",
-    "lang_id",
-    "explode_paragraphs",
-    "top_terms_per_source",
-    # ninth wave: demoted for the WAU / retention / vocab-overlap /
-    # pagerank debuts (siblings named in _DEPRIORITIZED)
-    "order_priority_semijoin",
-    "nation_set_ops",
-    "exact_dedup",
-    "medoid_summaries",
-    # tenth wave: demoted for the validation / incremental-merge /
-    # transition-matrix debuts (siblings named in _DEPRIORITIZED)
-    "minhash_lsh_pairs",
-    "neardup_components",
-    "bpe_token_stats",
-    # eleventh wave: demoted for the cogroup as-of debut
-    "stratified_sample_docs",
-    # twelfth wave: demoted for the gap-fill / decile debuts
-    "sentiment_distinct_join",
-    "gopher_repetition_flags",
-    # thirteenth wave: demoted for the dim-stats / unpivot debuts
-    "events_session_windows",
-    "sequence_packing",
-    # fourteenth wave: demoted for the CUSUM / t-test debuts
-    "etl_clean_articles",
-    "pricing_summary",
-    # fifteenth wave: demoted for the SQL-interface debut (identical
-    # oracle stays in-window via events_asof_cogroup)
-    "events_asof_last_click",
-    # sixteenth wave: demoted for the TPC-H Q3 debut
-    "order_rollup_revenue",
-    # seventeenth wave: demoted for the BPE merge-learning debut
-    # (join machinery in-window via shipping_priority_q3 /
-    # incremental_revenue_merge; salting invariance in test_skew.py)
-    "salted_join_nation_customers",
-    # eighteenth wave: demoted for the BPE encode debut (posting
-    # machinery in-window via phrase_match_docs)
-    "bm25_topk",
-    # nineteenth wave: demoted for the incremental MinHash dedup
-    # debut (range-join compile pinned by test_plans; as-of machinery
-    # in-window via events_asof_cogroup)
-    "events_range_click_counts",
-    # twentieth wave: demoted for the fuzzy-match debut (multi-probe
-    # banding in-window via hyperplane_lsh_pairs + knn_int8_rerank)
-    "knn_ivf_multiprobe",
-    # twenty-first wave: demoted for the grouped-OLS and skyline
-    # debuts (prep-chain constituents and medoid machinery in-window
-    # as documented in _DEPRIORITIZED)
-    "corpus_prep_chain",
-    "pairwise_medoids",
-    # twenty-second wave: demoted for the prefix-filter join debut
-    "ner_top_orgs",
-    # twenty-third wave: demoted for the TPC-H Q10 debut
-    "media_features",
-    # round-6 clause-(a) demotions (≥2 hash-green rounds) freeing
-    # slots for the stale-tail re-promotions (VERDICT r5 #1)
-    "ctfidf_topics_per_lang",
-    "dedup_canonical_corpus",
-    "events_stateful_running",
-    "events_stream_dedup",
-    "hyperplane_lsh_pairs",
-    # round-7 clause-(a) demotions (each ≥2 hash-green rounds, all
-    # freshly green in r6) freeing the window for the nine-entry
-    # rotation queue + the NEW orders_merge_steady (VERDICT r6 #1/#4);
-    # machinery siblings named in _DEPRIORITIZED
+    # ============ round-8 state (VERDICT r7 next-round #1) ============
+    # The r7 window went 50/50, so every multi-green r7 entry rotated
+    # out under clause (a) to clear the ENTIRE r4-stale cohort back
+    # into the checked window; the sets below are the CURRENT
+    # demotions (history in git). Machinery siblings for each are
+    # named in suite/__init__.py's _DEPRIORITIZED comments.
+    # -- r7-green, ≥2 green rounds (demoted in r8) --
+    "bigram_lm_perplexity",
+    "bigram_topk",
+    "bpe_encode_stats",
+    "brand_price_regression",
+    "doc_chunk_windows",
+    "dsir_importance_select",
+    "duplicate_span_flags",
+    "embedding_dim_stats",
+    "event_outliers_mad",
+    "events_asof_cogroup",
+    "events_funnel_stages",
+    "events_hourly_gapfill",
+    "events_stream_stream_join",
+    "events_streaming_upsert",
+    "fuzzy_name_matches",
+    "group_concat_docs",
+    "incremental_minhash_dedup",
+    "knn_int8_rerank",
+    "knn_ivf_pruned",
+    "line_dedup_rebuild",
+    "lineitem_unpivot_stats",
+    "orders_merge_bucketed",
+    "orders_upsert_merge",
+    "part_affinity_topk",
+    "part_pagerank",
+    "part_price_skyline",
+    "phrase_match_docs",
+    "prefix_jaccard_pairs",
+    "price_decile_histogram",
+    "quality_representative_dedup",
+    "retention_cohorts",
+    "returned_items_q10",
+    "sql_interface_segment_revenue",
+    "temperature_resample",
+    "hash_split_profile",
+    "url_canonical_dedup",
+    "user_decayed_value",
+    "video_frame_sample",
+    "wizard_chain_stages",
+    # -- r6-green cohort (demoted in r7, queued for the r9 window) --
     "customers_without_orders",
     "top_orders_per_customer",
     "order_cube_revenue",
@@ -283,11 +237,15 @@ ROTATED_OUT = {
     "events_json_value_counts",
     "knn_ivf_cells",
     "embedding_neardup_pairs",
-    # round-7 second wave: three more twice-green demotions for the
-    # Q7/Q17 TPC-H and CSV-source debuts (siblings in _DEPRIORITIZED)
     "source_vocab_overlap",
     "events_type_pivot",
     "incremental_revenue_merge",
+    # -- r5-green multi-round cohort (demoted in r6, r9 slate) --
+    "ctfidf_topics_per_lang",
+    "dedup_canonical_corpus",
+    "events_stateful_running",
+    "events_stream_dedup",
+    "hyperplane_lsh_pairs",
 }
 
 # Round-6 policy amendment, clause (b): an entry may also rotate out
@@ -300,16 +258,24 @@ ROTATED_OUT = {
 # artifact. Rows-only entries (no oracle) satisfy it with a recorded
 # rows-only pass.
 ROTATED_OUT_FRESH = {
+    # demoted in r6, green r5 (rows-only entries: recorded pass)
     "wizard_full_chain": 6,
     "kmeans_clusters": 6,
     "pca_coords": 6,
-    "bpe_merge_learn": 6,
-    "shipping_priority_q3": 6,
-    "event_transition_matrix": 6,
-    "events_value_ttest": 6,
-    "events_cusum_changepoint": 6,
     "data_quality_report": 6,
     "weekly_active_users": 6,
+    # demoted in r8, green r7 (the one-green r7 debuts — clause (b)
+    # frees their slots for the r4-stale cohort; they re-enter ~r9)
+    "local_supplier_volume_q5": 8,
+    "promo_revenue_q14": 8,
+    "disjunctive_revenue_q19": 8,
+    "part_triangle_counts": 8,
+    "events_json_roundtrip": 8,
+    "hybrid_rrf_search": 8,
+    "orders_merge_steady": 8,
+    "volume_shipping_q7": 8,
+    "small_qty_revenue_q17": 8,
+    "events_csv_roundtrip": 8,
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -381,49 +347,30 @@ def test_core_entries_inside_driver_window():
     # (VERDICT r6 #4), the round-6 promotions still earning their
     # second green, and the round-5 debuts that still hold their slot
     promoted = {
-        # round-7 queue: never driver-checked r6 debuts
-        "local_supplier_volume_q5",
-        "promo_revenue_q14",
-        "disjunctive_revenue_q19",
-        "part_triangle_counts",
-        "events_json_roundtrip",
-        "hybrid_rrf_search",
-        # round-7 queue: last driver-green row was r1/r2
-        "video_frame_sample",
-        "temperature_resample",
-        "hash_split_profile",
-        # round-7 new operators — debut inside the window
-        "orders_merge_steady",
-        "volume_shipping_q7",
-        "small_qty_revenue_q17",
-        "events_csv_roundtrip",
-        # round-6 promotions holding their slot (1 green each)
-        "group_concat_docs",
-        "bigram_topk",
-        "orders_merge_bucketed",
-        "knn_ivf_pruned",
-        "events_streaming_upsert",
-        # round-4/5 debuts still holding their window slot
-        "doc_chunk_windows",
-        "url_canonical_dedup",
-        "wizard_chain_stages",
-        "duplicate_span_flags",
-        "line_dedup_rebuild",
-        "quality_representative_dedup",
-        "events_stream_stream_join",
-        "knn_int8_rerank",
-        "dsir_importance_select",
-        "orders_upsert_merge",
-        "sql_interface_segment_revenue",
-        "events_funnel_stages",
-        "bigram_lm_perplexity",
-        "user_decayed_value",
-        "event_outliers_mad",
-        "part_affinity_topk",
-        "part_pagerank",
-        "price_decile_histogram",
-        "lineitem_unpivot_stats",
-        "phrase_match_docs",
+        # round-8 NEW decorrelation debuts (VERDICT r7 #5)
+        "waiting_suppliers_q21",
+        "min_cost_supplier_q2",
+        # the r4-stale cohort re-earning driver evidence (VERDICT r7 #1)
+        "pricing_summary", "region_revenue", "order_priority_semijoin",
+        "nation_set_ops", "order_window_enrich", "argmax_per_flag",
+        "order_rollup_revenue", "salted_join_nation_customers",
+        "price_quantiles", "etl_clean_articles", "explode_paragraphs",
+        "ner_top_orgs", "media_features", "events_session_windows",
+        "events_tumbling_streaming", "events_asof_last_click",
+        "events_range_click_counts", "doc_stats_quality", "lang_id",
+        "top_terms_per_source", "sentence_stats", "lemma_term_counts",
+        "bpe_token_stats", "bm25_topk", "stratified_sample_docs",
+        "winnowing_fingerprints", "gopher_repetition_flags",
+        "pii_redaction", "contamination_ngram_overlap",
+        "corpus_prep_chain", "exact_dedup", "ngram_jaccard_pairs",
+        "minhash_lsh_pairs", "simhash_pairs", "neardup_components",
+        "knn_bruteforce", "knn_ivf_multiprobe", "hash_embeddings",
+        "sentiment_distinct_join", "medoid_summaries",
+        "pairwise_medoids", "sequence_packing",
+        # the five oldest one-green r5 singles
+        "bpe_merge_learn", "shipping_priority_q3",
+        "event_transition_matrix", "events_value_ttest",
+        "events_cusum_changepoint",
     }
     assert promoted <= head, sorted(promoted - head)
 
