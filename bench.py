@@ -285,32 +285,34 @@ def main() -> None:
                 return round(max(warm) / min(warm), 2)
             return None
 
+        def quiet_spread_of(rs: list[float]) -> float | None:
+            # spread of the 3 FASTEST post-warmup reps: judges
+            # whether the recorded best is trustworthy. Unlike the
+            # all-warm spread (whose max can never drop once a burst
+            # is recorded), this CAN fall as extra quiet reps arrive
+            # — so it both terminates the adaptive loop and defines
+            # the noisy flag consistently.
+            quiet = sorted(rs[1:])[:3]
+            if len(quiet) >= 2 and min(quiet) > 0:
+                return round(max(quiet) / min(quiet), 2)
+            return None
+
         reps: list[float] = [one_rep() for _ in range(max(1, REPS))]
         # adaptive extension: noisy after the base reps → keep
-        # sampling (bounded by MAX_REPS) until the post-warmup window
-        # quiets down or the budget runs out; "noisy" in the sidecar
-        # then means "still bursty after MAX_REPS", not "we only
-        # looked three times"
+        # sampling (bounded by MAX_REPS) until the quietest samples
+        # agree or the budget runs out; "noisy" in the sidecar then
+        # means "even the 3 quietest post-warmup reps disagree >1.3×
+        # after up to MAX_REPS", not "we only looked three times"
         while (
             len(reps) < MAX_REPS
-            and (ws := warm_spread_of(reps)) is not None
-            and ws > NOISY_SPREAD
+            and (qs_now := quiet_spread_of(reps)) is not None
+            and qs_now > NOISY_SPREAD
         ):
             reps.append(one_rep())
         best = min(reps)
         spread = max(reps) / best if best > 0 else 1.0
         warm_spread = warm_spread_of(reps)
-        # the noisy FLAG judges the recorded best, not the box: after
-        # extension, one spike would pin the all-warm spread above
-        # threshold forever, so the flag uses the 3 fastest warm reps
-        # — "even the quietest samples disagree >1.3×" — while the
-        # full-burst picture stays recorded in warm_spread/reps
-        quiet = sorted(reps[1:])[:3]
-        quiet_spread = (
-            round(max(quiet) / min(quiet), 2)
-            if len(quiet) >= 2 and min(quiet) > 0
-            else None
-        )
+        quiet_spread = quiet_spread_of(reps)
         timings[name] = round(best, 3)
         details[name] = {
             "best": round(best, 3),
@@ -365,12 +367,13 @@ def main() -> None:
         if n_noisy:
             noisy = sorted(
                 (n for n, d in details.items() if d["noisy"]),
-                key=lambda n: -details[n]["warm_spread"],
+                key=lambda n: -details[n]["quiet_spread"],
             )
             print(
-                f"noisy entries (post-warmup rep spread > {NOISY_SPREAD}x): "
+                "noisy entries (3 quietest post-warmup reps spread > "
+                f"{NOISY_SPREAD}x): "
                 + ", ".join(
-                    f"{n}({details[n]['warm_spread']}x)" for n in noisy
+                    f"{n}({details[n]['quiet_spread']}x)" for n in noisy
                 ),
                 file=sys.stderr,
             )

@@ -159,24 +159,24 @@ def kmeans_assign(
         # n_hint is ADVISORY — never let a stale/wrong hint unbound
         # the driver collect: limit caps the transfer, and overflow
         # (more rows than the hint promised) falls back to the
-        # distributed MLlib fit instead of OOMing the driver.
-        # Sorted by the vector itself before the capped collect
-        # (ADVICE r7 #2): a bare limit().collect() returns rows in
-        # physical scan order, and _lloyd_fit_local's seeded init
-        # indexes into that order — sorting makes the labels a pure
-        # function of (data, seed), invariant under partitioning /
-        # file layout, so the local branch passes the same
-        # partition-invariance battery as every other operator.
-        # n ≤ LOCAL_FIT_MAX_ROWS+1 rows, so the sort is driver-noise
-        # cheap (TakeOrderedAndProject, no full shuffle).
-        rows = (
-            src.select(vec_col)
-            .orderBy(F.col(vec_col).cast("array<double>"))
-            .limit(LOCAL_FIT_MAX_ROWS + 1)
-            .collect()
-        )
+        # distributed MLlib fit instead of OOMing the driver. The
+        # bare limit().collect() short-circuits (CollectLimit reads
+        # only as many partitions as needed), which matters exactly
+        # when the hint was stale and the data is large — a Spark-side
+        # sort here would force a full scan just to discover the
+        # overflow and fall back anyway.
+        rows = src.select(vec_col).limit(LOCAL_FIT_MAX_ROWS + 1).collect()
         if k < len(rows) <= LOCAL_FIT_MAX_ROWS:
-            vecs = [r[0] for r in rows]
+            # Canonically sorted DRIVER-SIDE (ADVICE r7 #2): collect
+            # order is physical scan order, and _lloyd_fit_local's
+            # seeded init indexes into the order — sorting the full
+            # (≤ cap) sample makes the labels a pure function of
+            # (data, seed), invariant under partitioning/file layout,
+            # so the local branch passes the same partition-invariance
+            # battery as every other operator. On this no-overflow
+            # path the collect already holds ALL fit rows, so the
+            # local sort loses nothing vs sorting in Spark.
+            vecs = sorted(tuple(r[0]) for r in rows)
             centers = _lloyd_fit_local(vecs, k, SEED)
             return _assign_centers_expr(df, vec_col, centers, out_col)
     if init_mode is None:
