@@ -196,6 +196,28 @@ NOISY_SPREAD = 1.3
 MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "5"))
 
 
+def warm_spread_of(rs: list[float]) -> float | None:
+    """Spread (max/min) of ALL post-warmup reps — the burst record.
+    Burst is only measurable with ≥2 post-warmup samples; with fewer
+    (REPS ≤ 2) the metric would just re-flag warmup."""
+    warm = rs[1:]
+    if len(warm) >= 2 and min(warm) > 0:
+        return round(max(warm) / min(warm), 2)
+    return None
+
+
+def quiet_spread_of(rs: list[float]) -> float | None:
+    """Spread of the 3 FASTEST post-warmup reps: judges whether the
+    recorded best is trustworthy. Unlike the all-warm spread (whose
+    max can never drop once a burst is recorded), this CAN fall as
+    extra quiet reps arrive — so it both terminates the adaptive
+    extension loop and defines the noisy flag consistently."""
+    quiet = sorted(rs[1:])[:3]
+    if len(quiet) >= 2 and min(quiet) > 0:
+        return round(max(quiet) / min(quiet), 2)
+    return None
+
+
 def encode_line(
     timings: dict[str, float], sf_val: float | str, n_noisy: int = 0
 ) -> str:
@@ -276,26 +298,6 @@ def main() -> None:
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
-
-        def warm_spread_of(rs: list[float]) -> float | None:
-            # burst is only measurable with ≥2 post-warmup samples;
-            # with fewer (REPS ≤ 2) the metric would re-flag warmup
-            warm = rs[1:]
-            if len(warm) >= 2 and min(warm) > 0:
-                return round(max(warm) / min(warm), 2)
-            return None
-
-        def quiet_spread_of(rs: list[float]) -> float | None:
-            # spread of the 3 FASTEST post-warmup reps: judges
-            # whether the recorded best is trustworthy. Unlike the
-            # all-warm spread (whose max can never drop once a burst
-            # is recorded), this CAN fall as extra quiet reps arrive
-            # — so it both terminates the adaptive loop and defines
-            # the noisy flag consistently.
-            quiet = sorted(rs[1:])[:3]
-            if len(quiet) >= 2 and min(quiet) > 0:
-                return round(max(quiet) / min(quiet), 2)
-            return None
 
         reps: list[float] = [one_rep() for _ in range(max(1, REPS))]
         # adaptive extension: noisy after the base reps → keep

@@ -66,3 +66,52 @@ def test_baseline_rejects_cross_sf_artifacts(tmp_path, monkeypatch):
         "parsed": {"queries": {"a": 9.9}, "sf": 0.01}
     }))
     assert bench._baseline_queries(0.1) is None
+
+
+def test_spread_metrics_contract():
+    """The adaptive-rep noise metrics (VERDICT r7 #6): warm spread
+    records the full burst and can only grow as reps extend; quiet
+    spread judges the 3 fastest post-warmup reps and CAN drop, which
+    is what makes the extension loop's exit reachable."""
+    # too few post-warmup samples → no metric (never re-flag warmup)
+    assert bench.warm_spread_of([5.0]) is None
+    assert bench.warm_spread_of([5.0, 1.0]) is None
+    assert bench.quiet_spread_of([5.0, 1.0]) is None
+    # the first rep (warmup) is excluded from both metrics
+    assert bench.warm_spread_of([9.0, 1.0, 1.2]) == 1.2
+    assert bench.quiet_spread_of([9.0, 1.0, 1.2]) == 1.2
+    # one burst pins warm_spread forever...
+    bursty = [1.0, 1.0, 4.0, 1.0]
+    assert bench.warm_spread_of(bursty) == 4.0
+    # ...but quiet_spread recovers once 3 quiet reps exist
+    assert bench.quiet_spread_of(bursty + [1.05]) <= bench.NOISY_SPREAD
+    # quiet uses the 3 FASTEST post-warmup reps, not the last 3
+    assert bench.quiet_spread_of([2.0, 1.0, 9.0, 1.1, 1.05]) == 1.1
+
+
+def test_adaptive_extension_loop_recovers_from_burst():
+    """Simulate the main-loop extension policy: a burst in the base
+    reps triggers extra sampling, and with enough quiet reps the
+    noisy flag CLEARS (the review finding: with the all-warm spread
+    this recovery was unreachable — one burst flagged the entry
+    forever). A quiet base triggers no extension at all."""
+
+    def extend(reps, samples):
+        samples = iter(samples)
+        reps = list(reps)
+        while (
+            len(reps) < bench.MAX_REPS
+            and (qs := bench.quiet_spread_of(reps)) is not None
+            and qs > bench.NOISY_SPREAD
+        ):
+            reps.append(next(samples))
+        return reps
+
+    # burst in the base window: extends (the 3 quietest still span
+    # the burst at 4 reps) and recovers by MAX_REPS — noisy False
+    reps = extend([1.0, 1.0, 4.0], [1.02, 1.05, 99.0])
+    assert reps == [1.0, 1.0, 4.0, 1.02, 1.05]
+    assert bench.quiet_spread_of(reps) <= bench.NOISY_SPREAD  # recovered
+    assert bench.warm_spread_of(reps) == 4.0  # burst stays recorded
+    # quiet base window: no extra reps spent
+    assert extend([2.0, 1.0, 1.2], [99.0]) == [2.0, 1.0, 1.2]
