@@ -206,9 +206,17 @@ _DEPRIORITIZED = (
     "events_stateful_running",
     "events_stream_dedup",
     "hyperplane_lsh_pairs",
-    # -- r5 clause-(b) singles not promoted this round (r9 slate) --
+    # -- r5 clause-(b) singles not promoted this round (r9 slate;
+    # -- demoted in r6 with green-r5 evidence — the five below were
+    # -- slated for this window but yielded their slots to the five
+    # -- second-wave debuts above, so they lead the r9 promotions) --
     "data_quality_report",
     "weekly_active_users",
+    "bpe_merge_learn",
+    "shipping_priority_q3",
+    "event_transition_matrix",
+    "events_value_ttest",
+    "events_cusum_changepoint",
     # -- rows-only by design (fresh rows-only passes queued for r9) --
     "wizard_full_chain",
     "kmeans_clusters",
@@ -270,12 +278,16 @@ _PRIORITIZED = (
     "medoid_summaries",
     "pairwise_medoids",
     "sequence_packing",
-    # -- the five oldest one-green r5 singles (last green: round 5) --
-    "bpe_merge_learn",
-    "shipping_priority_q3",
-    "event_transition_matrix",
-    "events_value_ttest",
-    "events_cusum_changepoint",
+    # -- round-8 second-wave NEW operators: the remaining TPC-H
+    # -- decorrelation shapes (Q20 semi-join-on-aggregate, Q22
+    # -- scalar-avg + anti-join, Q11 global-fraction HAVING) and the
+    # -- two remaining mainstream at-rest formats (ORC, XML) — all
+    # -- debut inside the window
+    "excess_shipment_q20",
+    "idle_customers_q22",
+    "revenue_concentration_q11",
+    "events_orc_roundtrip",
+    "events_xml_roundtrip",
 )
 
 _MODULES = (

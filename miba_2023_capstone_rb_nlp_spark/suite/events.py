@@ -965,3 +965,100 @@ def q_events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum("value").alias("sum_value"),
     )
+
+
+# --- ORC source round-trip (columnar at rest, schema pinned) ---------
+# Same fingerprint aggregate as the JSON/CSV round-trips: the entry
+# proves the engine can land and re-read the other mainstream
+# columnar format losslessly. ORC carries its own schema, but the
+# read still PINS one explicitly — a pipeline that trusts file-embedded
+# schemas silently widens/narrows when an upstream writer drifts.
+_ORC_RT_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_orc_roundtrip", oracle=_ORC_RT_ORACLE)
+def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC at rest → explicit-schema read → aggregate; the
+    oracle aggregates the ORIGINAL parquet, so the entry proves the
+    ORC round-trip exact per column type (strings, nullable bigints,
+    full-precision doubles).
+
+    Plan: column-pruned before serialization; the ORC scan is
+    columnar + vectorized like parquet (predicate pushdown and column
+    pruning both apply), so at 100 TB the only cost of the format
+    hop is the rewrite itself — reads stay scan-equivalent."""
+    from miba_2023_capstone_rb_nlp_spark.catalog import sf_name, warehouse_dir
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    path = warehouse_dir("orc_events", sf_name(sf_dir))
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "event_type string, user_id bigint, value double"
+    ).orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+# --- XML source round-trip (schema-on-read, no inference) ------------
+# Spark 4 ships the XML source natively. XML is the worst-case text
+# format (tags per value, entity escaping, absent-element nulls) —
+# the same fingerprint aggregate proves the crossing lossless, and
+# the explicit schema keeps the read ONE pass exactly like the
+# CSV/JSON twins (XML schema inference is another full scan).
+_XML_RT_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_xml_roundtrip", oracle=_XML_RT_ORACLE)
+def q_events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → XML at rest (rowTag per event) → EXPLICIT-schema read
+    → aggregate; the oracle aggregates the ORIGINAL parquet, so the
+    entry proves the XML round-trip lossless — doubles re-read to the
+    identical bits (shortest-round-trip repr), NULL bigints survive
+    as absent elements, strings survive entity escaping.
+
+    Plan: pruned to the three needed columns before serialization
+    (XML's per-value tag overhead makes unread columns even more
+    expensive than in CSV); explicit schema = ONE pass."""
+    from miba_2023_capstone_rb_nlp_spark.catalog import sf_name, warehouse_dir
+
+    ev = catalog.table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    path = warehouse_dir("xml_events", sf_name(sf_dir))
+    (
+        ev.write.mode("overwrite")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .format("xml")
+        .save(path)
+    )
+    back = (
+        spark.read.schema("event_type string, user_id bigint, value double")
+        .option("rowTag", "event")
+        .format("xml")
+        .load(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("sum_value"),
+    )

@@ -1943,3 +1943,173 @@ def q_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supplycost",
         )
     )
+
+
+# --- TPC-H Q20: suppliers with excess recent shipment share ----------
+# The semi-join-on-correlated-aggregate classic. The synthetic schema
+# has no partsupp/availqty (TESTDATA.md), so "excess" is adapted to a
+# shipment-concentration predicate with the same decorrelation shape:
+# a supplier qualifies when some part's 1996 shipments exceed half of
+# that (supplier, part)'s all-time shipments. The oracle keeps a
+# correlated EXISTS over the per-pair aggregate, so the Spark-side
+# rewrite to a plain semi-join is proven equivalent. Quantity sums
+# compare as EXACT DECIMALs on both engines (2·y96 > tot — never a
+# float ratio), so the strict inequality cannot flip at a boundary.
+_Q20_NATIONS = ("NATION_5", "NATION_10")
+_Q20_ORACLE = f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS y96,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS tot
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('{_Q20_NATIONS[0]}', '{_Q20_NATIONS[1]}')
+  AND EXISTS (SELECT 1 FROM sp
+              WHERE sp.l_suppkey = s.s_suppkey AND 2 * sp.y96 > sp.tot)
+"""
+
+
+@register("excess_shipment_q20", oracle=_Q20_ORACLE)
+def q_excess_shipment_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers whose recent shipments of some part
+    exceed half that pair's all-time volume, decorrelated to a plain
+    semi-join.
+
+    Plan: ONE aggregate over lineitem keyed (suppkey, partkey) builds
+    both the windowed and the all-time quantity sums (conditional sum
+    — no second scan, no self-join), the threshold filter runs on the
+    aggregate's output, and the surviving supplier keys semi-join the
+    nation-filtered supplier dim. The correlated EXISTS the oracle
+    states would re-scan lineitem per supplier; here lineitem moves
+    through exactly one exchange and the semi-join probes a
+    broadcast-sized key set. NULL y96 (no 1996 shipments) fails the
+    strict > in both engines — no coalesce needed."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    in96 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.when(in96, dec("l_quantity", 2, 18))).alias("y96"),
+        F.sum(dec("l_quantity", 2, 18)).alias("tot"),
+    )
+    excess_keys = (
+        sp.filter(F.lit(2) * F.col("y96") > F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*_Q20_NATIONS)
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return s.join(
+        excess_keys, s["s_suppkey"] == excess_keys["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# --- TPC-H Q22: high-balance customers gone idle ---------------------
+# The scalar-avg-subquery + anti-join classic. The synthetic customer
+# table has no phone column and every customer has SOME order, so the
+# adaptation groups by nationkey and defines idle as "no order since
+# 2000-01-01" — the decorrelation shapes under test (global scalar
+# broadcast + anti-join against the order keys) are unchanged. The
+# threshold divides an exact decimal sum by a count in DOUBLE, the
+# same textual order in both engines (the repo's davg recipe).
+_Q22_CUTOFF = "2000-01-01"
+_Q22_ORACLE = f"""
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       {sql_dsum('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT {sql_dsum('c2.c_acctbal')} / count(*)
+                     FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+@register("idle_customers_q22", oracle=_Q22_ORACLE)
+def q_idle_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: per-nation count and balance of above-average
+    customers with no recent orders, decorrelated.
+
+    Plan: the scalar avg subquery becomes a 1-row aggregate broadcast
+    onto the customer scan (a 1-row broadcast nested-loop is the
+    correct physical shape for a scalar — it is not a join blow-up);
+    the NOT EXISTS becomes a LEFT ANTI join against the
+    date-filtered order keys, with the date predicate pushed to the
+    orders scan so the anti-join's build side is the RECENT slice,
+    not the full fact. At 100 TB the anti-join shuffles (or
+    broadcasts, when the recent window is small) only custkeys."""
+    cust = _t(spark, sf_dir, "customer")
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("thr")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    rich = cust.join(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("thr")
+    )
+    idle = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum("c_acctbal").alias("totacctbal"),
+    )
+
+
+# --- TPC-H Q11: revenue concentration above a global fraction --------
+# The having-vs-global-scalar classic (Q11's GROUP BY ... HAVING
+# sum > fraction * (SELECT sum ...)): parts whose revenue exceeds
+# 0.0007 of TOTAL revenue. Both engines compare exact DECIMALs
+# cross-multiplied (10000·rev > 7·total) — the fraction never becomes
+# a float, so the strict inequality is engine-exact.
+_Q11_ORACLE = f"""
+WITH pr AS (
+  SELECT l_partkey, sum({_DISC}) AS rev
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue
+FROM pr, (SELECT sum(rev) AS total FROM pr) t
+WHERE 10000 * rev > 7 * t.total
+"""
+
+
+@register("revenue_concentration_q11", oracle=_Q11_ORACLE)
+def q_revenue_concentration_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts holding more than a fixed fraction of total
+    revenue.
+
+    Plan: ONE exchange builds the per-part revenue table; the global
+    total is a second aggregate over that |parts|-bounded result (not
+    a second lineitem scan) broadcast back as a 1-row scalar. The
+    per-part table is persisted across its two consumers so the
+    lineitem scan+shuffle runs once. Cross-multiplied decimal
+    comparison keeps the threshold exact at any scale."""
+    from miba_2023_capstone_rb_nlp_spark.suite import persist_tracked
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    disc_price = dec("l_extendedprice", 2, 12) * (
+        F.lit(1) - dec("l_discount", 2, 4)
+    )
+    pr = persist_tracked(
+        li.groupBy("l_partkey").agg(F.sum(disc_price).alias("rev"))
+    )
+    total = pr.agg(F.sum("rev").alias("total"))
+    return (
+        pr.join(F.broadcast(total))
+        .filter(F.lit(10000) * F.col("rev") > F.lit(7) * F.col("total"))
+        .select("l_partkey", F.col("rev").cast("double").alias("revenue"))
+    )

@@ -32,6 +32,9 @@ ENTRIES = [
     "kmeans_clusters",           # driver-side seeded Lloyd's fit
     "waiting_suppliers_q21",     # decorrelated exists/not-exists (r8)
     "min_cost_supplier_q2",      # decorrelated scalar-min join (r8)
+    "excess_shipment_q20",       # conditional decimal agg + semi join (r8)
+    "idle_customers_q22",        # scalar broadcast + anti join (r8)
+    "revenue_concentration_q11", # global-fraction decimal HAVING (r8)
 ]
 
 

@@ -845,3 +845,49 @@ def test_q2_decorrelated_scalar_min_broadcasts(spark):
     # consumers in the plan string, so the string count bound is 3
     assert final.count("Exchange hashpartitioning") <= 3
     assert final.count("SortMergeJoin") == 0
+
+
+def test_q20_semi_join_single_pair_exchange(spark):
+    """Q20: the correlated exists-over-aggregate decorrelates to ONE
+    (suppkey, partkey) aggregate (conditional sum builds both the
+    windowed and all-time totals in one pass — no self-join, no
+    second scan) whose surviving keys semi-join the supplier dim."""
+    df = SUITE["excess_shipment_q20"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "LeftSemi" in final
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in final
+    assert final.count("Exchange hashpartitioning") <= 2
+    # exactly three scans — lineitem once (not once per probe row,
+    # which the literal correlated EXISTS would cost), supplier, nation
+    assert final.count("FileScan parquet") == 3
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22: the NOT EXISTS becomes a LEFT ANTI join whose build side
+    is the date-filtered order keys (predicate pushed to the orders
+    scan); the scalar avg subquery is a 1-row broadcast — the one
+    case where a BroadcastNestedLoopJoin is the CORRECT shape, and
+    there must be at most that one."""
+    df = SUITE["idle_customers_q22"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "LeftAnti" in final
+    assert "GreaterThanOrEqual(o_orderdate" in final
+    assert final.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_persisted_base_and_global_scalar(spark):
+    """Q11: the per-part revenue table is built by ONE lineitem
+    exchange and persisted across its two consumers (the global total
+    and the probe) — the second consumer reads the cache, not the
+    fact; the total joins back as a 1-row broadcast."""
+    df = SUITE["revenue_concentration_q11"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "InMemoryTableScan" in plan
+    assert final.count("Exchange hashpartitioning") <= 1
+    assert final.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan

@@ -52,6 +52,9 @@ EXPECTED = {
     "small_qty_revenue_q17",
     "waiting_suppliers_q21",
     "min_cost_supplier_q2",
+    "excess_shipment_q20",
+    "idle_customers_q22",
+    "revenue_concentration_q11",
     "part_affinity_topk",
     "part_pagerank",
     "part_triangle_counts",
@@ -98,6 +101,8 @@ EXPECTED = {
     "events_streaming_upsert",
     "events_json_roundtrip",
     "events_csv_roundtrip",
+    "events_orc_roundtrip",
+    "events_xml_roundtrip",
     # text
     "doc_stats_quality",
     "lang_id",
@@ -264,6 +269,11 @@ ROTATED_OUT_FRESH = {
     "pca_coords": 6,
     "data_quality_report": 6,
     "weekly_active_users": 6,
+    "bpe_merge_learn": 6,
+    "shipping_priority_q3": 6,
+    "event_transition_matrix": 6,
+    "events_value_ttest": 6,
+    "events_cusum_changepoint": 6,
     # demoted in r8, green r7 (the one-green r7 debuts — clause (b)
     # frees their slots for the r4-stale cohort; they re-enter ~r9)
     "local_supplier_volume_q5": 8,
@@ -367,10 +377,10 @@ def test_core_entries_inside_driver_window():
         "knn_bruteforce", "knn_ivf_multiprobe", "hash_embeddings",
         "sentiment_distinct_join", "medoid_summaries",
         "pairwise_medoids", "sequence_packing",
-        # the five oldest one-green r5 singles
-        "bpe_merge_learn", "shipping_priority_q3",
-        "event_transition_matrix", "events_value_ttest",
-        "events_cusum_changepoint",
+        # round-8 second-wave debuts (Q20/Q22/Q11 + ORC/XML)
+        "excess_shipment_q20", "idle_customers_q22",
+        "revenue_concentration_q11", "events_orc_roundtrip",
+        "events_xml_roundtrip",
     }
     assert promoted <= head, sorted(promoted - head)
 
