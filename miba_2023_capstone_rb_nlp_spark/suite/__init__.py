@@ -116,17 +116,23 @@ _DEPRIORITIZED = (
     # the flagship rotates out — clause (a) for the 39 with ≥2 green
     # rounds, clause (b) (demoted_in=8, green r7) for the 10 one-green
     # r7 debuts — freeing 49 slots: the ENTIRE 42-entry r4-stale
-    # cohort plus the five oldest one-green r5 singles re-enter the
-    # checked window, together with the two NEW Q21/Q2 debuts. After
-    # this round no oracled entry's last green predates round 5.
+    # cohort re-enters the checked window together with the SEVEN
+    # round-8 debuts (first wave Q21/Q2, second wave Q20/Q22/Q11 +
+    # ORC/XML round-trips; the five one-green r5 singles originally
+    # slated for the remaining slots yielded them to the second wave
+    # and lead the r9 promotions instead). After this round no
+    # oracled entry's last green predates round 5.
     #
     # R9 ROTATION SLATE (plan, per the standing policy): demote the
-    # r8 window's twice-green entries and promote (1) the 13
-    # r6-green entries below, (2) the 7 remaining r5-green entries
+    # r8 window's twice-green entries and promote (1) the five
+    # one-green r5 singles (bpe_merge_learn, shipping_priority_q3,
+    # event_transition_matrix, events_value_ttest,
+    # events_cusum_changepoint — at the freshness bound), (2) the 13
+    # r6-green entries below, (3) the 7 remaining r5-green entries
     # (ctfidf_topics_per_lang, dedup_canonical_corpus,
     # events_stateful_running, events_stream_dedup,
     # hyperplane_lsh_pairs, data_quality_report,
-    # weekly_active_users), and (3) the three rows-only wizard/ML
+    # weekly_active_users), and (4) the three rows-only wizard/ML
     # entries for fresh rows-only passes; backfill remaining slots
     # with the oldest r7-green demotions (window order below).
     #
@@ -225,10 +231,10 @@ _DEPRIORITIZED = (
 
 # Entries promoted to the registry head (after the flagship): these
 # must land inside the driver's 50-row checked window regardless of
-# module registration order. Round 8: the flagship + the two NEW
-# TPC-H decorrelation debuts (VERDICT r7 #5) + the ENTIRE r4-stale
-# cohort (42 entries, VERDICT r7 #1) + the five oldest one-green r5
-# singles = exactly the 50-slot window.
+# module registration order. Round 8: the flagship + the seven NEW
+# debuts (first-wave Q21/Q2 per VERDICT r7 #5, second-wave
+# Q20/Q22/Q11 + ORC/XML round-trips) + the ENTIRE r4-stale cohort
+# (42 entries, VERDICT r7 #1) = exactly the 50-slot window.
 _PRIORITIZED = (
     "cluster_viz_summary",  # flagship: entry() runs this
     # -- round-8 NEW operators: semi/anti-join and scalar-min

@@ -874,14 +874,50 @@ def q_events_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proving the text round-trip loses nothing (doubles survive via
 # round-trip-safe formatting). Registered round 6 with local parity;
 # window debut planned round 7.
-_JSON_RT_ORACLE = f"""
+#
+# ONE shared fingerprint (r8 review #4): the four at-rest formats
+# (JSON/CSV/ORC/XML) intentionally run the SAME aggregate against
+# the SAME oracle text, built here once so a fingerprint fix cannot
+# silently apply to one copy and leave the others stale. The
+# `extrema` variant adds raw per-group min/max doubles — a bit-exact
+# witness pair per group (sum_value alone quantizes to DECIMAL(18,2),
+# which would hide sub-cent formatting drift). The crafted-corpus
+# lossless test (tests/test_roundtrip_formats.py) covers what no
+# aggregate over this synthetic data can: NULL keys, quote/entity
+# escaping, and full-precision doubles compared value-by-value.
+
+
+def _rt_oracle(extrema: bool = False) -> str:
+    extra = (
+        ",\n       min(value) AS min_value,\n       max(value) AS max_value"
+        if extrema
+        else ""
+    )
+    return f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       {sql_dsum('value')} AS sum_value
+       {sql_dsum('value')} AS sum_value{extra}
 FROM events
 GROUP BY event_type
 """
+
+
+def _rt_aggregate(back: DataFrame, extrema: bool = False) -> DataFrame:
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("sum_value"),
+    ]
+    if extrema:
+        aggs += [
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        ]
+    return back.groupBy("event_type").agg(*aggs)
+
+
+_JSON_RT_ORACLE = _rt_oracle()
 
 
 @register("events_json_roundtrip", oracle=_JSON_RT_ORACLE)
@@ -909,25 +945,14 @@ def q_events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(
         "event_type string, user_id bigint, value double"
     ).json(path)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("n_users"),
-        dsum("value").alias("sum_value"),
-    )
+    return _rt_aggregate(back)
 
 
 # --- CSV source round-trip (schema-on-read, no inference) ------------
 # Same fingerprint aggregate as the JSON round-trip, so the check is
 # that the CSV text format — quoting, nulls-as-empty, full-precision
 # float repr — preserves the data exactly, per column type.
-_CSV_RT_ORACLE = f"""
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       {sql_dsum('value')} AS sum_value
-FROM events
-GROUP BY event_type
-"""
+_CSV_RT_ORACLE = _rt_oracle()
 
 
 @register("events_csv_roundtrip", oracle=_CSV_RT_ORACLE)
@@ -960,11 +985,7 @@ def q_events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .options(header=True, quote='"', escape='"')
         .csv(path)
     )
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("n_users"),
-        dsum("value").alias("sum_value"),
-    )
+    return _rt_aggregate(back)
 
 
 # --- ORC source round-trip (columnar at rest, schema pinned) ---------
@@ -973,22 +994,17 @@ def q_events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # columnar format losslessly. ORC carries its own schema, but the
 # read still PINS one explicitly — a pipeline that trusts file-embedded
 # schemas silently widens/narrows when an upstream writer drifts.
-_ORC_RT_ORACLE = f"""
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       {sql_dsum('value')} AS sum_value
-FROM events
-GROUP BY event_type
-"""
+_ORC_RT_ORACLE = _rt_oracle(extrema=True)
 
 
 @register("events_orc_roundtrip", oracle=_ORC_RT_ORACLE)
 def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → ORC at rest → explicit-schema read → aggregate; the
-    oracle aggregates the ORIGINAL parquet, so the entry proves the
-    ORC round-trip exact per column type (strings, nullable bigints,
-    full-precision doubles).
+    oracle aggregates the ORIGINAL parquet. The extrema variant adds
+    raw per-group min/max doubles — bit-exact witnesses that the
+    quantized sum alone could not provide; the value-by-value
+    lossless proof (incl. NULLs) is the crafted-corpus test in
+    tests/test_roundtrip_formats.py.
 
     Plan: column-pruned before serialization; the ORC scan is
     columnar + vectorized like parquet (predicate pushdown and column
@@ -1004,36 +1020,31 @@ def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(
         "event_type string, user_id bigint, value double"
     ).orc(path)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("n_users"),
-        dsum("value").alias("sum_value"),
-    )
+    return _rt_aggregate(back, extrema=True)
 
 
 # --- XML source round-trip (schema-on-read, no inference) ------------
 # Spark 4 ships the XML source natively. XML is the worst-case text
-# format (tags per value, entity escaping, absent-element nulls) —
-# the same fingerprint aggregate proves the crossing lossless, and
-# the explicit schema keeps the read ONE pass exactly like the
-# CSV/JSON twins (XML schema inference is another full scan).
-_XML_RT_ORACLE = f"""
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       {sql_dsum('value')} AS sum_value
-FROM events
-GROUP BY event_type
-"""
+# format (tags per value, entity escaping, absent-element nulls);
+# the shared fingerprint + extrema aggregate checks the crossing on
+# the synthetic corpus, the crafted-corpus test covers the escaping/
+# NULL paths this data never hits, and the explicit schema keeps the
+# read ONE pass exactly like the CSV/JSON twins (XML schema
+# inference is another full scan).
+_XML_RT_ORACLE = _rt_oracle(extrema=True)
 
 
 @register("events_xml_roundtrip", oracle=_XML_RT_ORACLE)
 def q_events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → XML at rest (rowTag per event) → EXPLICIT-schema read
-    → aggregate; the oracle aggregates the ORIGINAL parquet, so the
-    entry proves the XML round-trip lossless — doubles re-read to the
-    identical bits (shortest-round-trip repr), NULL bigints survive
-    as absent elements, strings survive entity escaping.
+    → aggregate; the oracle aggregates the ORIGINAL parquet. What
+    THIS entry proves on the synthetic data: counts, distinct keys,
+    cent-exact totals, and bit-exact per-group min/max doubles
+    survive the crossing. What it cannot exercise here (the events
+    table has no NULL user_ids and no escapable characters) — NULL
+    keys as absent elements, entity escaping, value-by-value double
+    identity — is pinned by the crafted-corpus test in
+    tests/test_roundtrip_formats.py.
 
     Plan: pruned to the three needed columns before serialization
     (XML's per-value tag overhead makes unread columns even more
@@ -1057,8 +1068,4 @@ def q_events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("xml")
         .load(path)
     )
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("n_users"),
-        dsum("value").alias("sum_value"),
-    )
+    return _rt_aggregate(back, extrema=True)
