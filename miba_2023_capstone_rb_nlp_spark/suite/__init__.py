@@ -124,14 +124,21 @@ _DEPRIORITIZED = (
     # oracled entry's last green predates round 5.
     #
     # R9 ROTATION SLATE (plan, per the standing policy): demote the
-    # r8 window's twice-green entries and promote (1) the five
-    # one-green r5 singles (bpe_merge_learn, shipping_priority_q3,
-    # event_transition_matrix, events_value_ttest,
-    # events_cusum_changepoint — at the freshness bound), (2) the 13
-    # r6-green entries below, (3) the 7 remaining r5-green entries
-    # (ctfidf_topics_per_lang, dedup_canonical_corpus,
-    # events_stateful_running, events_stream_dedup,
-    # hyperplane_lsh_pairs, data_quality_report,
+    # r8 window's twice-green entries and promote (0) the eight
+    # never-checked round-8 second-half debuts that complete the
+    # 22-query TPC-H battery (forecast_revenue_q6, market_share_q8,
+    # product_profit_q9, late_shipment_priority_q12,
+    # order_count_distribution_q13, top_supplier_q15,
+    # supplier_part_counts_q16, large_volume_customers_q18 — they
+    # registered after the r8 window froze and sit first in registry
+    # order past the window, so they promote automatically), (1) the
+    # five one-green r5 singles (bpe_merge_learn,
+    # shipping_priority_q3, event_transition_matrix,
+    # events_value_ttest, events_cusum_changepoint — at the
+    # freshness bound), (2) the 13 r6-green entries below, (3) the 7
+    # remaining r5-green entries (ctfidf_topics_per_lang,
+    # dedup_canonical_corpus, events_stateful_running,
+    # events_stream_dedup, hyperplane_lsh_pairs, data_quality_report,
     # weekly_active_users), and (4) the three rows-only wizard/ML
     # entries for fresh rows-only passes; backfill remaining slots
     # with the oldest r7-green demotions (window order below).

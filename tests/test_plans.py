@@ -891,3 +891,124 @@ def test_q11_persisted_base_and_global_scalar(spark):
     assert final.count("Exchange hashpartitioning") <= 1
     assert final.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+# --- round-8 second half: the battery-completing TPC-H shapes --------
+
+
+def test_q6_pure_scan_agg_no_joins(spark):
+    """Q6: every predicate reaches the parquet scan and there is no
+    join anywhere — the whole query is scan → partial agg → 1-row
+    exchange. The floor case for pushdown."""
+    df = SUITE["forecast_revenue_q6"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    # toString() elides long PushedFilters lists — read the full list
+    # from the formatted explain instead
+    full = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = full.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "GreaterThanOrEqual(l_discount" in pushed
+    assert "LessThan(l_quantity" in pushed
+    assert "Join" not in plan
+    assert "partial_" in plan
+
+
+def test_q8_one_fact_exchange_all_dims_broadcast(spark):
+    """Q8: the 8-table star runs with part/customer-chain/
+    supplier-chain all broadcast and ONLY the lineitem⋈orders join
+    shuffling; both market-share sums come from one conditional
+    aggregate (no numerator/denominator self-join)."""
+    df = SUITE["market_share_q8"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert final.count("BroadcastHashJoin") >= 4
+    assert "GreaterThanOrEqual(o_orderdate,1995-01-01" in plan
+    assert "CartesianProduct" not in plan
+    # one fact join + one group-by = the only hash exchanges
+    assert final.count("Exchange hashpartitioning") <= 3
+
+
+def test_q9_like_filter_on_dim_side_only(spark):
+    """Q9: the %widget% LIKE evaluates while building the 2k-row part
+    broadcast — never as a residual on the fact — and the profit
+    expression aggregates in ONE pass (gross and retail_vol
+    together)."""
+    df = SUITE["product_profit_q9"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert final.count("BroadcastHashJoin") >= 2
+    assert "Contains(p_name, widget)" in plan or "widget" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_q12_window_pushed_residual_after_join(spark):
+    """Q12: the ship-date window prunes the lineitem scan; the
+    cross-table lateness predicate (ship vs order date) correctly
+    stays a post-join residual; both priority counts come from one
+    3-group aggregate."""
+    df = SUITE["late_shipment_priority_q12"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    pushed = plan.split("PushedFilters: [", 1)[1]
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_on_clause_filter_pushed_outer_join_preserved(spark):
+    """Q13: the priority filter (ON-side, non-preserved orders side)
+    pushes to the orders scan WITHOUT breaking the outer join — the
+    zero-order customers must survive into bucket 0 — and the
+    per-customer count reuses the join's custkey partitioning."""
+    df = SUITE["order_count_distribution_q13"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "LeftOuter" in final
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    # join shuffle (×2 sides) + histogram exchange; per-customer agg
+    # reuses the join partitioning — no 4th hash exchange
+    assert final.count("Exchange hashpartitioning") <= 3
+
+
+def test_q15_persisted_view_scalar_max_broadcast(spark):
+    """Q15: the quarterly revenue view materializes once (persisted,
+    both consumers read the cache), the scalar max joins back as a
+    1-row broadcast, and lineitem moves through exactly one hash
+    exchange."""
+    df = SUITE["top_supplier_q15"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "InMemoryTableScan" in plan
+    assert final.count("Exchange hashpartitioning") <= 1
+    assert final.count("BroadcastNestedLoopJoin") <= 1  # 1-row scalar
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_becomes_anti_join_one_exchange(spark):
+    """Q16: the NOT IN subquery runs as a LEFT ANTI against a
+    broadcast exclusion set (s_suppkey is non-null by schema, so the
+    rewrite is exact), the part filters evaluate in the dim
+    broadcast, and the fact shuffles only for the count-distinct."""
+    df = SUITE["supplier_part_counts_q16"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "LeftAnti" in final
+    assert final.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_q18_agg_partitioning_reused_by_orders_join(spark):
+    """Q18: the per-order quantity aggregate's hash partitioning is
+    REUSED by the orders join — exactly one exchange keyed
+    l_orderkey exists, so the HAVING survivors never reshuffle. The
+    customer join carries no broadcast hint (threshold-dependent
+    cardinality → AQE's choice at runtime)."""
+    df = SUITE["large_volume_customers_q18"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert final.count("Exchange hashpartitioning(l_orderkey") == 1
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan

@@ -103,6 +103,17 @@ EXPECTED = {
     "events_csv_roundtrip",
     "events_orc_roundtrip",
     "events_xml_roundtrip",
+    # relational: round-8 second half — the battery-completing TPC-H
+    # shapes (register after the frozen r8 window; first in the r9
+    # promotion slate)
+    "forecast_revenue_q6",
+    "market_share_q8",
+    "product_profit_q9",
+    "late_shipment_priority_q12",
+    "order_count_distribution_q13",
+    "top_supplier_q15",
+    "supplier_part_counts_q16",
+    "large_volume_customers_q18",
     # text
     "doc_stats_quality",
     "lang_id",
