@@ -323,3 +323,87 @@ def q_knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries, "embedding", "vec_id", dim=DIM, k=10,
         n_candidates=_N_CAND,
     )
+
+
+# --- SemDeDup: cluster-scoped greedy semantic dedup ------------------
+# Abbas et al. 2023 ("SemDeDup"): pairwise cosine comparisons run
+# only WITHIN precomputed embedding clusters — the clusters bound the
+# quadratic, which is the whole trick; here the coarse cell is the
+# same precomputed `label` the IVF entries probe. Survivor rule is
+# the deterministic greedy: a vector is DROPPED iff some lower-id
+# vector in its cell matches at cos ≥ τ ("first-seen wins") —
+# SQL-expressible as one EXISTS, no iterative connected components
+# (contrast neardup_components, which computes full transitive
+# groups). τ = 0.25 sits between the within-cell p90 (~0.16) and the
+# max (~0.47) of the synthetic corpus, so both outcomes are well
+# populated at every tested scale.
+_SEMDEDUP_TAU = 0.25
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE floor((list_sum([a.v[i]*b.v[i] for i in generate_series(1, {DIM})]) /
+               (sqrt(list_sum([a.v[i]*a.v[i] for i in generate_series(1, {DIM})])) *
+                sqrt(list_sum([b.v[i]*b.v[i] for i in generate_series(1, {DIM})]))))
+              * 1000000.0) / 1000000.0 >= {_SEMDEDUP_TAU}
+)
+SELECT e.vec_id, e.label AS cell
+FROM e
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = e.vec_id)
+"""
+
+
+@register("semantic_dedup_cells", oracle=_SEMDEDUP_ORACLE)
+def q_semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors: within-cell greedy cosine dedup at τ=0.25.
+
+    Plan: entirely JVM-side — per-vector squared norms are a map-only
+    higher-order fold (computed ONCE, before the join), candidate
+    pairs come from a cell-equi self-join (shuffle keyed label; the
+    quadratic is Σ|cell|², the SemDeDup bound, and a skewed mega-cell
+    splits under AQE's skew-join handling instead of pinning one
+    task), the cosine evaluates as a zip_with fold in the same
+    element order as the oracle's list_sum, and the dropped-id set
+    flows into a LEFT ANTI join against the corpus. No Python, no
+    per-group materialization: pairs stream through the join, so no
+    cell has to fit in memory. The greedy first-id-wins rule is what
+    makes this ONE pass — transitive-closure dedup (CC) needs
+    iteration and is priced separately by neardup_components."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm2 = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ev = e.withColumn("n2", norm2)
+    a = ev.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("cell_a"),
+        F.col("v").alias("av"), F.col("n2").alias("an2"),
+    )
+    b = ev.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("cell_b"),
+        F.col("v").alias("bv"), F.col("n2").alias("bn2"),
+    )
+    pairs = a.join(
+        b, (F.col("cell_a") == F.col("cell_b")) & (F.col("va") < F.col("vb"))
+    )
+    dot = F.aggregate(
+        F.zip_with("av", "bv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
+
+    cos = fixed(dot / (F.sqrt("an2") * F.sqrt("bn2")), 6)
+    dropped = (
+        pairs.filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        e.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", F.col("label").alias("cell"))
+    )

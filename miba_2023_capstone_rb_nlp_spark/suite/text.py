@@ -302,8 +302,11 @@ def q_lemma_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at 1e-4 before the per-doc sum, which is an exact DECIMAL sum of
 # count-weighted per-type weights; the per-doc average is quantized
 # at 1e-6 (same recipe as dsir_importance_select).
-_BIGRAM_LM_ORACLE = """
-WITH tok AS (
+# Shared CTE chain ending in `scored` (doc_id, n_bigrams, avg_logp) —
+# reused verbatim by the corpus-mean flag oracle below AND the CCNet
+# tercile-bucket oracle (perplexity_bucket_filter), so the two
+# entries can never drift onto different scoring definitions.
+_BIGRAM_SCORED_CTES = """tok AS (
   SELECT doc_id, string_split(text, ' ') AS l FROM documents
 ),
 bg AS (
@@ -341,7 +344,10 @@ scored AS (
          floor(sum_logp / n_bigrams * 1000000.0) / 1000000.0
            AS avg_logp
   FROM per
-),
+)"""
+
+_BIGRAM_LM_ORACLE = f"""
+WITH {_BIGRAM_SCORED_CTES},
 mean AS (
   SELECT floor(CAST(sum(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE)
                / count(*) * 1000000.0) / 1000000.0 AS thr
@@ -352,25 +358,12 @@ FROM scored, mean
 """
 
 
-@register("bigram_lm_perplexity", oracle=_BIGRAM_LM_ORACLE)
-def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perplexity-proxy quality scoring: fit an add-one-smoothed
-    bigram LM on the corpus (one pass), score every document by its
-    average log-prob, flag documents below the corpus mean.
+def _bigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared bigram-LM scoring: (doc_id, n_bigrams, avg_logp).
 
-    Plan (the DSIR single-scan shape): tokenize ONCE into a persisted
-    per-doc bigram-count matrix — slice+zip builds bigrams map-only,
-    no posexplode self-join — then the LM's count tables (bigram,
-    context, vocab) all derive from that matrix. The model join-back
-    is a broadcast here (vocab²-bounded feature table); on an open
-    vocabulary it degrades gracefully to a shuffle equi-join on
-    (w1, w2) — the corpus side still moves only once.
-
-    Engine addition (no reference counterpart): SURVEY §2.12 quality
-    scoring, the model-based complement of doc_stats_quality's
-    surface heuristics.
-    """
-
+    Mirrors _BIGRAM_SCORED_CTES exactly — both the corpus-mean flag
+    entry and the CCNet tercile-bucket entry build on this one
+    definition, Spark-side and SQL-side alike."""
     from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec
 
     docs = _docs(spark, sf_dir)
@@ -399,7 +392,7 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("logp"),
         )
     )
-    scored = (
+    return (
         per_db.join(F.broadcast(feat), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
@@ -412,6 +405,29 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             fixed(F.col("sum_logp") / F.col("n_bigrams"), 6).alias("avg_logp"),
         )
     )
+
+
+@register("bigram_lm_perplexity", oracle=_BIGRAM_LM_ORACLE)
+def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: fit an add-one-smoothed
+    bigram LM on the corpus (one pass), score every document by its
+    average log-prob, flag documents below the corpus mean.
+
+    Plan (the DSIR single-scan shape): tokenize ONCE into a persisted
+    per-doc bigram-count matrix — slice+zip builds bigrams map-only,
+    no posexplode self-join — then the LM's count tables (bigram,
+    context, vocab) all derive from that matrix. The model join-back
+    is a broadcast here (vocab²-bounded feature table); on an open
+    vocabulary it degrades gracefully to a shuffle equi-join on
+    (w1, w2) — the corpus side still moves only once.
+
+    Engine addition (no reference counterpart): SURVEY §2.12 quality
+    scoring, the model-based complement of doc_stats_quality's
+    surface heuristics.
+    """
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec
+
+    scored = _bigram_scored(spark, sf_dir)
     mean = scored.agg(
         fixed(
             F.sum(dec("avg_logp", 6)).cast("double") / F.count(F.lit(1)), 6
@@ -422,6 +438,65 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         "avg_logp",
         (F.col("avg_logp") < F.col("thr")).alias("flagged"),
+    )
+
+
+# --- CCNet head/middle/tail perplexity buckets ----------------------
+# CCNet's signature move (Wenzek et al. 2020): score documents with a
+# language model, split EACH LANGUAGE into perplexity terciles, keep
+# head+middle and drop the tail. Built on the same _bigram_scored
+# definition (shared CTEs/helper) so the two LM entries cannot drift.
+# Determinism: avg_logp is already floor-quantized at 1e-6 and ties
+# break on doc_id; ntile's fill rule (earlier groups take the extra
+# rows) is identical in Spark and DuckDB, so bucket assignment is
+# engine-exact.
+_PPL_BUCKET_ORACLE = f"""
+WITH {_BIGRAM_SCORED_CTES},
+j AS (
+  SELECT s.doc_id, d.lang, s.avg_logp
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, avg_logp,
+       CAST(ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_logp DESC, doc_id) AS INT)
+         AS bucket,
+       ntile(3) OVER (PARTITION BY lang
+                      ORDER BY avg_logp DESC, doc_id) < 3 AS kept
+FROM j
+"""
+
+
+@register("perplexity_bucket_filter", oracle=_PPL_BUCKET_ORACLE)
+def q_perplexity_bucket_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style filtering: per-language perplexity terciles (1 =
+    head = most fluent), keep head+middle, drop the tail.
+
+    Plan: the scoring reuses _bigram_scored's one-scan shape; the
+    language column joins on from documents (broadcast — the scored
+    table and the doc dim share doc_id); the tercile is an ntile
+    window partitioned by language. That window sorts each language
+    in ONE task — the honest cost of exact count-balanced terciles,
+    fine at |langs| ≈ dozens but the bottleneck for an en-heavy
+    100 TB corpus. The scale path swaps ntile for two
+    percentile_approx cut-points per language broadcast back as a
+    map-only bucketing (same output schema, approximate boundaries);
+    this entry keeps the exact form because the oracle must be
+    count-exact. Engine addition (SURVEY §2.12): the selection
+    complement of bigram_lm_perplexity's corpus-mean flag."""
+    scored = _bigram_scored(spark, sf_dir)
+    lang = _docs(spark, sf_dir).select("doc_id", "lang")
+    j = scored.join(F.broadcast(lang), "doc_id").select(
+        "doc_id", "lang", "avg_logp"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logp"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id", "lang", "avg_logp",
+        F.ntile(3).over(w).alias("bucket"),
+        (F.ntile(3).over(w) < 3).alias("kept"),
     )
 
 

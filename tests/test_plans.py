@@ -1012,3 +1012,30 @@ def test_q18_agg_partitioning_reused_by_orders_join(spark):
     assert final.count("Exchange hashpartitioning(l_orderkey") == 1
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_jvm_only_anti_join(spark):
+    """SemDeDup: norms fold map-side, pairs come from a cell equi
+    self-join (never a nested loop or cartesian), the dropped set
+    resolves via LEFT ANTI, and no Python evaluator appears — the
+    whole operator is JVM expressions."""
+    df = SUITE["semantic_dedup_cells"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "LeftAnti" in final
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan  # no Batch/ArrowEvalPython stages
+
+
+def test_ppl_buckets_share_scoring_cache_window_per_lang(spark):
+    """CCNet buckets: the scoring subtree is the SAME persisted
+    bigram matrix the flag entry uses (InMemoryTableScan), the lang
+    dim joins by broadcast, and the only window is the per-language
+    ntile."""
+    df = SUITE["perplexity_bucket_filter"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "Window" in plan
+    assert "ntile(3)" in plan
+    assert "CartesianProduct" not in plan

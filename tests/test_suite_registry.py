@@ -114,6 +114,9 @@ EXPECTED = {
     "top_supplier_q15",
     "supplier_part_counts_q16",
     "large_volume_customers_q18",
+    # round-8 second half: LLM-pipeline additions
+    "semantic_dedup_cells",
+    "perplexity_bucket_filter",
     # text
     "doc_stats_quality",
     "lang_id",
