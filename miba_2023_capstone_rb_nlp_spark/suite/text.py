@@ -826,3 +826,105 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _count(sym).alias("n_char_syms"),
         _count(enc).alias("n_bpe_syms"),
     ).orderBy("doc_id")
+
+
+# --- count-min sketch heavy hitters ---------------------------------
+# The mergeable-frequency-sketch complement of approx_distinct_parts'
+# HLL++: a d×w count-min sketch (Cormode & Muthukrishnan 2005) built
+# as a PLAIN GROUPED COUNT over md5 buckets — which is the entire
+# scale story: the sketch is a ≤ d·w-row table no matter how large
+# the vocabulary, map-side partials compress every task's token
+# stream to ≤ d·w rows before the one exchange, and two corpora's
+# sketches merge by summing cells (the classic mergeability). The
+# entry self-validates: it estimates the top-20 exact heavy hitters
+# and reports the (always ≥ 0) overcount, so the driver hash pins
+# both the sketch construction and the probe path. Buckets come from
+# the repo's cross-engine 60-bit md5 idiom (functions/text.md5_long),
+# so Spark and DuckDB build bit-identical sketches.
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' || {w}), 1, 15)) "
+    f"AS BIGINT) % {_CMS_W}"
+)
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+exact AS (
+  SELECT w, count(*) AS exact_n FROM tok GROUP BY w
+),
+top AS (
+  SELECT w, exact_n FROM exact ORDER BY exact_n DESC, w LIMIT 20
+),
+rows_ AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r),
+sketch AS (
+  SELECT rows_.r, {_CMS_BUCKET_SQL.format(r='rows_.r', w='tok.w')} AS c,
+         count(*) AS n
+  FROM tok, rows_ GROUP BY 1, 2
+),
+probe AS (
+  SELECT top.w, top.exact_n, rows_.r,
+         {_CMS_BUCKET_SQL.format(r='rows_.r', w='top.w')} AS c
+  FROM top, rows_
+)
+SELECT p.w AS token, CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(min(s.n) AS BIGINT) AS est_n,
+       CAST(min(s.n) - p.exact_n AS BIGINT) AS overcount
+FROM probe p JOIN sketch s ON s.r = p.r AND s.c = p.c
+GROUP BY p.w, p.exact_n
+"""
+
+
+@register("countmin_heavy_hitters", oracle=_CMS_ORACLE)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream; top-20 heavy hitters
+    estimated from the sketch beside their exact counts.
+
+    Plan: the token stream is exploded once and persisted (it feeds
+    the exact counts — needed here only to ground-truth the probe —
+    and the sketch). The sketch build is a chained map-only explode
+    (×d rows per token, no join) into ONE grouped count whose key
+    space is capped at d·w = 4×1024 cells — partial aggregation
+    bounds every task's exchange contribution at 4096 rows however
+    big the corpus, and sketches merge across corpora by cell-wise
+    sum. The probe side is 20·d rows joined against the broadcast
+    sketch; min-over-rows is a 20-group aggregate. At 100 TB the
+    exact-count branch disappears (that's the point of the sketch)
+    and what remains is one bounded-width exchange."""
+    docs = _docs(spark, sf_dir)
+    toks = persist_tracked(
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    )
+    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("w")).limit(20)
+    rows_arr = F.array(*[F.lit(i) for i in range(_CMS_D)])
+
+    def bucket() -> F.Column:
+        return (
+            T.md5_long(
+                F.concat(F.col("r").cast("string"), F.lit(":"), F.col("w"))
+            )
+            % _CMS_W
+        )
+
+    sketch = (
+        toks.select("w", F.explode(rows_arr).alias("r"))
+        .select("r", bucket().alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probe = top.select(
+        "w", "exact_n", F.explode(rows_arr).alias("r")
+    ).withColumn("c", bucket())
+    return (
+        probe.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("w", "exact_n")
+        .agg(F.min("n").alias("est_n"))
+        .select(
+            F.col("w").alias("token"),
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )

@@ -35,6 +35,12 @@ ENTRIES = [
     "excess_shipment_q20",       # conditional decimal agg + semi join (r8)
     "idle_customers_q22",        # scalar broadcast + anti join (r8)
     "revenue_concentration_q11", # global-fraction decimal HAVING (r8)
+    # r8 second half: battery-completing + LLM-pipeline debuts
+    "market_share_q8",           # conditional-sum ratio, fixed() quantized
+    "top_supplier_q15",          # exact-decimal max-equality ties
+    "order_count_distribution_q13",  # outer-join histogram
+    "semantic_dedup_cells",      # cell self-join + fold-order cosine
+    "perplexity_bucket_filter",  # per-lang ntile over quantized scores
 ]
 
 

@@ -1039,3 +1039,16 @@ def test_ppl_buckets_share_scoring_cache_window_per_lang(spark):
     assert "Window" in plan
     assert "ntile(3)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_countmin_sketch_bounded_key_space(spark):
+    """Count-min: the token stream persists once (exact + sketch both
+    read the cache), the sketch build partial-aggregates map-side
+    into the d×w-bounded cell table, and the probe joins the sketch
+    by broadcast — no unbounded shuffle anywhere."""
+    df = SUITE["countmin_heavy_hitters"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "partial_" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

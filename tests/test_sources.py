@@ -192,3 +192,79 @@ def test_pipeline_executor_end_to_end(spark, article_files, tmp_path):
 
 def test_sanitize_query():
     assert sanitize_query(' "Roland Berger" ') == "RolandBerger"
+
+
+# --- Python Data Source connector (sources/pysource.py) -------------
+
+
+class TestPythonDataSource:
+    """The Spark-4 DataSource V2 Python contracts: split planning,
+    per-split generation, and the 4.1 pushFilters protocol."""
+
+    def _reader(self, n=100, parts=8):
+        from miba_2023_capstone_rb_nlp_spark.sources.pysource import (
+            SeededLinksReader,
+        )
+
+        return SeededLinksReader({"n": str(n), "parts": str(parts)})
+
+    def test_partitions_cover_range_disjointly(self):
+        r = self._reader(n=103, parts=8)
+        parts = r.partitions()
+        assert len(parts) == 8
+        seen = []
+        for p in parts:
+            seen.extend(range(p.start, p.end))
+        assert seen == list(range(103))
+
+    def test_read_is_deterministic_and_md5_derived(self):
+        import hashlib
+
+        r = self._reader(n=10, parts=1)
+        (p,) = r.partitions()
+        rows = list(r.read(p))
+        assert len(rows) == 10
+        for link_id, engine, se_link, h in rows:
+            expect = int(
+                hashlib.md5(f"link:{link_id}".encode()).hexdigest()[:15], 16
+            )
+            assert h == expect
+            assert engine == ("Google", "Bing", "Yahoo")[h % 3]
+
+    def test_pushdown_accepts_engine_equality_rejects_rest(self):
+        from pyspark.sql.datasource import EqualTo, GreaterThan
+
+        r = self._reader(n=50, parts=2)
+        eq = EqualTo(("engine",), "Bing")
+        gt = GreaterThan(("h",), 5)  # unsupported → must come back
+        remaining = list(r.pushFilters([eq, gt]))
+        assert remaining == [gt]
+        assert r.engine_allow == {"Bing"}
+        rows = [row for p in r.partitions() for row in r.read(p)]
+        assert rows and all(row[1] == "Bing" for row in rows)
+
+    def test_pushdown_in_filter_intersects(self):
+        from pyspark.sql.datasource import EqualTo, In
+
+        r = self._reader(n=50, parts=2)
+        assert list(r.pushFilters([In(("engine",), ("Bing", "Yahoo"))])) == []
+        assert list(r.pushFilters([EqualTo(("engine",), "Yahoo")])) == []
+        assert r.engine_allow == {"Yahoo"}
+
+    def test_e2e_filtered_scan_matches_unfiltered_subset(self, spark):
+        from miba_2023_capstone_rb_nlp_spark.sources.pysource import (
+            SeededLinksDataSource,
+        )
+
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(SeededLinksDataSource)
+        df = (
+            spark.read.format("seeded_links")
+            .option("n", 300).option("parts", 4).load()
+        )
+        full = {r.link_id for r in df.collect() if r.engine == "Google"}
+        pushed = {
+            r.link_id
+            for r in df.filter(df.engine == "Google").collect()
+        }
+        assert pushed == full and pushed

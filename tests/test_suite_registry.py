@@ -117,6 +117,8 @@ EXPECTED = {
     # round-8 second half: LLM-pipeline additions
     "semantic_dedup_cells",
     "perplexity_bucket_filter",
+    "countmin_heavy_hitters",
+    "custom_pysource_links",
     # text
     "doc_stats_quality",
     "lang_id",
