@@ -132,7 +132,7 @@ _DEPRIORITIZED = (
     # supplier_part_counts_q16, large_volume_customers_q18 — they
     # registered after the r8 window froze and sit first in registry
     # order past the window, so they promote automatically), (0b) the
-    # three LLM-pipeline debuts registered with them
+    # four LLM-pipeline debuts registered with them
     # (semantic_dedup_cells, perplexity_bucket_filter,
     # countmin_heavy_hitters, custom_pysource_links), (1) the
     # five one-green r5 singles (bpe_merge_learn,

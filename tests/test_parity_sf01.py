@@ -4,11 +4,11 @@ flukes that only appear with more rows near floor boundaries (the
 failure class the fixed-point recipe is designed to exclude).
 
 Slow (~3-5 min on local[32]); opt in with SPARK_GRAFT_SF01_PARITY=1.
-Last full run: round 6 (final), 111/111 oracles green (279 s) —
-including every round-6 addition (bucketed MERGE, partition-pruned
-IVF, streaming foreachBatch upsert, TPC-H Q5/Q14/Q19, triangle
-counting) and the round-6 review fixes (M1/M2 ordering, shared
-guards).
+Last full run: round 8, 136/136 oracles green (269 s) — including
+the full 22-query TPC-H battery (the eight round-8 completions
+Q6/Q8/Q9/Q12/Q13/Q15/Q16/Q18), SemDeDup, the CCNet perplexity
+buckets, count-min heavy hitters, and the Python Data Source
+connector. (Round 6's run was 111/111 in 279 s.)
 """
 
 from __future__ import annotations

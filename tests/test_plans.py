@@ -951,8 +951,13 @@ def test_q12_window_pushed_residual_after_join(spark):
     3-group aggregate."""
     df = SUITE["late_shipment_priority_q12"].fn(spark, SF_TEST_DIR)
     plan = _executed_plan(df)
-    pushed = plan.split("PushedFilters: [", 1)[1]
-    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    full = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = [seg.split("]", 1)[0]
+              for seg in full.split("PushedFilters: [")[1:]]
+    assert any("GreaterThanOrEqual(l_shipdate,1996-01-01" in p
+               for p in pushed)
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
 
