@@ -473,3 +473,68 @@ def register_tws_entry() -> None:
     register("events_tws_profiles", oracle=_TWS_ORACLE)(
         q_events_tws_profiles
     )
+
+
+# --- stream-static join ---------------------------------------------
+# The §2.10 join surface not yet exercised: a STREAM joined to a
+# STATIC dimension. Stream-static joins are stateless by definition
+# (only the stream side accumulates; the static side is re-resolved
+# at every micro-batch — the mechanism that lets a slowly-changing
+# dim refresh mid-stream without restarting the query), so no
+# watermark is involved and the result must equal the plain batch
+# join — which IS the oracle.
+_STREAM_STATIC_TABLE = "events_stream_static_result"
+_STREAM_STATIC_ORACLE = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("events_stream_static_join", oracle=_STREAM_STATIC_ORACLE)
+def q_events_stream_static_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streamed events enriched by the static customer dim, then
+    aggregated per (segment, event_type).
+
+    Plan: the dim rides a BROADCAST into every micro-batch (a
+    stream-static join cannot stateful-shuffle the static side, and
+    without the hint a large dim would re-shuffle per trigger); the
+    aggregate state is |segments × types| rows — bounded regardless
+    of stream length. Complete mode + AvailableNow drains the source,
+    so the streamed result must hash-equal the batch join the oracle
+    states. At scale the static side refreshes per micro-batch from
+    its table location — the standard slowly-changing-dimension
+    pattern."""
+    from miba_2023_capstone_rb_nlp_spark import catalog
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import dsum
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _set_utc(spark)  # warn-once UTC pin (catalog policy)
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        os.path.join(sf_dir, "events.*")
+    )
+    cust = catalog.table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    joined = stream.join(
+        F.broadcast(cust), stream["user_id"] == F.col("c_custkey")
+    )
+    out = joined.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
+    with _state_partitions(spark):
+        query = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(_STREAM_STATIC_TABLE)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(_STREAM_STATIC_TABLE)

@@ -268,3 +268,24 @@ class TestPythonDataSource:
             for r in df.filter(df.engine == "Google").collect()
         }
         assert pushed == full and pushed
+
+    def test_arrow_path_row_identical(self, spark):
+        """arrow=true (one RecordBatch per split — columnar hand-off)
+        must produce exactly the rows of the tuple path, filters
+        included."""
+        from miba_2023_capstone_rb_nlp_spark.sources.pysource import (
+            SeededLinksDataSource,
+        )
+
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(SeededLinksDataSource)
+
+        def rows(arrow):
+            df = (
+                spark.read.format("seeded_links")
+                .option("n", 257).option("parts", 3)
+                .option("arrow", arrow).load()
+            )
+            return sorted(map(tuple, df.filter(df.engine != "Bing").collect()))
+
+        assert rows("true") == rows("false") and rows("true")

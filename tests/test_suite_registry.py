@@ -119,6 +119,7 @@ EXPECTED = {
     "perplexity_bucket_filter",
     "countmin_heavy_hitters",
     "custom_pysource_links",
+    "events_stream_static_join",
     # text
     "doc_stats_quality",
     "lang_id",
