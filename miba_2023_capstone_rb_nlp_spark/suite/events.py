@@ -1069,3 +1069,51 @@ def q_events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
     )
     return _rt_aggregate(back, extrema=True)
+
+
+# --- VariantType semi-structured extraction --------------------------
+# Spark 4's VARIANT is the binary semi-structured format: JSON text is
+# parsed ONCE into a typed binary encoding, and every downstream path
+# extraction is a cheap binary traversal instead of a re-parse of the
+# string. The entry round-trips events through a NESTED JSON payload
+# (type at the top level, user/value under $.meta) — the shape an
+# upstream event bus actually emits — then extracts typed paths and
+# runs the shared round-trip fingerprint aggregate, so the oracle (the
+# ORIGINAL parquet aggregated directly) proves parse_json →
+# variant_get is lossless for string/bigint/double across nesting.
+_VARIANT_ORACLE = _rt_oracle()
+
+
+@register("events_variant_extract", oracle=_VARIANT_ORACLE)
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → nested JSON string → VARIANT → typed path extraction →
+    fingerprint aggregate (oracle aggregates the original parquet).
+
+    Plan: to_json / parse_json / variant_get are all JVM codegen
+    expressions — the whole payload column stays inside one
+    WholeStageCodegen span, no Python crossing. At 100 TB the pattern
+    is parse-once-extract-many: a pipeline that keeps payloads as
+    strings re-parses the JSON for EVERY extracted field, while a
+    variant column amortizes the parse into the ingest scan and each
+    `variant_get` is a binary offset walk. NULL fields survive: to_json
+    omits null struct fields and variant_get returns NULL for a
+    missing path, so the aggregate's null semantics match the oracle's
+    exactly."""
+    ev = _events(spark, sf_dir).select(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.struct(
+                    F.col("user_id").alias("user"),
+                    F.col("value").alias("value"),
+                ).alias("meta"),
+            )
+        ).alias("payload")
+    )
+    var = ev.select(F.parse_json("payload").alias("v"))
+    back = var.select(
+        F.variant_get("v", "$.type", "string").alias("event_type"),
+        F.variant_get("v", "$.meta.user", "bigint").alias("user_id"),
+        F.variant_get("v", "$.meta.value", "double").alias("value"),
+    )
+    return _rt_aggregate(back)

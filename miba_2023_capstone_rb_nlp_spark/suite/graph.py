@@ -280,3 +280,56 @@ def triangle_counts(e: DataFrame) -> DataFrame:
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# --- recursive CTE: bounded-depth reachability -----------------------
+# Spark 4's WITH RECURSIVE (SPARK-24497) executes as an iterative
+# UnionLoop: each round distributes the frontier ⋈ edges join, so the
+# traversal is a sequence of ordinary shuffle (or broadcast) joins —
+# the SQL-standard way to express bounded-depth graph walks without
+# hand-rolling the loop. The SQL string IS the oracle string
+# (byte-identical text, two engines, hash-equal results), mirroring
+# sql_interface_segment_revenue.
+_TRADE_HOPS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+reach(node, hop) AS (
+  SELECT src AS node, 0 AS hop FROM edges WHERE src = 0
+  UNION ALL
+  SELECT e.dst AS node, r.hop + 1 AS hop
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hop < 3
+)
+SELECT CAST(node AS BIGINT) AS nation, CAST(min(hop) AS INT) AS hops,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY node
+"""
+
+
+@register("trade_hops_recursive", oracle=_TRADE_HOPS_SQL)
+def q_trade_hops_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS over the nation-level trade graph via WITH RECURSIVE:
+    nations reachable from nation 0 in ≤3 buyer→supplier hops, with
+    min-hop distance and path multiplicity.
+
+    Plan: the edge CTE collapses the fact tables to a ≤25-node,
+    ≤600-edge DISTINCT nation graph BEFORE the recursion starts — the
+    traversal never touches lineitem again, so each UnionLoop round is
+    a frontier ⋈ tiny-edges join and the recursion's cost is bounded
+    by the DIMENSION's size (≤25³ path rows at hop cap 3) no matter
+    how large the fact tables grow. UNION ALL recursion enumerates
+    paths, not nodes — correct here because the hop cap bounds the
+    blowup and min(hop)/count(*) want multiplicity; an unbounded
+    reachability over a large vertex set belongs to the
+    frontier-dedup'ing connected-components kernels
+    (dedup/components.py), not a recursive CTE. Reference has no graph
+    surface; this pins the engine's SQL-standard recursion."""
+    for t in ("customer", "supplier", "orders", "lineitem"):
+        catalog.table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TRADE_HOPS_SQL)

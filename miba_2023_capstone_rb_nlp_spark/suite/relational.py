@@ -2630,3 +2630,44 @@ def q_large_volume_customers_q18(
             "o_totalprice", F.col("qty").cast("double").alias("sum_qty"),
         )
     )
+
+
+# --- correlated LATERAL subquery with ORDER BY + LIMIT ---------------
+# The SQL-standard spelling of "top-k per group" — a correlated
+# LATERAL derived table with its own ORDER BY/LIMIT. Catalyst
+# DECORRELATES it: the per-row subquery becomes one window-group-limit
+# (row_number bounded at k, partial before the shuffle) over the inner
+# table plus a single equi-join back — no nested-loop re-execution per
+# outer row, which is what a naive lateral evaluation would do and
+# what would be fatal against a 100 TB inner table. The SQL string IS
+# the oracle string (two engines, byte-identical text).
+_LATERAL_TOPC_SQL = """
+SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c.c_name, c.c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c.c_acctbal DESC, c.c_name
+  LIMIT 2
+) t
+"""
+
+
+@register("top_customers_lateral", oracle=_LATERAL_TOPC_SQL)
+def q_top_customers_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by account balance per nation, expressed as a
+    correlated LATERAL subquery (the SQL-standard top-k-per-group).
+
+    Plan (pinned in tests/test_plans.py): Catalyst decorrelates the
+    lateral into WindowGroupLimit(row_number ≤ 2) — the per-partition
+    limit runs PARTIAL before the exchange, so each map task forwards
+    at most 2 rows per nation key and the shuffle carries k·|nations|
+    rows, not the customer table — then one broadcast join back to the
+    25-row nation dim. Equivalent machinery to top_orders_per_customer
+    (window row_number), reached through the lateral-decorrelation
+    path instead; ties broken by c_name so both engines pick the same
+    rows."""
+    for t in ("nation", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPC_SQL)

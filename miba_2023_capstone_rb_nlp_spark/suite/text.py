@@ -928,3 +928,200 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+# --- Python UDTF surface (Spark 4 user-defined TABLE function) -------
+# The §2.11 UDF surface completed: scalar pandas UDF, iterator pandas
+# UDF, cogroup.applyInPandas, applyInPandasWithState are all pinned
+# elsewhere; this entry pins the TABLE-function shape — a Python class
+# whose eval() yields 0..n rows per input row, lateral-joined in SQL.
+# Arrow-optimized (useArrow=True): inputs/outputs cross as Arrow
+# batches, not pickled rows. The oracle replicates the expansion with
+# generate_series + substr, so the driver proves the UDTF's row
+# semantics, not just that it runs.
+_CHUNK_W = 200
+_UDTF_CHUNK_ORACLE = f"""
+WITH idx AS (
+  SELECT unnest(generate_series(
+           0, CAST(ceil(length(d.text)/{_CHUNK_W}.0) AS INT) - 1)) AS chunk_idx,
+         d.text
+  FROM documents d
+  WHERE d.text IS NOT NULL AND length(d.text) > 0
+),
+chunks AS (
+  SELECT chunk_idx,
+         substr(text, CAST(chunk_idx * {_CHUNK_W} + 1 AS INT), {_CHUNK_W}) AS chunk
+  FROM idx
+)
+SELECT CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(length(chunk)) AS BIGINT) AS sum_len,
+       CAST(sum(length(chunk) - length(replace(chunk, ' ', '')) + 1)
+            AS BIGINT) AS sum_tokens
+FROM chunks GROUP BY 1
+"""
+
+
+@register("doc_chunks_udtf", oracle=_UDTF_CHUNK_ORACLE)
+def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width chunk profile of the corpus through a Python UDTF:
+    per chunk ordinal, how many documents have that chunk, total chars
+    and whitespace tokens in it.
+
+    Plan: the UDTF runs inside the scan stage (one Python worker pass,
+    Arrow-batched both directions, no shuffle before it); the
+    LATERAL join against a UDTF is a per-row expansion, not a
+    decorrelated re-execution, and the only exchange is the final
+    3-column partial-agg groupBy. When the expansion is expressible
+    as sequence()+substring (this one is — doc_chunk_windows does it
+    JVM-side), the built-in path wins; the UDTF is for expansions that
+    genuinely need imperative logic (tokenizers, parsers, format
+    sniffers), and this entry pins that surface against a SQL oracle.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx int, chunk_len int, n_tokens int",
+        useArrow=True,
+    )
+    class ChunkStats:
+        def eval(self, text):
+            if not text:
+                return
+            for i in range(0, len(text), _CHUNK_W):
+                c = text[i : i + _CHUNK_W]
+                yield i // _CHUNK_W, len(c), c.count(" ") + 1
+
+    spark.udtf.register("chunk_stats", ChunkStats)
+    catalog.table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        """
+SELECT c.chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(c.chunk_len) AS BIGINT) AS sum_len,
+       CAST(sum(c.n_tokens) AS BIGINT) AS sum_tokens
+FROM documents d, LATERAL chunk_stats(d.text) c
+GROUP BY 1
+"""
+    )
+
+
+# --- mapInArrow surface (batch-level Arrow access) --------------------
+# The lowest-overhead Python crossing Spark offers: the partition
+# arrives as raw pyarrow RecordBatches (no pandas materialization, no
+# per-row pickling) and the kernel runs pyarrow.compute vector ops.
+# All emitted stats are INTEGERS, so parity with the SQL oracle is
+# exact by construction — no float-order concerns in the Python path.
+_ARROW_STATS_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+       CAST(sum(length(text) - length(replace(text, ' ', '')))
+            AS BIGINT) AS sum_spaces
+FROM documents
+GROUP BY source
+"""
+
+
+@register("doc_bytes_arrow", oracle=_ARROW_STATS_ORACLE)
+def q_doc_bytes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus size profile (docs, chars, utf-8 bytes,
+    spaces) with the string kernels run in pyarrow.compute via
+    mapInArrow.
+
+    Plan: mapInArrow is map-only — it runs inside the scan stage on
+    whatever batches arrive, emits one 4-column stats batch per input
+    batch, and the groupBy on the tiny emitted columns is the only
+    exchange. Versus mapInPandas this skips the Arrow→pandas→Arrow
+    conversion entirely (the batches are handed to the kernel as-is),
+    which is the right crossing when the per-batch work is itself
+    Arrow-native. char (code points) vs byte (utf-8) lengths are both
+    emitted — the distinction a tokenizer-budget pipeline actually
+    needs. The built-in twin (length/octet_length, JVM codegen) is
+    what doc_stats_quality uses; this entry pins the Arrow crossing
+    against the same SQL semantics."""
+    import pyarrow as pa
+
+    schema = (
+        "source string, chars bigint, bytes bigint, spaces bigint"
+    )
+
+    def batch_stats(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column(0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(1),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(
+                        pc.count_substring(text, " "), pa.int64()
+                    ),
+                ],
+                names=["source", "chars", "bytes", "spaces"],
+            )
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "text", "source"
+    )
+    stats = docs.mapInArrow(batch_stats, schema)
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("chars").alias("sum_chars"),
+        F.sum("bytes").alias("sum_bytes"),
+        F.sum("spaces").alias("sum_spaces"),
+    )
+
+
+# --- collated comparison (Spark 4 string collations) -------------------
+# UTF8_LCASE makes case-insensitivity a property of the COMPARISON,
+# not a rewrite of the data: groupBy/join/distinct on a collated
+# column match case variants while the stored strings keep their
+# original bytes. The entry manufactures deterministic case variance
+# (even doc_ids upper-cased) so the collated groupBy has real work to
+# do, and n_variants per group proves the variants truly merged.
+_COLLATED_ORACLE = """
+WITH v AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang_v
+  FROM documents
+)
+SELECT lower(lang_v) AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang_v) AS BIGINT) AS n_variants
+FROM v GROUP BY 1
+"""
+
+
+@register("collated_lang_counts", oracle=_COLLATED_ORACLE)
+def q_collated_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language counts where the group key is a UTF8_LCASE-collated
+    column over deterministically case-perturbed values; the oracle
+    groups by lower() — hash-equal results prove the collated
+    comparison implements exactly case-fold equality here.
+
+    Plan: collation changes the aggregate's key comparator, not the
+    plan shape — still one partial-agg exchange on the (collated)
+    key. At 100 TB the win over the lower()-rewrite idiom is that no
+    derived column is materialized through the shuffle and the
+    original-cased value stays available on the other side of the
+    aggregation (n_variants here needs it); lower(k) is applied only
+    to the ≤|langs| output rows. ICU-backed collations (e.g.
+    UNICODE_CI) ride the same comparator hook."""
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("lang_v")
+    )
+    return (
+        docs.groupBy(F.collate(F.col("lang_v"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang_v").alias("n_variants"),
+        )
+        .select(F.lower("k").alias("lang"), "n_docs", "n_variants")
+    )

@@ -41,6 +41,13 @@ ENTRIES = [
     "order_count_distribution_q13",  # outer-join histogram
     "semantic_dedup_cells",      # cell self-join + fold-order cosine
     "perplexity_bucket_filter",  # per-lang ntile over quantized scores
+    # r8 third wave: new engine surfaces
+    "trade_hops_recursive",      # WITH RECURSIVE UnionLoop frontier joins
+    "top_customers_lateral",     # decorrelated LATERAL window-group-limit
+    "doc_chunks_udtf",           # Python UDTF lateral expansion
+    "doc_bytes_arrow",           # mapInArrow batch kernel (batch-shape-free)
+    "events_variant_extract",    # VARIANT parse/extract codegen
+    "collated_lang_counts",      # UTF8_LCASE collated group keys
 ]
 
 

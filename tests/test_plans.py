@@ -1057,3 +1057,67 @@ def test_countmin_sketch_bounded_key_space(spark):
     assert "partial_" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round-8 third wave: new engine surfaces --------------------------
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT 2) must decorrelate:
+    one WindowGroupLimit over customer plus a join back — never a
+    per-outer-row re-execution (no nested loop / cartesian)."""
+    df = SUITE["top_customers_lateral"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_variant_extract_stays_jvm_side(spark):
+    """parse_json/variant_get are codegen expressions: the variant
+    path must introduce NO Python crossing — the only Python-adjacent
+    nodes allowed are none at all."""
+    df = SUITE["events_variant_extract"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "variant_get" in plan
+    for crossing in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                     "PythonUDTF", "MapInArrow"):
+        assert crossing not in plan, crossing
+    # "*(n) " prefixes mark WholeStageCodegen spans in toString()
+    assert "*(1)" in plan
+
+
+def test_map_in_arrow_is_map_only_before_agg(spark):
+    """MapInArrow runs inside the scan stage; the single
+    hash-partitioned exchange in the plan is the final groupBy over
+    the kernel's 4 tiny columns (the full text column never
+    shuffles)."""
+    df = SUITE["doc_bytes_arrow"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "MapInArrow" in plan
+    # exactly one shuffle boundary: the stats aggregation
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the exchange carries the kernel output, not the text column
+    exch = plan[plan.index("Exchange hashpartitioning"):].splitlines()[0]
+    assert "text" not in exch
+
+
+def test_udtf_expansion_is_arrow_batched(spark):
+    """The Python UDTF rides the Arrow-optimized eval path (no
+    per-row pickling) and expands rows inside the scan stage — the
+    only shuffle is the final 3-column aggregate."""
+    df = SUITE["doc_chunks_udtf"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "PythonUDTF" in plan and "ArrowEvalPython" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_recursive_cte_executes_as_union_loop(spark):
+    """WITH RECURSIVE compiles to the iterative UnionLoop operator —
+    and the fact tables are consumed ONCE by the edge CTE, outside
+    the loop (the loop's join partner is the 25-node nation graph,
+    so recursion cost is dimension-bounded)."""
+    df = SUITE["trade_hops_recursive"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df)
+    assert "UnionLoop" in plan
+    assert "CartesianProduct" not in plan

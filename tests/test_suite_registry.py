@@ -120,6 +120,12 @@ EXPECTED = {
     "countmin_heavy_hitters",
     "custom_pysource_links",
     "events_stream_static_join",
+    "events_variant_extract",
+    "trade_hops_recursive",
+    "top_customers_lateral",
+    "doc_chunks_udtf",
+    "doc_bytes_arrow",
+    "collated_lang_counts",
     # text
     "doc_stats_quality",
     "lang_id",
