@@ -139,7 +139,7 @@ _DEPRIORITIZED = (
     # frozen window (events_stream_static_join,
     # events_variant_extract, trade_hops_recursive,
     # top_customers_lateral, doc_chunks_udtf, doc_bytes_arrow,
-    # collated_lang_counts), (1) the
+    # collated_lang_counts, events_try_ops_safe), (1) the
     # five one-green r5 singles (bpe_merge_learn,
     # shipping_priority_q3, event_transition_matrix,
     # events_value_ttest, events_cusum_changepoint — at the

@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark import catalog
-from miba_2023_capstone_rb_nlp_spark.functions.numeric import dsum, fixed, sql_dsum
+from miba_2023_capstone_rb_nlp_spark.functions.numeric import (
+    dec,
+    dsum,
+    fixed,
+    sql_dsum,
+)
 from miba_2023_capstone_rb_nlp_spark.suite import register
 
 
@@ -1117,3 +1122,65 @@ def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("v", "$.meta.value", "double").alias("value"),
     )
     return _rt_aggregate(back)
+
+
+# --- ANSI-safe arithmetic (try_divide / try_cast) ---------------------
+# Spark 4 runs ANSI mode by default: raw division-by-zero and bad
+# casts are ERRORS, which at 100 TB means one dirty row kills a
+# 1000-executor job hours in. The try_* family is the engine's
+# row-level quarantine — NULL for the poisoned row, job survives —
+# and this entry pins its semantics cross-engine: try_divide ≡
+# x / nullif(d, 0), try_cast ≡ TRY_CAST, over deterministically
+# manufactured dirt (every 5th user divides by zero, every 7th has an
+# unparseable id string).
+_TRY_OPS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_div0,
+       CAST(sum(CAST(floor(
+              (value / CAST(nullif(user_id % 5, 0) AS DOUBLE)) * 1000000.0
+            ) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_safe_ratio,
+       CAST(count(TRY_CAST(
+              CASE WHEN user_id % 7 = 0 THEN 'N/A'
+                   ELSE CAST(user_id AS VARCHAR) END AS BIGINT))
+            AS BIGINT) AS n_parsed
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_try_ops_safe", oracle=_TRY_OPS_ORACLE)
+def q_events_try_ops_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data arithmetic through the try_* family: per event type,
+    how many rows hit the zero divisor, the exact-decimal sum of the
+    surviving quantized ratios, and how many ids parsed.
+
+    Plan: try_divide/try_cast are codegen expressions — the quarantine
+    costs nothing over the raw operators; one partial-agg exchange.
+    The quotient is floor-quantized at 1e-6 per row and summed as
+    DECIMAL(18,6) (order-independent), the suite's standard recipe for
+    float aggregates. The alternative to try_* — a WHERE pre-filter
+    per failure mode — needs one predicate per way a row can be dirty
+    and still dies on the mode nobody predicted; NULL-on-failure
+    composes."""
+    ev = _events(spark, sf_dir).select("event_type", "user_id", "value")
+    div = F.col("user_id") % 5
+    quotient = F.try_divide(
+        F.col("value"), div.cast("double")
+    )
+    dirty_id = F.when(F.col("user_id") % 7 == 0, F.lit("N/A")).otherwise(
+        F.col("user_id").cast("string")
+    )
+    rows = ev.select(
+        "event_type",
+        F.when(div == 0, F.lit(1)).otherwise(F.lit(0)).alias("is_div0"),
+        fixed(quotient, 6).alias("safe_ratio_q"),
+        dirty_id.try_cast("bigint").alias("parsed_id"),
+    )
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_div0").alias("n_div0"),
+        F.sum(dec("safe_ratio_q", 6)).cast("double").alias("sum_safe_ratio"),
+        F.count("parsed_id").alias("n_parsed"),
+    )

@@ -48,6 +48,7 @@ ENTRIES = [
     "doc_bytes_arrow",           # mapInArrow batch kernel (batch-shape-free)
     "events_variant_extract",    # VARIANT parse/extract codegen
     "collated_lang_counts",      # UTF8_LCASE collated group keys
+    "events_try_ops_safe",       # per-row quantized decimal-sum under try_*
 ]
 
 

@@ -186,3 +186,58 @@ def test_checkpoint_restart_preserves_dedup_state(spark, tmp_path):
     out = spark.read.parquet(sink)
     links = sorted(r["se_link"] for r in out.select("se_link").collect())
     assert links == [f"https://ex.com/{i}" for i in (1, 2, 3, 4, 5)]
+
+
+def test_drop_duplicates_within_watermark_semantics(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate key arriving within
+    the watermark delay is suppressed EVEN IF its event time differs
+    (exact-key dropDuplicates would keep it), and the key's dedup
+    state expires once the watermark passes first-seen + delay — so
+    the same key is legitimately emitted again later. This is the
+    at-least-once-upstream dedup contract for sources that re-stamp
+    timestamps on redelivery; state stays bounded by the delay."""
+    src = tmp_path / "ev_in"
+    sink = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+
+    def _write(name, rows):
+        src.mkdir(parents=True, exist_ok=True)
+        with open(src / name, "w") as f:
+            for rid, ts in rows:
+                f.write(json.dumps({"rid": rid, "ts": ts}) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("rid string, ts timestamp")
+            .json(str(src))
+        )
+        q = (
+            stream.withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["rid"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: same key twice with DIFFERENT event times, 5 min apart
+    # (inside the 30-min delay) → exactly one survivor
+    _write("b1.jsonl", [("a", "2024-01-01T10:00:00Z"),
+                        ("a", "2024-01-01T10:05:00Z")])
+    run_once()
+    # batch 2: unrelated key far in the future advances the watermark
+    # to 11:30, past a's first-seen (10:00) + 30 min → a's state drops
+    _write("b2.jsonl", [("b", "2024-01-01T12:00:00Z")])
+    run_once()
+    # batch 3: key a returns after expiry → emitted AGAIN
+    _write("b3.jsonl", [("a", "2024-01-01T12:05:00Z")])
+    run_once()
+
+    out = spark.read.parquet(sink)
+    counts = {
+        r["rid"]: r["n"]
+        for r in out.groupBy("rid").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 2, "b": 1}

@@ -121,6 +121,7 @@ EXPECTED = {
     "custom_pysource_links",
     "events_stream_static_join",
     "events_variant_extract",
+    "events_try_ops_safe",
     "trade_hops_recursive",
     "top_customers_lateral",
     "doc_chunks_udtf",
