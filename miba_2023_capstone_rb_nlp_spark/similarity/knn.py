@@ -380,3 +380,58 @@ def knn_int8_rerank(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "int_score", "cos", "rk")
     )
+
+
+def knn_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    group_col: str,
+    dim: int,
+    k: int = 5,
+    scale: int = 6,
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
+) -> DataFrame:
+    """→ [query_id, neighbor_id, cos, rk ≤ k]: for each query, the
+    most-similar candidates from a DIFFERENT group — contrastive
+    hard-negative mining (the negatives that sit closest to the
+    decision boundary are the ones worth training on).
+
+    Same distributed shape as knn_bruteforce (bounded query broadcast,
+    per-batch partial top-k, one window reduce); the same-group mask
+    replaces the self-mask — it subsumes it, since a vector shares its
+    own group."""
+    qpd = _collect_queries(
+        queries,
+        [
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.col(group_col).alias("qg"),
+        ],
+        max_query_rows,
+        "knn_hard_negatives",
+    )
+    qids = qpd["qid"].to_numpy()
+    qgrp = qpd["qg"].to_numpy()
+    qmat = to_matrix(qpd["qv"], dim)
+
+    def score(batches):
+        for pdf in batches:
+            nids = pdf[id_col].to_numpy()
+            ngrp = pdf[group_col].to_numpy()
+            cos = fixed_np(cos_matrix(qmat, to_matrix(pdf[vec_col], dim)), scale)
+            cos[qgrp[:, None] == ngrp[None, :]] = np.nan  # same group out
+            yield _topk_frame(qids, nids, cos, k)
+
+    partial = corpus.mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )

@@ -1184,3 +1184,56 @@ def q_events_try_ops_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("safe_ratio_q", 6)).cast("double").alias("sum_safe_ratio"),
         F.count("parsed_id").alias("n_parsed"),
     )
+
+
+# --- MapType surface (map build / map_filter / explode back) ----------
+# The one complex type the suite had not pinned: build a map column
+# with map_from_entries over a per-user collected struct array, prune
+# it with the higher-order map_filter, and explode it back flat. The
+# oracle states the same result with plain GROUP BY + HAVING — so the
+# round-trip through MapType (entry construction, lambda filtering,
+# map explosion) is proven value-faithful, not just runnable.
+_MAP_PROFILE_ORACLE = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id, event_type
+HAVING count(*) >= 3
+"""
+
+
+@register("user_event_map_profile", oracle=_MAP_PROFILE_ORACLE)
+def q_user_event_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type profile carried as a MAP column mid-plan:
+    map_from_entries(collect_list(struct)) builds it, map_filter
+    (n ≥ 3) prunes it lambda-side, explode flattens it back.
+
+    Plan: two keyed exchanges, both map-side partial — (user, type)
+    counts first, then the per-user map build over one row per
+    surviving pair. That beats the single-exchange alternative
+    (repartition raw events by user, then both aggs exchange-free):
+    partial aggregation shrinks each shuffle to the pair/user
+    cardinality, while the raw repartition would move EVERY event row
+    once. map_filter/explode are codegen row ops. The map
+    column is the right carrier when downstream wants per-user
+    dictionaries (feature stores, per-user token budgets) — this
+    entry proves the complex-type detour loses nothing vs the flat
+    GROUP BY the oracle states. Keys are collision-free by
+    construction (one entry per (user, type)), so map semantics are
+    well-defined."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    profile = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("profile")
+    )
+    pruned = profile.select(
+        "user_id",
+        F.map_filter("profile", lambda _, v: v >= 3).alias("profile"),
+    )
+    return pruned.select(
+        "user_id", F.explode("profile").alias("event_type", "n")
+    )

@@ -312,24 +312,66 @@ FROM reach GROUP BY node
 """
 
 
+# Spark side: the recursion references its join partner once per
+# UnionLoop ITERATION, and a plain CTE would re-run the 3-join fact
+# collapse every round — so the edge table is materialized (persisted
+# temp view) before the loop and only the recursion lives in SQL. The
+# oracle keeps the single inline-CTE formulation.
+_TRADE_HOPS_RECURSION = """
+WITH RECURSIVE reach(node, hop) AS (
+  SELECT src AS node, 0 AS hop FROM trade_edges WHERE src = 0
+  UNION ALL
+  SELECT e.dst AS node, r.hop + 1 AS hop
+  FROM reach r JOIN trade_edges e ON e.src = r.node
+  WHERE r.hop < 3
+)
+SELECT CAST(node AS BIGINT) AS nation, CAST(min(hop) AS INT) AS hops,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY node
+"""
+
+
 @register("trade_hops_recursive", oracle=_TRADE_HOPS_SQL)
 def q_trade_hops_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS over the nation-level trade graph via WITH RECURSIVE:
     nations reachable from nation 0 in ≤3 buyer→supplier hops, with
     min-hop distance and path multiplicity.
 
-    Plan: the edge CTE collapses the fact tables to a ≤25-node,
-    ≤600-edge DISTINCT nation graph BEFORE the recursion starts — the
-    traversal never touches lineitem again, so each UnionLoop round is
-    a frontier ⋈ tiny-edges join and the recursion's cost is bounded
-    by the DIMENSION's size (≤25³ path rows at hop cap 3) no matter
-    how large the fact tables grow. UNION ALL recursion enumerates
-    paths, not nodes — correct here because the hop cap bounds the
-    blowup and min(hop)/count(*) want multiplicity; an unbounded
-    reachability over a large vertex set belongs to the
-    frontier-dedup'ing connected-components kernels
+    Plan: the fact tables collapse to a ≤25-node, ≤600-edge DISTINCT
+    nation graph which is PERSISTED before the recursion starts — each
+    UnionLoop round joins the frontier against the in-memory edge
+    table, never re-running the 3-join fact collapse (a plain CTE
+    would: the recursive body re-evaluates its join partner every
+    iteration). Recursion cost is therefore bounded by the DIMENSION's
+    size (≤25³ path rows at hop cap 3) no matter how large the facts
+    grow. UNION ALL recursion enumerates paths, not nodes — correct
+    here because the hop cap bounds the blowup and min(hop)/count(*)
+    want multiplicity; an unbounded reachability over a large vertex
+    set belongs to the frontier-dedup'ing connected-components kernels
     (dedup/components.py), not a recursive CTE. Reference has no graph
     surface; this pins the engine's SQL-standard recursion."""
-    for t in ("customer", "supplier", "orders", "lineitem"):
-        catalog.table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_TRADE_HOPS_SQL)
+    li = catalog.table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = catalog.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = catalog.table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = catalog.table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    persist_tracked(edges).createOrReplaceTempView("trade_edges")
+    return spark.sql(_TRADE_HOPS_RECURSION)

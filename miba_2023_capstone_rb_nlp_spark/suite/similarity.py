@@ -407,3 +407,45 @@ def q_semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(dropped, "vec_id", "left_anti")
         .select("vec_id", F.col("label").alias("cell"))
     )
+
+
+# --- contrastive hard-negative mining ---------------------------------
+# The training-data op embedding models need: for each anchor, the
+# most-similar vectors with a DIFFERENT label — negatives near the
+# decision boundary. Same kernel family as knn_bruteforce (bounded
+# query broadcast, per-batch partial top-k so the shuffle carries
+# batches×q×k rows, one window reduce); the same-group mask replaces
+# the self-mask. At 100 TB the corpus side never moves; swap the
+# brute scan for the IVF layout when recall tolerance allows.
+_HARD_NEG_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         floor(({_COS}) * 1000000.0) / 1000000.0 AS cos
+  FROM e a, q WHERE a.label <> q.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+@register("hard_negative_mining", oracle=_HARD_NEG_ORACLE)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cross-label cosine neighbors per anchor (vec_id % 100
+    = 0) — the hard negatives a contrastive trainer would pair with
+    each anchor's in-label positives."""
+    from miba_2023_capstone_rb_nlp_spark.similarity.knn import (
+        knn_hard_negatives,
+    )
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return knn_hard_negatives(
+        e, queries, "embedding", "vec_id", "label", dim=DIM, k=5
+    )

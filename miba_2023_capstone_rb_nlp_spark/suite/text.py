@@ -1125,3 +1125,58 @@ def q_collated_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lower("k").alias("lang"), "n_docs", "n_variants")
     )
+
+
+# --- SQL-language UDF (CREATE FUNCTION ... RETURN) ---------------------
+# Spark 4's SQL UDFs: reusable logic declared IN SQL and inlined by
+# Catalyst at plan time — the zero-cost alternative to a Python UDF
+# for anything expressible as an expression (full codegen, pushdown
+# through, no serialization boundary). The entry declares the
+# whitespace-token counter as a temporary SQL function and aggregates
+# through it; the oracle states the same expression inline, so the
+# driver proves the function's BODY (not just its callability).
+_SQL_UDF_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+            AS BIGINT) AS sum_tokens,
+       CAST(max(length(text) - length(replace(text, ' ', '')) + 1)
+            AS BIGINT) AS max_tokens
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY lang
+"""
+
+
+@register("sql_udf_token_stats", oracle=_SQL_UDF_ORACLE)
+def q_sql_udf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token totals through a SQL-language UDF
+    (CREATE TEMPORARY FUNCTION ws_tokens ... RETURN <expr>).
+
+    Plan: the function body INLINES — the optimized plan contains the
+    length/replace expression, not a function-call boundary, so the
+    aggregate partial-applies map-side exactly as if the expression
+    were written in place (pinned in tests/test_plans.py: no
+    PythonUDF / eval node, one exchange). At 100 TB this is the
+    mechanism for shared business logic across a query estate:
+    Python UDFs pay a per-row crossing everywhere they're reused; a
+    SQL UDF is a macro the optimizer sees through."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ws_tokens(s STRING) "
+        "RETURNS BIGINT "
+        "RETURN length(s) - length(replace(s, ' ', '')) + 1"
+    )
+    catalog.table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws_tokens(text)) AS BIGINT) AS sum_tokens,
+       CAST(max(ws_tokens(text)) AS BIGINT) AS max_tokens
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY lang
+"""
+    )

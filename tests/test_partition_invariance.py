@@ -49,6 +49,9 @@ ENTRIES = [
     "events_variant_extract",    # VARIANT parse/extract codegen
     "collated_lang_counts",      # UTF8_LCASE collated group keys
     "events_try_ops_safe",       # per-row quantized decimal-sum under try_*
+    "user_event_map_profile",    # map built from collect_list (order-free values)
+    "sql_udf_token_stats",       # SQL UDF inlined into a partial agg
+    "hard_negative_mining",      # batch-partial top-k under any batch shape
 ]
 
 

@@ -1121,3 +1121,33 @@ def test_recursive_cte_executes_as_union_loop(spark):
     plan = _executed_plan(df)
     assert "UnionLoop" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_map_profile_two_partial_agged_exchanges(spark):
+    """The MapType detour must not add shuffles beyond its two keyed
+    aggregates — (user, type) counts then the per-user map build —
+    and both must partial-aggregate before exchanging (the shuffles
+    carry pair/user cardinality, never raw events)."""
+    df = SUITE["user_event_map_profile"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    # the physical string truncates expressions — assert the map
+    # construction on the optimized plan, the shape on the executed
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "map_from_entries" in opt and "map_filter" in opt
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan or "partial_" in plan
+
+
+def test_sql_udf_inlines_to_expression(spark):
+    """The SQL UDF must inline at plan time: no function-call or
+    Python-eval boundary survives into the optimized plan — the
+    aggregate sees the raw length/replace expression and partial-
+    applies map-side before the single exchange."""
+    df = SUITE["sql_udf_token_stats"].fn(spark, SF_TEST_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "replace(" in opt and "length(" in opt
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    for crossing in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
+        assert crossing not in plan, crossing
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan

@@ -122,6 +122,9 @@ EXPECTED = {
     "events_stream_static_join",
     "events_variant_extract",
     "events_try_ops_safe",
+    "user_event_map_profile",
+    "sql_udf_token_stats",
+    "hard_negative_mining",
     "trade_hops_recursive",
     "top_customers_lateral",
     "doc_chunks_udtf",
