@@ -3,12 +3,14 @@
 flukes that only appear with more rows near floor boundaries (the
 failure class the fixed-point recipe is designed to exclude).
 
-Slow (~3-5 min on local[32]); opt in with SPARK_GRAFT_SF01_PARITY=1.
-Last full run: round 8, 136/136 oracles green (269 s) — including
-the full 22-query TPC-H battery (the eight round-8 completions
-Q6/Q8/Q9/Q12/Q13/Q15/Q16/Q18), SemDeDup, the CCNet perplexity
-buckets, count-min heavy hitters, and the Python Data Source
-connector. (Round 6's run was 111/111 in 279 s.)
+Slow (~3-6 min on local[32]); opt in with SPARK_GRAFT_SF01_PARITY=1.
+Last full run: round 8, 147/147 oracles green (371 s) — including
+the full 22-query TPC-H battery, SemDeDup, the CCNet perplexity
+buckets, count-min heavy hitters, the Python Data Source connector,
+and the round-8 third wave (stream-static join, VARIANT, recursive
+CTE, LATERAL top-k, Python UDTF, mapInArrow, collation, try_*,
+MapType, SQL UDF, hard-negative mining). (Earlier full runs:
+136/136 in 269 s this round; 111/111 in 279 s in round 6.)
 """
 
 from __future__ import annotations
