@@ -1180,3 +1180,94 @@ WHERE text IS NOT NULL
 GROUP BY lang
 """
     )
+
+
+# --- per-source KL divergence vs the corpus distribution --------------
+# Data-mixture cartography's other half (vocab Jaccard measures
+# overlap; this measures DISTRIBUTIONAL drift): KL(p_source ‖
+# q_corpus) over unigram distributions — the standard diagnostic for
+# how far a source's token mix sits from the blend it feeds.
+# Determinism recipe: every ln() argument is a ratio of exactly-equal
+# int64-derived doubles in both engines, the per-term contribution is
+# floor-quantized at 1e-6 (coarse enough that a last-ulp libm
+# disagreement in ln cannot straddle a quantum boundary), and the
+# per-source total is an exact DECIMAL(18,6) sum — order-independent.
+_KL_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+st AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS n_st
+  FROM tok GROUP BY 1, 2
+),
+s AS (
+  SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM st GROUP BY 1
+),
+t AS (SELECT w, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+nn AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM st),
+contrib AS (
+  SELECT st.source,
+         floor((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+               * ln((CAST(n_st AS DOUBLE) * CAST(nn.n AS DOUBLE))
+                    / (CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)))
+               * 1000000.0) / 1000000.0 AS c
+  FROM st JOIN s USING (source) JOIN t USING (w), nn
+)
+SELECT s.source, s.n_terms, s.n_s AS n_tokens,
+       CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS kl
+FROM contrib JOIN s USING (source)
+GROUP BY s.source, s.n_terms, s.n_s
+"""
+
+
+@register("source_kl_divergence", oracle=_KL_ORACLE)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram token distributions, per
+    source, with vocabulary size and token count.
+
+    Plan: raw tokens are aggregated ONCE into the (source, term)
+    count table, which is persisted and re-derives everything else —
+    per-source totals (broadcast, ≤|sources| rows), per-term totals
+    (an agg on the SAME table, so the term join shuffles count rows,
+    never raw tokens), and the 1-row corpus total (broadcast). The
+    quadratic-looking math is linear in |(source, term)| pairs. At
+    100 TB the (source, term) table is the engine's standard
+    bounded-vocabulary shape (same as bigram-LM / BM25 stats); the
+    ln() quantization note is in the oracle comment above."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("w")
+    )
+    st = persist_tracked(
+        tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    s = st.groupBy("source").agg(
+        F.sum("n_st").alias("n_s"), F.count(F.lit(1)).alias("n_terms")
+    )
+    t = st.groupBy("w").agg(F.sum("n_st").alias("n_t"))
+    nn = st.agg(F.sum("n_st").alias("n"))
+    contrib = (
+        st.join(F.broadcast(s), "source")
+        .join(t, "w")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            fixed(
+                (F.col("n_st").cast("double") / F.col("n_s").cast("double"))
+                * F.log(
+                    (F.col("n_st").cast("double") * F.col("n").cast("double"))
+                    / (F.col("n_s").cast("double") * F.col("n_t").cast("double"))
+                ),
+                6,
+            ).alias("c"),
+        )
+    )
+    kl = contrib.groupBy("source").agg(
+        F.sum(F.col("c").cast("decimal(18,6)")).cast("double").alias("kl")
+    )
+    return kl.join(F.broadcast(s), "source").select(
+        "source", "n_terms", F.col("n_s").alias("n_tokens"), "kl"
+    )

@@ -52,6 +52,7 @@ ENTRIES = [
     "user_event_map_profile",    # map built from collect_list (order-free values)
     "sql_udf_token_stats",       # SQL UDF inlined into a partial agg
     "hard_negative_mining",      # batch-partial top-k under any batch shape
+    "source_kl_divergence",      # quantized-ln contributions, decimal sum
 ]
 
 

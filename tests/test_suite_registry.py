@@ -125,6 +125,7 @@ EXPECTED = {
     "user_event_map_profile",
     "sql_udf_token_stats",
     "hard_negative_mining",
+    "source_kl_divergence",
     "trade_hops_recursive",
     "top_customers_lateral",
     "doc_chunks_udtf",
