@@ -134,14 +134,15 @@ _DEPRIORITIZED = (
     # order past the window, so they promote automatically), (0b) the
     # four LLM-pipeline debuts registered with them
     # (semantic_dedup_cells, perplexity_bucket_filter,
-    # countmin_heavy_hitters, custom_pysource_links), (0c) the twelve
+    # countmin_heavy_hitters, custom_pysource_links), (0c) the thirteen
     # third-wave engine-surface debuts also registered past the
     # frozen window (events_stream_static_join,
     # events_variant_extract, trade_hops_recursive,
     # top_customers_lateral, doc_chunks_udtf, doc_bytes_arrow,
     # collated_lang_counts, events_try_ops_safe,
     # user_event_map_profile, sql_udf_token_stats,
-    # hard_negative_mining, source_kl_divergence), (1) the
+    # hard_negative_mining, source_kl_divergence,
+    # weighted_sample_docs), (1) the
     # five one-green r5 singles (bpe_merge_learn,
     # shipping_priority_q3, event_transition_matrix,
     # events_value_ttest, events_cusum_changepoint — at the

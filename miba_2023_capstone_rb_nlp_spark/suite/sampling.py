@@ -261,3 +261,64 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_tokens", "score",
         (F.col("score") > F.col("thr")).alias("selected"),
     )
+
+
+# --- Efraimidis-Spirakis weighted sampling without replacement --------
+# The quality-weighted subset selector (Efraimidis & Spirakis 2006):
+# each item draws key u^(1/w) with u uniform and w its weight; the
+# global top-k by key IS an exact weighted sample without replacement.
+# Engine determinism: u comes from the suite's md5 recipe (no RNG
+# state), and the rank uses ln(u)/w — the same ordering as u^(1/w)
+# (ln is monotone) with no pow() in either engine — floor-quantized at
+# 1e-6 so a last-ulp ln() disagreement cannot reorder the boundary,
+# ties broken by doc_id. At 100 TB this is a map-only scan feeding
+# TakeOrderedAndProject: per-partition top-k heaps, never a global
+# sort; k rows reach the driver.
+ES_K = 200
+_TWO60 = "1152921504606846976.0"  # 2^60, the md5_long range
+_ES_WEIGHTED_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) + 1 AS w,
+         floor(ln((CAST(CAST(('0x' || substr(md5('esw:' || doc_id), 1, 15))
+                        AS BIGINT) AS DOUBLE) + 1.0) / {_TWO60})
+               / (CAST(length(text) AS DOUBLE) + 1.0)
+               * 1000000.0) / 1000000.0 AS es_key
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, w, es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id ASC
+LIMIT {ES_K}
+"""
+
+
+@register("weighted_sample_docs", oracle=_ES_WEIGHTED_ORACLE)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sample without replacement: top-200 documents by
+    the Efraimidis-Spirakis key with weight = length(text)+1 — longer
+    documents proportionally likelier, selection reproducible from
+    doc_id alone.
+
+    Plan: ONE narrow map-only projection (md5, ln, divide — all
+    codegen) into TakeOrderedAndProject: each partition keeps a k-row
+    heap and only k rows cross to the driver. No shuffle, no window.
+    Longest-first or rate sampling can't do weighted-without-
+    replacement; temperature_resample reweights BETWEEN sources,
+    this selects WITHIN a corpus by per-item weight."""
+    docs = catalog.table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    hv = md5_long(F.concat(F.lit("esw:"), F.col("doc_id").cast("string")))
+    w = F.length("text").cast("bigint") + F.lit(1)
+    u = (hv.cast("double") + F.lit(1.0)) / F.lit(float(2**60))
+    key = F.floor(
+        F.log(u) / w.cast("double") * F.lit(1000000.0)
+    ).cast("double") / F.lit(1000000.0)
+    return (
+        docs.select(
+            "doc_id", w.alias("w"), key.alias("es_key")
+        )
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(ES_K)
+    )

@@ -53,6 +53,7 @@ ENTRIES = [
     "sql_udf_token_stats",       # SQL UDF inlined into a partial agg
     "hard_negative_mining",      # batch-partial top-k under any batch shape
     "source_kl_divergence",      # quantized-ln contributions, decimal sum
+    "weighted_sample_docs",      # heap top-k over quantized E-S keys
 ]
 
 

@@ -1151,3 +1151,14 @@ def test_sql_udf_inlines_to_expression(spark):
         assert crossing not in plan, crossing
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_" in plan
+
+
+def test_weighted_sample_is_heap_topk_no_shuffle(spark):
+    """The E-S sample must compile to TakeOrderedAndProject over a
+    map-only keyed projection — per-partition k-row heaps, never a
+    global sort or a window shuffle."""
+    df = SUITE["weighted_sample_docs"].fn(spark, SF_TEST_DIR)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan

@@ -126,6 +126,7 @@ EXPECTED = {
     "sql_udf_token_stats",
     "hard_negative_mining",
     "source_kl_divergence",
+    "weighted_sample_docs",
     "trade_hops_recursive",
     "top_customers_lateral",
     "doc_chunks_udtf",
