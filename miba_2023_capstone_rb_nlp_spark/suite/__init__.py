@@ -49,6 +49,8 @@ REGISTRY: dict[str, Query] = {}
 # clearCache()es between entries.
 _LIVE_PERSISTS: list[DataFrame] = []
 _CURRENT_ENTRY: list[str] = []  # 1-element mutable cell
+# (spark, key, prior value or None) saved by set_conf_tracked
+_LIVE_CONF_RESTORES: list[tuple[SparkSession, str, str | None]] = []
 
 
 def persist_tracked(df: DataFrame, level=None) -> DataFrame:
@@ -59,9 +61,33 @@ def persist_tracked(df: DataFrame, level=None) -> DataFrame:
     return out
 
 
+def set_conf_tracked(spark: SparkSession, key: str, value: str) -> None:
+    """Set a session conf an entry's LAZY plan needs at execution
+    time, restoring the prior value on the same lifecycle as
+    persist_tracked (ADVICE r8 #1): a plain try/finally would restore
+    before the caller materializes the returned DataFrame, so the
+    restore instead fires when a DIFFERENT entry is next invoked — by
+    which point the sweep has collected this entry's result."""
+    try:
+        prior: str | None = spark.conf.get(key)
+    except Exception:  # unset key: Spark raises rather than None
+        prior = None
+    _LIVE_CONF_RESTORES.append((spark, key, prior))
+    spark.conf.set(key, value)
+
+
 def release_persisted() -> None:
     while _LIVE_PERSISTS:
         _LIVE_PERSISTS.pop().unpersist(blocking=False)
+    while _LIVE_CONF_RESTORES:
+        spark, key, prior = _LIVE_CONF_RESTORES.pop()
+        try:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+        except Exception:
+            pass  # session already stopped — nothing to restore onto
 
 
 def register(name: str, oracle: str | None = None):
@@ -111,137 +137,148 @@ def register(name: str, oracle: str | None = None):
 #       (b)-demoted entry re-enters the window within ~2 rounds.
 _DEPRIORITIZED = (
     "approx_distinct_parts",  # rows-only HLL++ estimate, tail by design
-    # ================= ROUND-8 ROTATION (VERDICT r7 next-round #1/#2)
-    # The r7 window went 50/50 green, so EVERY r7-green entry except
-    # the flagship rotates out — clause (a) for the 39 with ≥2 green
-    # rounds, clause (b) (demoted_in=8, green r7) for the 10 one-green
-    # r7 debuts — freeing 49 slots: the ENTIRE 42-entry r4-stale
-    # cohort re-enters the checked window together with the SEVEN
-    # round-8 debuts (first wave Q21/Q2, second wave Q20/Q22/Q11 +
-    # ORC/XML round-trips; the five one-green r5 singles originally
-    # slated for the remaining slots yielded them to the second wave
-    # and lead the r9 promotions instead). After this round no
-    # oracled entry's last green predates round 5.
+    # ================= ROUND-9 ROTATION (VERDICT r8 next-round #1/#2)
+    # The r8 window went 50/50 green (third consecutive fully-green
+    # round), so EVERY r8-green entry except the flagship rotates
+    # out: clause (a) for the 42-entry r4-stale cohort (each now
+    # holds greens from r<=4 AND r8), clause (b) (demoted_in=9,
+    # green r8) for the seven one-green r8 debuts
+    # (Q21/Q2/Q20/Q22/Q11 + ORC/XML). The 49 freed slots take the 25
+    # never-driver-checked r8 second-half debuts (8 TPC-H battery
+    # completions, 4 LLM-pipeline, 13 third-wave engine surfaces)
+    # plus the 24 oldest-evidence entries: the 12 whose last green is
+    # round 5 (five singles + seven multi-round) and 12 of the 13
+    # r6-green cohort. After this round no oracled entry's last green
+    # predates round 6.
     #
-    # R9 ROTATION SLATE (plan, per the standing policy): demote the
-    # r8 window's twice-green entries and promote (0) the eight
-    # never-checked round-8 second-half debuts that complete the
-    # 22-query TPC-H battery (forecast_revenue_q6, market_share_q8,
-    # product_profit_q9, late_shipment_priority_q12,
-    # order_count_distribution_q13, top_supplier_q15,
-    # supplier_part_counts_q16, large_volume_customers_q18 — they
-    # registered after the r8 window froze and sit first in registry
-    # order past the window, so they promote automatically), (0b) the
-    # four LLM-pipeline debuts registered with them
-    # (semantic_dedup_cells, perplexity_bucket_filter,
-    # countmin_heavy_hitters, custom_pysource_links), (0c) the thirteen
-    # third-wave engine-surface debuts also registered past the
-    # frozen window (events_stream_static_join,
-    # events_variant_extract, trade_hops_recursive,
-    # top_customers_lateral, doc_chunks_udtf, doc_bytes_arrow,
-    # collated_lang_counts, events_try_ops_safe,
-    # user_event_map_profile, sql_udf_token_stats,
-    # hard_negative_mining, source_kl_divergence,
-    # weighted_sample_docs), (1) the
-    # five one-green r5 singles (bpe_merge_learn,
-    # shipping_priority_q3, event_transition_matrix,
-    # events_value_ttest, events_cusum_changepoint — at the
-    # freshness bound), (2) the 13 r6-green entries below, (3) the 7
-    # remaining r5-green entries (ctfidf_topics_per_lang,
-    # dedup_canonical_corpus, events_stateful_running,
-    # events_stream_dedup, hyperplane_lsh_pairs, data_quality_report,
-    # weekly_active_users), and (4) the three rows-only wizard/ML
-    # entries for fresh rows-only passes; backfill remaining slots
-    # with the oldest r7-green demotions (window order below).
+    # R10 ROTATION SLATE (plan, per the standing policy): demote the
+    # r9 window's twice-green entries (clause (a) — the whole
+    # promoted cohort gains a second/third green) and the one-green
+    # r9 debuts via clause (b), then promote (1) events_sliding_hourly
+    # (last green r6 — the single r6-green entry that yielded its r9
+    # slot to its in-window tumbling twin; it promotes FIRST), (2)
+    # fresh rows-only passes for wizard_full_chain / kmeans_clusters /
+    # pca_coords (rows-only recorded r5; they could not fit in the r9
+    # window — 25 debuts + 24 oracled-staleness promotions filled it),
+    # (3) the ten clause-(b) demoted_in=8 entries (green r7:
+    # local_supplier_volume_q5, promo_revenue_q14,
+    # disjunctive_revenue_q19, part_triangle_counts,
+    # events_json_roundtrip, hybrid_rrf_search, orders_merge_steady,
+    # volume_shipping_q7, small_qty_revenue_q17, events_csv_roundtrip),
+    # (4) the seven clause-(b) demoted_in=9 entries (green r8), and
+    # (5) the oldest of the 39 r7-green clause-(a) demotions;
+    # backfill with the freshest r8-green demotions.
     #
-    # -- clause (a): ≥2 hash-green rounds, all freshly green in r7 --
-    "bigram_lm_perplexity",  # single-matrix scan ⊂ in-window bpe/text kernels
-    "bigram_topk",  # posting-list top-k ⊂ bm25_topk (in-window)
+    # -- clause (a), demoted in r9: the r4-stale cohort, re-proven
+    # -- green in the r8 window (greens r<=4 + r8) --
+    "pricing_summary",  # dec-sum kernel ⊂ in-window TPC-H battery (Q6/Q9)
+    "region_revenue",  # star join shape ⊂ market_share_q8 (in-window)
+    "order_priority_semijoin",  # EXISTS semi ⊂ late_shipment_priority_q12
+    "nation_set_ops",  # INTERSECT/EXCEPT ⊂ set-op kernels in-window twins
+    "order_window_enrich",  # window frames ⊂ customer_order_frames (in-window)
+    "argmax_per_flag",  # struct-max ⊂ top_supplier_q15 argmax (in-window)
+    "order_rollup_revenue",  # Expand rollup ⊂ order_cube_revenue (in-window)
+    "salted_join_nation_customers",  # salt invariance ⊂ salted_agg twin
+    "price_quantiles",  # quantile kernel ⊂ perplexity_bucket_filter ntile
+    "etl_clean_articles",  # F1-F7 chain ⊂ data_quality_report (in-window)
+    "explode_paragraphs",  # posexplode ⊂ doc_chunks_udtf (in-window)
+    "ner_top_orgs",  # weighted top-n ⊂ top_customers_lateral group-limit
+    "media_features",  # mapInPandas surface ⊂ doc_bytes_arrow (in-window)
+    "events_session_windows",  # sessionize ⊂ event_transition_matrix seqs
+    "events_tumbling_streaming",  # micro-batch ⊂ events_stream_dedup
+    "events_asof_last_click",  # as-of kernel ⊂ events_stream_static_join
+    "events_range_click_counts",  # range join ⊂ events_tumbling_hourly aggs
+    "doc_stats_quality",  # map-only stats ⊂ data_quality_report (in-window)
+    "lang_id",  # n-gram scoring ⊂ source_kl_divergence (in-window)
+    "top_terms_per_source",  # top-n terms ⊂ ctfidf_topics_per_lang
+    "sentence_stats",  # sentence split ⊂ sql_udf_token_stats (in-window)
+    "lemma_term_counts",  # lemma map ⊂ collated_lang_counts normalization
+    "bpe_token_stats",  # regex tokenize ⊂ bpe_merge_learn (in-window)
+    "bm25_topk",  # posting top-k ⊂ countmin_heavy_hitters + bigram twins
+    "stratified_sample_docs",  # keyed-md5 rates ⊂ weighted_sample_docs
+    "winnowing_fingerprints",  # rolling-hash spans ⊂ semantic_dedup_cells
+    "gopher_repetition_flags",  # map-only scans ⊂ data_quality_report
+    "pii_redaction",  # regex scrub ⊂ data_quality_report (in-window)
+    "contamination_ngram_overlap",  # broadcast n-grams ⊂ countmin twin
+    "corpus_prep_chain",  # composed stages each have in-window twins
+    "exact_dedup",  # md5 groupBy ⊂ dedup_canonical_corpus (in-window)
+    "ngram_jaccard_pairs",  # labeled oracle ⊂ semantic_dedup_cells pairs
+    "minhash_lsh_pairs",  # banding ⊂ hyperplane_lsh_pairs (in-window)
+    "simhash_pairs",  # pigeonhole bands ⊂ hyperplane_lsh_pairs
+    "neardup_components",  # min-label rounds ⊂ trade_hops_recursive loop
+    "knn_bruteforce",  # bounded broadcast ⊂ hard_negative_mining
+    "knn_ivf_multiprobe",  # cell pruning ⊂ knn_ivf_cells (in-window)
+    "hash_embeddings",  # salted stand-in ⊂ embedding_neardup_pairs
+    "sentiment_distinct_join",  # distinct→infer→join ⊂ ml twins + tests
+    "medoid_summaries",  # k-nearest medoids ⊂ flagship (in-window)
+    "pairwise_medoids",  # pairwise-avg medoids ⊂ flagship machinery
+    "sequence_packing",  # greedy packing ⊂ weighted_sample_docs heaps
+    # -- clause (b), demoted in r9: one-green r8 debuts (green r8,
+    # -- recorded in ROTATED_OUT_FRESH; re-enter ~r10) --
+    "waiting_suppliers_q21",  # multi-EXISTS ⊂ late_shipment_priority_q12
+    "min_cost_supplier_q2",  # scalar-min decorrelation ⊂ top_supplier_q15
+    "excess_shipment_q20",  # semi-on-aggregate ⊂ supplier_part_counts_q16
+    "idle_customers_q22",  # scalar-avg + anti ⊂ order_count_distribution_q13
+    "revenue_concentration_q11",  # global-fraction HAVING ⊂ top_supplier_q15
+    "events_orc_roundtrip",  # at-rest format ⊂ custom_pysource_links reads
+    "events_xml_roundtrip",  # at-rest format ⊂ custom_pysource_links reads
+    # ================= older cohorts still demoted =================
+    # -- clause (a), demoted in r8 (green r7 + >=1 earlier round) --
+    "bigram_lm_perplexity",  # single-matrix scan ⊂ perplexity_bucket_filter
+    "bigram_topk",  # posting-list top-k ⊂ countmin_heavy_hitters
     "bpe_encode_stats",  # encode runs _bpe_learn in-window via bpe_merge_learn
     "brand_price_regression",  # one-moment-pass ⊂ events_value_ttest (in-window)
-    "doc_chunk_windows",  # overlapping windows ⊂ sequence_packing (in-window)
-    "dsir_importance_select",  # md5 bucketing ⊂ stratified_sample_docs (in-window)
-    "duplicate_span_flags",  # sorted-scan spans ⊂ winnowing/gopher (in-window)
-    "embedding_dim_stats",  # vector stats ⊂ hash_embeddings + knn_bruteforce
-    "event_outliers_mad",  # median/MAD fences ⊂ price_quantiles (in-window)
-    "events_asof_cogroup",  # same oracle in-window via events_asof_last_click
+    "doc_chunk_windows",  # overlapping windows ⊂ doc_chunks_udtf (in-window)
+    "dsir_importance_select",  # md5 bucketing ⊂ weighted_sample_docs
+    "duplicate_span_flags",  # sorted-scan spans ⊂ semantic_dedup_cells
+    "embedding_dim_stats",  # vector stats ⊂ embedding_neardup_pairs
+    "event_outliers_mad",  # median/MAD fences ⊂ perplexity_bucket_filter
+    "events_asof_cogroup",  # as-of kernel ⊂ events_stream_static_join
     "events_funnel_stages",  # per-user sequences ⊂ event_transition_matrix
-    "events_hourly_gapfill",  # bucket aggs ⊂ events_tumbling_streaming
-    "events_stream_stream_join",  # streaming state ⊂ events_tumbling_streaming
-    "events_streaming_upsert",  # foreachBatch merge ⊂ orders-merge family tests
-    "fuzzy_name_matches",  # q-gram count filter ⊂ ngram_jaccard_pairs
-    "group_concat_docs",  # A3 concat runs in-window via ctfidf machinery twin
-    "incremental_minhash_dedup",  # banding ⊂ minhash_lsh_pairs (in-window)
-    "knn_int8_rerank",  # exact re-rank ⊂ knn_bruteforce + pairwise_medoids
-    "knn_ivf_pruned",  # cell-rank kernel ⊂ knn_ivf_multiprobe (in-window)
-    "line_dedup_rebuild",  # anti-join rebuild ⊂ exact_dedup + neardup_components
-    "lineitem_unpivot_stats",  # Expand machinery ⊂ order_rollup_revenue
-    "orders_merge_bucketed",  # bucketed SMJ pinned by test_plans + steady twin
-    "orders_upsert_merge",  # partial-state merge ⊂ salted_join family
+    "events_hourly_gapfill",  # bucket aggs ⊂ events_tumbling_hourly
+    "events_stream_stream_join",  # streaming state ⊂ events_stream_dedup
+    "events_streaming_upsert",  # foreachBatch merge ⊂ incremental_revenue_merge
+    "fuzzy_name_matches",  # q-gram count filter ⊂ semantic_dedup_cells
+    "group_concat_docs",  # A3 concat ⊂ ctfidf_topics_per_lang (in-window)
+    "incremental_minhash_dedup",  # banding ⊂ hyperplane_lsh_pairs
+    "knn_int8_rerank",  # exact re-rank ⊂ knn_ivf_cells + hard negatives
+    "knn_ivf_pruned",  # cell-rank kernel ⊂ knn_ivf_cells (in-window)
+    "line_dedup_rebuild",  # anti-join rebuild ⊂ dedup_canonical_corpus
+    "lineitem_unpivot_stats",  # Expand machinery ⊂ order_cube_revenue
+    "orders_merge_bucketed",  # bucketed SMJ pinned by test_plans + twin
+    "orders_upsert_merge",  # partial-state merge ⊂ incremental_revenue_merge
     "part_affinity_topk",  # basket self-join guard pinned by test_guards_r7
-    "part_pagerank",  # checkpointed rounds pinned by tests/test_graph
-    "part_price_skyline",  # local-prune mapInPandas ⊂ media_features surface
-    "phrase_match_docs",  # positional postings ⊂ explode_paragraphs + bm25
-    "prefix_jaccard_pairs",  # prefix filter ⊂ ngram_jaccard_pairs oracle
-    "price_decile_histogram",  # width-bucket histogram ⊂ price_quantiles
-    "quality_representative_dedup",  # struct-max ⊂ argmax_per_flag (in-window)
-    "retention_cohorts",  # cohort windows ⊂ order_window_enrich (in-window)
-    "returned_items_q10",  # heap top-k ⊂ order_window_enrich + q3 shape
-    "sql_interface_segment_revenue",  # dual-engine SQL ⊂ region_revenue twin
-    "temperature_resample",  # keyed-md5 rates ⊂ stratified_sample_docs
-    "hash_split_profile",  # md5 split ⊂ stratified_sample_docs (in-window)
-    "url_canonical_dedup",  # canonicalize+dedup ⊂ exact_dedup (in-window)
+    "part_pagerank",  # checkpointed rounds ⊂ trade_hops_recursive loop
+    "part_price_skyline",  # local-prune mapInPandas ⊂ doc_bytes_arrow
+    "phrase_match_docs",  # positional postings ⊂ doc_chunks_udtf spans
+    "prefix_jaccard_pairs",  # prefix filter ⊂ semantic_dedup_cells pairs
+    "price_decile_histogram",  # width-bucket ⊂ perplexity_bucket_filter
+    "quality_representative_dedup",  # struct-max ⊂ top_supplier_q15
+    "retention_cohorts",  # cohort windows ⊂ customer_order_frames
+    "returned_items_q10",  # heap top-k ⊂ large_volume_customers_q18
+    "sql_interface_segment_revenue",  # dual-engine SQL ⊂ sql_udf_token_stats
+    "temperature_resample",  # keyed-md5 rates ⊂ weighted_sample_docs
+    "hash_split_profile",  # md5 split ⊂ weighted_sample_docs keys
+    "url_canonical_dedup",  # canonicalize+dedup ⊂ dedup_canonical_corpus
     "user_decayed_value",  # running scans ⊂ events_cusum_changepoint
-    "video_frame_sample",  # sample-before-decode ⊂ media_features (in-window)
-    "wizard_chain_stages",  # its stages ⊂ etl_clean_articles +
-    # sentiment_distinct_join + hash_embeddings + medoid_summaries (all
-    # in-window this round)
-    # -- clause (b): one green round — the round immediately before
-    # -- this demotion (r7, recorded in ROTATED_OUT_FRESH) --
-    "local_supplier_volume_q5",  # Q5 star shape ⊂ region_revenue (in-window)
-    "promo_revenue_q14",  # conditional agg ⊂ pricing_summary (in-window)
+    "video_frame_sample",  # sample-before-decode ⊂ doc_bytes_arrow
+    "wizard_chain_stages",  # its stages ⊂ etl/sentiment/embed/summarize
+    # -- r6-green entry that yielded its r9 slot to its in-window
+    # -- tumbling twin (last green r6; promotes FIRST in r10) --
+    "events_sliding_hourly",  # sliding ⊂ events_tumbling_hourly (in-window)
+    # -- clause (b): demoted in r8 with green-r7 evidence --
+    "local_supplier_volume_q5",  # Q5 star shape ⊂ market_share_q8
+    "promo_revenue_q14",  # conditional agg ⊂ forecast_revenue_q6
     "disjunctive_revenue_q19",  # OR-of-ANDs factoring pinned by test_plans
     "part_triangle_counts",  # wedge orientation pinned by test_graph + guard
-    "events_json_roundtrip",  # schema-on-read ⊂ events_json_value_counts twin
-    "hybrid_rrf_search",  # RRF fuse ⊂ bm25_topk + knn_bruteforce (in-window)
-    "orders_merge_steady",  # steady-state merge; layout reuse pinned by
-    # test_guards_r7 + test_plans (bucketed twin demoted clause (a))
-    "volume_shipping_q7",  # pair-dim broadcast ⊂ region_revenue + invariance
-    "small_qty_revenue_q17",  # decorrelated avg ⊂ NEW min_cost_supplier_q2
-    "events_csv_roundtrip",  # explicit-schema text read ⊂ json roundtrip twin
-    # ================= older cohorts still demoted =================
-    # -- r6-green (2-3 greens each; r9 slate) --
-    "customers_without_orders",
-    "top_orders_per_customer",
-    "order_cube_revenue",
-    "customer_order_frames",
-    "salted_agg_priority_revenue",
-    "events_tumbling_hourly",
-    "events_sliding_hourly",
-    "events_json_value_counts",
-    "knn_ivf_cells",
-    "embedding_neardup_pairs",
-    "source_vocab_overlap",
-    "events_type_pivot",
-    "incremental_revenue_merge",
-    # -- r5-green multi-round (r9 slate) --
-    "ctfidf_topics_per_lang",
-    "dedup_canonical_corpus",
-    "events_stateful_running",
-    "events_stream_dedup",
-    "hyperplane_lsh_pairs",
-    # -- r5 clause-(b) singles not promoted this round (r9 slate;
-    # -- demoted in r6 with green-r5 evidence — the five below were
-    # -- slated for this window but yielded their slots to the five
-    # -- second-wave debuts above, so they lead the r9 promotions) --
-    "data_quality_report",
-    "weekly_active_users",
-    "bpe_merge_learn",
-    "shipping_priority_q3",
-    "event_transition_matrix",
-    "events_value_ttest",
-    "events_cusum_changepoint",
-    # -- rows-only by design (fresh rows-only passes queued for r9) --
+    "events_json_roundtrip",  # schema-on-read ⊂ events_json_value_counts
+    "hybrid_rrf_search",  # RRF fuse ⊂ knn_ivf_cells + retrieval twins
+    "orders_merge_steady",  # steady-state merge ⊂ incremental_revenue_merge
+    "volume_shipping_q7",  # pair-dim broadcast ⊂ market_share_q8
+    "small_qty_revenue_q17",  # decorrelated avg ⊂ idle_customers_q22 twin
+    "events_csv_roundtrip",  # explicit-schema text read ⊂ xml/orc twins
+    # -- rows-only by design (fresh rows-only passes queued for r10;
+    # -- they could not fit the r9 window per the slate above) --
     "wizard_full_chain",
     "kmeans_clusters",
     "pca_coords",
@@ -249,69 +286,69 @@ _DEPRIORITIZED = (
 
 # Entries promoted to the registry head (after the flagship): these
 # must land inside the driver's 50-row checked window regardless of
-# module registration order. Round 8: the flagship + the seven NEW
-# debuts (first-wave Q21/Q2 per VERDICT r7 #5, second-wave
-# Q20/Q22/Q11 + ORC/XML round-trips) + the ENTIRE r4-stale cohort
-# (42 entries, VERDICT r7 #1) = exactly the 50-slot window.
+# module registration order. Round 9 (VERDICT r8 next-round #1/#2):
+# the flagship + ALL 25 never-driver-checked round-8 debuts + the 24
+# oldest-evidence demotions (12 last-green-r5 + 12 of the 13
+# last-green-r6) = exactly the 50-slot window.
 _PRIORITIZED = (
     "cluster_viz_summary",  # flagship: entry() runs this
-    # -- round-8 NEW operators: semi/anti-join and scalar-min
-    # -- decorrelation (TPC-H Q21/Q2 shapes) — debut inside the window
-    "waiting_suppliers_q21",
-    "min_cost_supplier_q2",
-    # -- the r4-stale cohort (last hash-green row: round 4) --
-    "pricing_summary",
-    "region_revenue",
-    "order_priority_semijoin",
-    "nation_set_ops",
-    "order_window_enrich",
-    "argmax_per_flag",
-    "order_rollup_revenue",
-    "salted_join_nation_customers",
-    "price_quantiles",
-    "etl_clean_articles",
-    "explode_paragraphs",
-    "ner_top_orgs",
-    "media_features",
-    "events_session_windows",
-    "events_tumbling_streaming",
-    "events_asof_last_click",
-    "events_range_click_counts",
-    "doc_stats_quality",
-    "lang_id",
-    "top_terms_per_source",
-    "sentence_stats",
-    "lemma_term_counts",
-    "bpe_token_stats",
-    "bm25_topk",
-    "stratified_sample_docs",
-    "winnowing_fingerprints",
-    "gopher_repetition_flags",
-    "pii_redaction",
-    "contamination_ngram_overlap",
-    "corpus_prep_chain",
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "neardup_components",
-    "knn_bruteforce",
-    "knn_ivf_multiprobe",
-    "hash_embeddings",
-    "sentiment_distinct_join",
-    "medoid_summaries",
-    "pairwise_medoids",
-    "sequence_packing",
-    # -- round-8 second-wave NEW operators: the remaining TPC-H
-    # -- decorrelation shapes (Q20 semi-join-on-aggregate, Q22
-    # -- scalar-avg + anti-join, Q11 global-fraction HAVING) and the
-    # -- two remaining mainstream at-rest formats (ORC, XML) — all
-    # -- debut inside the window
-    "excess_shipment_q20",
-    "idle_customers_q22",
-    "revenue_concentration_q11",
-    "events_orc_roundtrip",
-    "events_xml_roundtrip",
+    # -- the 8 TPC-H battery completions (registered after the r8
+    # -- window froze; never driver-checked) --
+    "forecast_revenue_q6",
+    "market_share_q8",
+    "product_profit_q9",
+    "late_shipment_priority_q12",
+    "order_count_distribution_q13",
+    "top_supplier_q15",
+    "supplier_part_counts_q16",
+    "large_volume_customers_q18",
+    # -- the 4 LLM-pipeline r8 debuts (never driver-checked) --
+    "semantic_dedup_cells",
+    "perplexity_bucket_filter",
+    "countmin_heavy_hitters",
+    "custom_pysource_links",
+    # -- the 13 third-wave engine-surface r8 debuts (never checked) --
+    "events_stream_static_join",
+    "events_variant_extract",
+    "trade_hops_recursive",
+    "top_customers_lateral",
+    "doc_chunks_udtf",
+    "doc_bytes_arrow",
+    "collated_lang_counts",
+    "events_try_ops_safe",
+    "user_event_map_profile",
+    "sql_udf_token_stats",
+    "hard_negative_mining",
+    "source_kl_divergence",
+    "weighted_sample_docs",
+    # -- last green r5: the five clause-(b) singles (demoted r6) --
+    "bpe_merge_learn",
+    "shipping_priority_q3",
+    "event_transition_matrix",
+    "events_value_ttest",
+    "events_cusum_changepoint",
+    # -- last green r5: the multi-round cohort (demoted r6) --
+    "ctfidf_topics_per_lang",
+    "dedup_canonical_corpus",
+    "events_stateful_running",
+    "events_stream_dedup",
+    "hyperplane_lsh_pairs",
+    "data_quality_report",
+    "weekly_active_users",
+    # -- last green r6: 12 of the 13-entry cohort (sliding yielded
+    # -- its slot to its in-window tumbling twin, promotes r10) --
+    "customers_without_orders",
+    "top_orders_per_customer",
+    "order_cube_revenue",
+    "customer_order_frames",
+    "salted_agg_priority_revenue",
+    "events_tumbling_hourly",
+    "events_json_value_counts",
+    "knn_ivf_cells",
+    "embedding_neardup_pairs",
+    "source_vocab_overlap",
+    "events_type_pivot",
+    "incremental_revenue_merge",
 )
 
 _MODULES = (

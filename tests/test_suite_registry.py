@@ -214,13 +214,57 @@ def test_priority_ordering():
 # CORRECTNESS_r*.json rounds may rotate out.
 DRIVER_WINDOW = 50
 ROTATED_OUT = {
-    # ============ round-8 state (VERDICT r7 next-round #1) ============
-    # The r7 window went 50/50, so every multi-green r7 entry rotated
-    # out under clause (a) to clear the ENTIRE r4-stale cohort back
-    # into the checked window; the sets below are the CURRENT
-    # demotions (history in git). Machinery siblings for each are
-    # named in suite/__init__.py's _DEPRIORITIZED comments.
-    # -- r7-green, ≥2 green rounds (demoted in r8) --
+    # ============ round-9 state (VERDICT r8 next-round #1/#2) =========
+    # The r8 window went 50/50, so every r8-green entry except the
+    # flagship rotated out to clear the 25 never-driver-checked r8
+    # debuts plus the 24 oldest-evidence entries into the window; the
+    # sets below are the CURRENT demotions (history in git).
+    # Machinery siblings for each are named in suite/__init__.py's
+    # _DEPRIORITIZED comments.
+    # -- r8-green r4-stale cohort, >=2 green rounds (demoted in r9) --
+    "pricing_summary",
+    "region_revenue",
+    "order_priority_semijoin",
+    "nation_set_ops",
+    "order_window_enrich",
+    "argmax_per_flag",
+    "order_rollup_revenue",
+    "salted_join_nation_customers",
+    "price_quantiles",
+    "etl_clean_articles",
+    "explode_paragraphs",
+    "ner_top_orgs",
+    "media_features",
+    "events_session_windows",
+    "events_tumbling_streaming",
+    "events_asof_last_click",
+    "events_range_click_counts",
+    "doc_stats_quality",
+    "lang_id",
+    "top_terms_per_source",
+    "sentence_stats",
+    "lemma_term_counts",
+    "bpe_token_stats",
+    "bm25_topk",
+    "stratified_sample_docs",
+    "winnowing_fingerprints",
+    "gopher_repetition_flags",
+    "pii_redaction",
+    "contamination_ngram_overlap",
+    "corpus_prep_chain",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "neardup_components",
+    "knn_bruteforce",
+    "knn_ivf_multiprobe",
+    "hash_embeddings",
+    "sentiment_distinct_join",
+    "medoid_summaries",
+    "pairwise_medoids",
+    "sequence_packing",
+    # -- r7-green, >=2 green rounds (demoted in r8, still out) --
     "bigram_lm_perplexity",
     "bigram_topk",
     "bpe_encode_stats",
@@ -260,26 +304,9 @@ ROTATED_OUT = {
     "user_decayed_value",
     "video_frame_sample",
     "wizard_chain_stages",
-    # -- r6-green cohort (demoted in r7, queued for the r9 window) --
-    "customers_without_orders",
-    "top_orders_per_customer",
-    "order_cube_revenue",
-    "customer_order_frames",
-    "salted_agg_priority_revenue",
-    "events_tumbling_hourly",
+    # -- r6-green entry (greens r1+r6) that yielded its r9 slot to
+    # -- its in-window tumbling twin; promotes FIRST in r10 --
     "events_sliding_hourly",
-    "events_json_value_counts",
-    "knn_ivf_cells",
-    "embedding_neardup_pairs",
-    "source_vocab_overlap",
-    "events_type_pivot",
-    "incremental_revenue_merge",
-    # -- r5-green multi-round cohort (demoted in r6, r9 slate) --
-    "ctfidf_topics_per_lang",
-    "dedup_canonical_corpus",
-    "events_stateful_running",
-    "events_stream_dedup",
-    "hyperplane_lsh_pairs",
 }
 
 # Round-6 policy amendment, clause (b): an entry may also rotate out
@@ -292,19 +319,13 @@ ROTATED_OUT = {
 # artifact. Rows-only entries (no oracle) satisfy it with a recorded
 # rows-only pass.
 ROTATED_OUT_FRESH = {
-    # demoted in r6, green r5 (rows-only entries: recorded pass)
+    # demoted in r6, green r5 (rows-only entries: recorded pass;
+    # fresh rows-only passes queued for the r10 window)
     "wizard_full_chain": 6,
     "kmeans_clusters": 6,
     "pca_coords": 6,
-    "data_quality_report": 6,
-    "weekly_active_users": 6,
-    "bpe_merge_learn": 6,
-    "shipping_priority_q3": 6,
-    "event_transition_matrix": 6,
-    "events_value_ttest": 6,
-    "events_cusum_changepoint": 6,
     # demoted in r8, green r7 (the one-green r7 debuts — clause (b)
-    # frees their slots for the r4-stale cohort; they re-enter ~r9)
+    # freed their slots for the r4-stale cohort; re-enter ~r10)
     "local_supplier_volume_q5": 8,
     "promo_revenue_q14": 8,
     "disjunctive_revenue_q19": 8,
@@ -315,6 +336,16 @@ ROTATED_OUT_FRESH = {
     "volume_shipping_q7": 8,
     "small_qty_revenue_q17": 8,
     "events_csv_roundtrip": 8,
+    # demoted in r9, green r8 (the one-green r8 first/second-wave
+    # debuts — clause (b) frees their slots for the 25 never-checked
+    # r8 second-half debuts; re-enter ~r10)
+    "waiting_suppliers_q21": 9,
+    "min_cost_supplier_q2": 9,
+    "excess_shipment_q20": 9,
+    "idle_customers_q22": 9,
+    "revenue_concentration_q11": 9,
+    "events_orc_roundtrip": 9,
+    "events_xml_roundtrip": 9,
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -386,30 +417,35 @@ def test_core_entries_inside_driver_window():
     # (VERDICT r6 #4), the round-6 promotions still earning their
     # second green, and the round-5 debuts that still hold their slot
     promoted = {
-        # round-8 NEW decorrelation debuts (VERDICT r7 #5)
-        "waiting_suppliers_q21",
-        "min_cost_supplier_q2",
-        # the r4-stale cohort re-earning driver evidence (VERDICT r7 #1)
-        "pricing_summary", "region_revenue", "order_priority_semijoin",
-        "nation_set_ops", "order_window_enrich", "argmax_per_flag",
-        "order_rollup_revenue", "salted_join_nation_customers",
-        "price_quantiles", "etl_clean_articles", "explode_paragraphs",
-        "ner_top_orgs", "media_features", "events_session_windows",
-        "events_tumbling_streaming", "events_asof_last_click",
-        "events_range_click_counts", "doc_stats_quality", "lang_id",
-        "top_terms_per_source", "sentence_stats", "lemma_term_counts",
-        "bpe_token_stats", "bm25_topk", "stratified_sample_docs",
-        "winnowing_fingerprints", "gopher_repetition_flags",
-        "pii_redaction", "contamination_ngram_overlap",
-        "corpus_prep_chain", "exact_dedup", "ngram_jaccard_pairs",
-        "minhash_lsh_pairs", "simhash_pairs", "neardup_components",
-        "knn_bruteforce", "knn_ivf_multiprobe", "hash_embeddings",
-        "sentiment_distinct_join", "medoid_summaries",
-        "pairwise_medoids", "sequence_packing",
-        # round-8 second-wave debuts (Q20/Q22/Q11 + ORC/XML)
-        "excess_shipment_q20", "idle_customers_q22",
-        "revenue_concentration_q11", "events_orc_roundtrip",
-        "events_xml_roundtrip",
+        # round-9 rotation (VERDICT r8 #1): the 25 never-driver-
+        # checked r8 second-half debuts...
+        "forecast_revenue_q6", "market_share_q8", "product_profit_q9",
+        "late_shipment_priority_q12", "order_count_distribution_q13",
+        "top_supplier_q15", "supplier_part_counts_q16",
+        "large_volume_customers_q18", "semantic_dedup_cells",
+        "perplexity_bucket_filter", "countmin_heavy_hitters",
+        "custom_pysource_links", "events_stream_static_join",
+        "events_variant_extract", "trade_hops_recursive",
+        "top_customers_lateral", "doc_chunks_udtf", "doc_bytes_arrow",
+        "collated_lang_counts", "events_try_ops_safe",
+        "user_event_map_profile", "sql_udf_token_stats",
+        "hard_negative_mining", "source_kl_divergence",
+        "weighted_sample_docs",
+        # ...plus the oldest-evidence cohort (VERDICT r8 #2):
+        # last green r5 (five singles + seven multi-round)
+        "bpe_merge_learn", "shipping_priority_q3",
+        "event_transition_matrix", "events_value_ttest",
+        "events_cusum_changepoint", "ctfidf_topics_per_lang",
+        "dedup_canonical_corpus", "events_stateful_running",
+        "events_stream_dedup", "hyperplane_lsh_pairs",
+        "data_quality_report", "weekly_active_users",
+        # last green r6 (12 of 13; sliding yielded to tumbling twin)
+        "customers_without_orders", "top_orders_per_customer",
+        "order_cube_revenue", "customer_order_frames",
+        "salted_agg_priority_revenue", "events_tumbling_hourly",
+        "events_json_value_counts", "knn_ivf_cells",
+        "embedding_neardup_pairs", "source_vocab_overlap",
+        "events_type_pivot", "incremental_revenue_merge",
     }
     assert promoted <= head, sorted(promoted - head)
 
