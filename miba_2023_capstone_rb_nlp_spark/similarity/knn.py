@@ -401,9 +401,16 @@ def knn_hard_negatives(
     Same distributed shape as knn_bruteforce (bounded query broadcast,
     per-batch partial top-k, one window reduce); the same-group mask
     replaces the self-mask — it subsumes it, since a vector shares its
-    own group."""
+    own group.
+
+    NULL-group rows are dropped from BOTH sides before scoring
+    (ADVICE r8 #2): SQL's ``corpus.group <> query.group`` predicate is
+    NULL (→ excluded) whenever either label is NULL, while a numpy
+    equality mask would keep a None-vs-value pair — pre-filtering both
+    sides makes the distributed path match the oracle exactly even if
+    labels become nullable."""
     qpd = _collect_queries(
-        queries,
+        queries.filter(F.col(group_col).isNotNull()),
         [
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("qv"),
@@ -412,6 +419,7 @@ def knn_hard_negatives(
         max_query_rows,
         "knn_hard_negatives",
     )
+    corpus = corpus.filter(F.col(group_col).isNotNull())
     qids = qpd["qid"].to_numpy()
     qgrp = qpd["qg"].to_numpy()
     qmat = to_matrix(qpd["qv"], dim)

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from miba_2023_capstone_rb_nlp_spark.sources.pysource import (
     SeededLinksDataSource,
 )
-from miba_2023_capstone_rb_nlp_spark.suite import register
+from miba_2023_capstone_rb_nlp_spark.suite import register, set_conf_tracked
 
 _N = 2000
 _PYSOURCE_ORACLE = f"""
@@ -52,8 +52,11 @@ def q_custom_pysource_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfiltered so the oracle covers every generated row."""
     # a reader that implements pushFilters() requires the opt-in conf
     # (Spark refuses to silently ignore a pushdown implementation);
-    # runtime-settable, scoped to Python data sources only
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # runtime-settable, scoped to Python data sources only. Tracked
+    # so the prior value is restored when the NEXT entry is invoked —
+    # the returned plan is lazy, so the conf must outlive this call
+    # (ADVICE r8 #1).
+    set_conf_tracked(spark, "spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SeededLinksDataSource)
     df = (
         spark.read.format("seeded_links")

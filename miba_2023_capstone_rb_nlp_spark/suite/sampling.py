@@ -305,7 +305,18 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap and only k rows cross to the driver. No shuffle, no window.
     Longest-first or rate sampling can't do weighted-without-
     replacement; temperature_resample reweights BETWEEN sources,
-    this selects WITHIN a corpus by per-item weight."""
+    this selects WITHIN a corpus by per-item weight.
+
+    Residual cross-engine risk (ADVICE r8 #4, accepted): determinism
+    rests on JVM Math.log and DuckDB libm ln agreeing after the 1e-6
+    floor-quantization. Top-k SET membership is more fragile than the
+    value-only entries using the same recipe — a last-ulp ln()
+    disagreement landing EXACTLY on a quantum boundary for the rank-
+    200/201 pair could swap them. No such collision exists in the
+    test corpora (keys near the cut differ by >>1 quantum), and the
+    quantization makes the window ~2^-32 of key space per item; an
+    integer-only key (rank on hash<<w) would change the estimator, so
+    the float recipe stays."""
     docs = catalog.table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )

@@ -122,3 +122,29 @@ def test_cosine_pairs_under_bound_unchanged(vec_df):
     assert sorted(map(tuple, guarded.collect())) == sorted(
         map(tuple, unguarded.collect())
     )
+
+
+def test_hard_negatives_null_groups_excluded(spark):
+    """ADVICE r8 #2: NULL-group rows must be excluded from BOTH sides,
+    matching the SQL oracle's `a.label <> q.label` (NULL never
+    compares unequal) — a numpy equality mask alone would emit
+    None-vs-value pairs."""
+    from miba_2023_capstone_rb_nlp_spark.similarity.knn import (
+        knn_hard_negatives,
+    )
+
+    rows = [
+        (i, [float(i % 5), 1.0, float((i * 3) % 7), 0.5],
+         None if i % 4 == 0 else f"g{i % 3}")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, v array<float>, grp string"
+    ).repartition(3)
+    out = knn_hard_negatives(
+        df, df, "v", "vec_id", "grp", DIM, k=3, max_query_rows=None
+    ).collect()
+    null_ids = {i for i in range(24) if i % 4 == 0}
+    assert out  # non-null anchors still mined
+    assert not ({r.query_id for r in out} & null_ids)
+    assert not ({r.neighbor_id for r in out} & null_ids)

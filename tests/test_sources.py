@@ -4,6 +4,7 @@ PipelineExecutor with cache short-circuit."""
 
 from __future__ import annotations
 
+import contextlib
 import pathlib
 
 import pytest
@@ -17,6 +18,24 @@ from miba_2023_capstone_rb_nlp_spark.sources.links import (
     YahooNewsSource,
     get_all_links,
 )
+@contextlib.contextmanager
+def _conf(spark, key, value):
+    """Set a session conf for the block, restoring the prior value
+    (or unsetting) on exit — tests must not leak session state into
+    later tests sharing the spark fixture (ADVICE r8 #1)."""
+    try:
+        prior = spark.conf.get(key)
+    except Exception:
+        prior = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
 
 GOOGLE_PAGE = """
 <html><body>
@@ -256,17 +275,17 @@ class TestPythonDataSource:
             SeededLinksDataSource,
         )
 
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-        spark.dataSource.register(SeededLinksDataSource)
-        df = (
-            spark.read.format("seeded_links")
-            .option("n", 300).option("parts", 4).load()
-        )
-        full = {r.link_id for r in df.collect() if r.engine == "Google"}
-        pushed = {
-            r.link_id
-            for r in df.filter(df.engine == "Google").collect()
-        }
+        with _conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+            spark.dataSource.register(SeededLinksDataSource)
+            df = (
+                spark.read.format("seeded_links")
+                .option("n", 300).option("parts", 4).load()
+            )
+            full = {r.link_id for r in df.collect() if r.engine == "Google"}
+            pushed = {
+                r.link_id
+                for r in df.filter(df.engine == "Google").collect()
+            }
         assert pushed == full and pushed
 
     def test_arrow_path_row_identical(self, spark):
@@ -277,7 +296,6 @@ class TestPythonDataSource:
             SeededLinksDataSource,
         )
 
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(SeededLinksDataSource)
 
         def rows(arrow):
@@ -288,4 +306,5 @@ class TestPythonDataSource:
             )
             return sorted(map(tuple, df.filter(df.engine != "Bing").collect()))
 
-        assert rows("true") == rows("false") and rows("true")
+        with _conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+            assert rows("true") == rows("false") and rows("true")
