@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark import catalog
 from miba_2023_capstone_rb_nlp_spark.functions.text import word_ngrams
-from miba_2023_capstone_rb_nlp_spark.suite import register
+from miba_2023_capstone_rb_nlp_spark.suite import persist_tracked, register
 
 QUERY_TERMS = ("spark", "join", "window", "scan", "filter")
 K1 = 1.2
@@ -75,6 +75,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine) only ever sees query-term tokens; df and avgdl are tiny
     broadcasts; the top-k compiles to TakeOrderedAndProject, never a
     single-partition global sort.
+
+    Scan accounting (VERDICT r8 #5): tf feeds both the df aggregate
+    and the score join, and Spark does NOT exchange-reuse the two
+    consumptions (measured: 3 FileScans + 2 explodes unpersisted), so
+    tf — bounded at |matching docs| × |query terms| rows — is cached,
+    giving 2 scans + 1 explode. At sf0.1 the persist's stage barrier
+    costs ~0.3 s (best 1.59 s vs 1.29 s unpersisted, baseline
+    1.04 s); at corpus scale the saved full-corpus explode dominates.
+    The faster-still window-df variant (1.27 s) is rejected:
+    Window.partitionBy(term) funnels df(term) ≈ n_docs rows of a
+    common term into one partition. Plan pinned by
+    tests/test_plans.py::test_bm25_topk_is_heap_topk_with_broadcast_stats.
     """
     d = catalog.cpu_table(spark, sf_dir, "documents")
     dls = d.select(
@@ -84,7 +96,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dls.agg(
         F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs")
     )
-    tf = (
+    # tf feeds BOTH the df aggregate and the score join; without a
+    # persist the scan→split→explode→filter subtree runs twice
+    # (VERDICT r8 #5). tf is bounded at |docs matching query terms| ×
+    # |query terms| rows — tiny relative to the corpus, safe to cache
+    # at any scale. df stays a groupBy + broadcast join (NOT a
+    # Window.partitionBy(term), which would funnel every row of a
+    # common term into one partition at corpus scale).
+    tf = persist_tracked(
         dls.select("doc_id", "dl", F.explode("t").alias("term"))
         .filter(F.col("term").isin(*QUERY_TERMS))
         .groupBy("doc_id", "dl", "term")
@@ -412,7 +431,9 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dls.agg(
         F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs")
     )
-    tf = (
+    # same double-consumption as bm25_topk (df aggregate + join side):
+    # persist the bounded query-term tf table
+    tf = persist_tracked(
         dls.select("doc_id", "dl", F.explode("t").alias("term"))
         .filter(F.col("term").isin(*QUERY_TERMS))
         .groupBy("doc_id", "dl", "term")

@@ -207,11 +207,22 @@ def test_asof_join_is_single_shuffle_no_join(spark):
 def test_bm25_topk_is_heap_topk_with_broadcast_stats(spark):
     """BM25 must compile to TakeOrderedAndProject (per-partition heap
     top-k, never a global sort) with df/avgdl as broadcasts, and the
-    query-term filter must land before the posting aggregation."""
+    query-term filter must land before the posting aggregation.
+
+    The df aggregate deliberately stays a broadcast-join over a
+    groupBy — NOT a Window.partitionBy(term) — even though the window
+    is faster at sf0.1 (one fewer job): df(term) rows per term can be
+    ~n_docs for a common term, and a per-term window would funnel
+    them into one partition, while the groupBy keeps map-side partial
+    aggregation (VERDICT r8 #5)."""
     df = SUITE["bm25_topk"].fn(spark, SF_TEST_DIR)
     plan = _executed_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+    # the query-term tf table feeds both the df aggregate and the
+    # score join from ONE cached materialization — without it the
+    # corpus scan+explode subtree runs twice
+    assert "InMemoryTableScan" in plan
     opt = _optimized_plan(df)
     # term IN (...) appears below the tf aggregate, not above it
     assert "spark" in opt and "INSET" in opt or "term#" in opt
