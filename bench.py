@@ -24,7 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # query pays its one-time codegen compile (measured 2-3× on the wide
 # curation expressions) — min-of-3 reliably lands on a compiled,
 # unspiked run and still keeps the whole suite under ~5 min
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
 
 SKIP: set[str] = set()
 
@@ -193,7 +193,27 @@ NOISY_SPREAD = 1.3
 # a co-tenant spike during a 3-rep window otherwise leaves a noisy
 # "best" that the regression table then mis-reads as a slowdown.
 # Entries that are quiet after REPS pay nothing.
-MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "5"))
+MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "6"))
+
+# JIT-plateau extension (round 9): whole-stage-codegen classes C2-
+# compile only after enough invocations, and the threshold can land
+# BETWEEN reps — measured on the flagship at sf0.1 on a QUIET host:
+# reps 11.3 / 3.07 / 3.1 / 2.63 / 2.43 / 2.37, i.e. best-of-3 reads
+# the 3.1 s slope, not the 2.4 s plateau (the r8 "regression" that
+# round-9's interleaved A/B, perf_ab_r9.md, traced to exactly this +
+# host noise). So the base is 4 reps, and while the NEWEST rep still
+# improves on every earlier one by >5% the entry keeps sampling
+# (same MAX_REPS budget as the noise extension): a flat tail stops
+# immediately, a still-warming entry buys its way to steady state.
+WARMING_IMPROVEMENT = 1.05
+
+
+def still_warming_of(rs: list[float]) -> bool:
+    """True when the newest rep is the best so far by >5% — steady
+    state hasn't been reached, so one more sample is worth its cost."""
+    if len(rs) < 2 or rs[-1] <= 0:
+        return False
+    return min(rs[:-1]) / rs[-1] > WARMING_IMPROVEMENT
 
 
 def warm_spread_of(rs: list[float]) -> float | None:
@@ -300,15 +320,19 @@ def main() -> None:
             return time.perf_counter() - t0
 
         reps: list[float] = [one_rep() for _ in range(max(1, REPS))]
-        # adaptive extension: noisy after the base reps → keep
-        # sampling (bounded by MAX_REPS) until the quietest samples
-        # agree or the budget runs out; "noisy" in the sidecar then
+        # adaptive extension, two triggers sharing one MAX_REPS
+        # budget: (1) noisy after the base reps → keep sampling until
+        # the quietest samples agree ("noisy" in the sidecar then
         # means "even the 3 quietest post-warmup reps disagree >1.3×
-        # after up to MAX_REPS", not "we only looked three times"
-        while (
-            len(reps) < MAX_REPS
-            and (qs_now := quiet_spread_of(reps)) is not None
-            and qs_now > NOISY_SPREAD
+        # after up to MAX_REPS", not "we only looked N times");
+        # (2) still-warming → the newest rep beat every earlier one
+        # by >5%, i.e. codegen hasn't hit its C2 plateau yet
+        while len(reps) < MAX_REPS and (
+            (
+                (qs_now := quiet_spread_of(reps)) is not None
+                and qs_now > NOISY_SPREAD
+            )
+            or still_warming_of(reps)
         ):
             reps.append(one_rep())
         best = min(reps)

@@ -115,3 +115,45 @@ def test_adaptive_extension_loop_recovers_from_burst():
     assert bench.warm_spread_of(reps) == 4.0  # burst stays recorded
     # quiet base window: no extra reps spent
     assert extend([2.0, 1.0, 1.2], [99.0]) == [2.0, 1.0, 1.2]
+
+
+def test_still_warming_detects_unplateaued_tail():
+    """Round-9 JIT-plateau rule: extend while the NEWEST rep is the
+    best so far by >5% (codegen not yet C2-compiled); a flat or
+    noisy tail must NOT extend through this trigger."""
+    # the measured flagship curve: flat at 3.1 after 3 reps (no
+    # signal), cliff at rep 4 → warming until the plateau
+    assert not bench.still_warming_of([11.7, 3.13, 3.11])
+    assert bench.still_warming_of([11.7, 3.13, 3.11, 2.63])
+    assert not bench.still_warming_of([11.7, 3.13, 3.11, 2.63, 2.61])
+    # degenerate cases
+    assert not bench.still_warming_of([5.0])
+    assert not bench.still_warming_of([])
+    assert not bench.still_warming_of([1.0, 0.0])
+    # a burst (newest rep SLOWER) is the noise trigger's business
+    assert not bench.still_warming_of([1.0, 1.0, 4.0])
+
+
+def test_combined_extension_loop_reaches_plateau():
+    """The main-loop condition with both triggers: a warming tail
+    extends to the plateau, then stops; bounded by MAX_REPS."""
+
+    def extend(reps, samples):
+        samples = iter(samples)
+        reps = list(reps)
+        while len(reps) < bench.MAX_REPS and (
+            (
+                (qs := bench.quiet_spread_of(reps)) is not None
+                and qs > bench.NOISY_SPREAD
+            )
+            or bench.still_warming_of(reps)
+        ):
+            reps.append(next(samples))
+        return reps
+
+    # flagship-shaped: base-4 ends on the cliff → one more rep lands
+    # near the plateau, the next improves <5% → stop at 6 (=MAX_REPS)
+    reps = extend([11.7, 3.13, 3.11, 2.63], [2.43, 2.37, 2.35])
+    assert reps == [11.7, 3.13, 3.11, 2.63, 2.43, 2.37]
+    # flat quiet tail: no extension at all
+    assert extend([9.0, 1.0, 1.02, 1.01], [0.5]) == [9.0, 1.0, 1.02, 1.01]
