@@ -308,3 +308,20 @@ class TestPythonDataSource:
 
         with _conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
             assert rows("true") == rows("false") and rows("true")
+
+
+def test_tracked_conf_restored_on_next_entry(spark):
+    """set_conf_tracked lifecycle (ADVICE r8 #1): the pushdown conf an
+    entry's LAZY plan needs stays set until the result is
+    materialized, then restores when a DIFFERENT registry entry is
+    invoked — the same release point as tracked persists."""
+    from miba_2023_capstone_rb_nlp_spark.suite import load_suite
+
+    suite = load_suite()
+    key = "spark.sql.python.filterPushdown.enabled"
+    prior = spark.conf.get(key)
+    df = suite["custom_pysource_links"].fn(spark, "/root/testdata/sf0.001")
+    assert spark.conf.get(key) == "true"  # held for the lazy plan
+    assert df.count() > 0  # materializes under the tracked conf
+    suite["exact_dedup"].fn(spark, "/root/testdata/sf0.001")
+    assert spark.conf.get(key) == prior  # released with the entry
