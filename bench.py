@@ -20,10 +20,12 @@ from miba_2023_capstone_rb_nlp_spark.suite import load_suite  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # best-of-N per query: single-run timings on a shared box carry multi-
-# second GC/load spikes on random queries, and the FIRST rep of a
-# query pays its one-time codegen compile (measured 2-3× on the wide
-# curation expressions) — min-of-3 reliably lands on a compiled,
-# unspiked run and still keeps the whole suite under ~5 min
+# second GC/load spikes on random queries, and the first reps of a
+# query pay its codegen compile — which C2-finishes only after
+# several invocations (round 9 measured the flagship flat at rep 2-3
+# and cliffing at rep 4), so the base is 4 reps and the adaptive
+# loop below (see WARMING_IMPROVEMENT) extends any entry whose
+# newest rep is still improving
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
 
 SKIP: set[str] = set()
@@ -216,6 +218,18 @@ def still_warming_of(rs: list[float]) -> bool:
     return min(rs[:-1]) / rs[-1] > WARMING_IMPROVEMENT
 
 
+def should_extend(rs: list[float]) -> bool:
+    """The main loop's single extension predicate (shared with the
+    tests so the production condition itself is what's pinned):
+    extend while under the MAX_REPS budget AND either the 3 quietest
+    post-warmup reps still disagree >NOISY_SPREAD (noise trigger) or
+    the newest rep is still improving >5% (JIT-plateau trigger)."""
+    if len(rs) >= MAX_REPS:
+        return False
+    qs = quiet_spread_of(rs)
+    return (qs is not None and qs > NOISY_SPREAD) or still_warming_of(rs)
+
+
 def warm_spread_of(rs: list[float]) -> float | None:
     """Spread (max/min) of ALL post-warmup reps — the burst record.
     Burst is only measurable with ≥2 post-warmup samples; with fewer
@@ -327,13 +341,7 @@ def main() -> None:
         # after up to MAX_REPS", not "we only looked N times");
         # (2) still-warming → the newest rep beat every earlier one
         # by >5%, i.e. codegen hasn't hit its C2 plateau yet
-        while len(reps) < MAX_REPS and (
-            (
-                (qs_now := quiet_spread_of(reps)) is not None
-                and qs_now > NOISY_SPREAD
-            )
-            or still_warming_of(reps)
-        ):
+        while should_extend(reps):
             reps.append(one_rep())
         best = min(reps)
         spread = max(reps) / best if best > 0 else 1.0

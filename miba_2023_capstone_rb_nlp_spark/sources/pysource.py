@@ -52,7 +52,17 @@ class RangePartition(InputPartition):
     end: int  # exclusive
 
 
-class SeededLinksReader(DataSourceReader):
+class SeededLinksBaseReader(DataSourceReader):
+    """Split planning + per-split generation WITHOUT the pushFilters
+    method. Spark 4.1 refuses to execute a pushFilters()-implementing
+    Python source unless ``spark.sql.python.filterPushdown.enabled``
+    is set, so a reader that defines the method couples every
+    deferred plan to session-conf state — a consumer that builds the
+    plan, lets the conf restore, then materializes would error. The
+    base reader therefore carries no pushFilters; the subclass below
+    opts in via the ``pushdown`` option for callers that also own the
+    conf (the source tests)."""
+
     def __init__(self, options) -> None:
         self.n = int(options.get("n", 1000))
         self.parts = int(options.get("parts", 8))
@@ -62,23 +72,6 @@ class SeededLinksReader(DataSourceReader):
         # to the tuple path by test_arrow_path_row_identical
         self.arrow = str(options.get("arrow", "false")).lower() == "true"
         self.engine_allow: set[str] | None = None  # None → no pushdown
-
-    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
-        for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("engine",):
-                allow = {str(f.value)}
-                self.engine_allow = (
-                    allow if self.engine_allow is None
-                    else self.engine_allow & allow
-                )
-            elif isinstance(f, In) and f.attribute == ("engine",):
-                allow = {str(v) for v in f.value}
-                self.engine_allow = (
-                    allow if self.engine_allow is None
-                    else self.engine_allow & allow
-                )
-            else:
-                yield f  # unsupported → Spark evaluates it post-scan
 
     def partitions(self) -> Sequence[InputPartition]:
         parts = max(1, min(self.parts, self.n)) if self.n else 1
@@ -116,6 +109,33 @@ class SeededLinksReader(DataSourceReader):
         )
 
 
+class SeededLinksReader(SeededLinksBaseReader):
+    """The pushdown-capable variant (Spark 4.1 pushFilters protocol):
+    equality / IN filters on ``engine`` are accepted and applied
+    inside ``read``. Requires the session conf
+    ``spark.sql.python.filterPushdown.enabled=true`` at EXECUTION
+    time (Spark refuses to silently ignore a pushdown
+    implementation) — callers opt in with ``.option("pushdown",
+    "true")`` and own the conf for the plan's lifetime."""
+
+    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("engine",):
+                allow = {str(f.value)}
+                self.engine_allow = (
+                    allow if self.engine_allow is None
+                    else self.engine_allow & allow
+                )
+            elif isinstance(f, In) and f.attribute == ("engine",):
+                allow = {str(v) for v in f.value}
+                self.engine_allow = (
+                    allow if self.engine_allow is None
+                    else self.engine_allow & allow
+                )
+            else:
+                yield f  # unsupported → Spark evaluates it post-scan
+
+
 class SeededLinksDataSource(DataSource):
     """spark.read.format("seeded_links").option("n", N).load()"""
 
@@ -126,5 +146,7 @@ class SeededLinksDataSource(DataSource):
     def schema(self) -> str:
         return "link_id bigint, engine string, se_link string, h bigint"
 
-    def reader(self, schema) -> SeededLinksReader:
-        return SeededLinksReader(self.options)
+    def reader(self, schema) -> SeededLinksBaseReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return SeededLinksReader(self.options)
+        return SeededLinksBaseReader(self.options)

@@ -67,7 +67,14 @@ def set_conf_tracked(spark: SparkSession, key: str, value: str) -> None:
     persist_tracked (ADVICE r8 #1): a plain try/finally would restore
     before the caller materializes the returned DataFrame, so the
     restore instead fires when a DIFFERENT entry is next invoked — by
-    which point the sweep has collected this entry's result."""
+    which point the sweep has collected this entry's result.
+
+    Caveat (review r9 finding #1): unlike an unpersisted cache — which
+    merely recomputes — a plan whose EXECUTION depends on a tracked
+    conf errors if materialized after the restore, so entries must not
+    make execution depend on one (the connector entry reads through a
+    conf-free reader for exactly this reason). Use this only for confs
+    that tune execution, never ones that gate it."""
     try:
         prior: str | None = spark.conf.get(key)
     except Exception:  # unset key: Spark raises rather than None
@@ -86,8 +93,23 @@ def release_persisted() -> None:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prior)
-        except Exception:
-            pass  # session already stopped — nothing to restore onto
+        except Exception as e:
+            # a stopped session has nothing to restore onto; any
+            # OTHER failure means the conf is leaking into subsequent
+            # entries — surface it instead of swallowing silently
+            # (review r9 finding #2)
+            try:
+                stopped = spark.sparkContext._jsc is None
+            except Exception:
+                stopped = True
+            if not stopped:
+                import warnings
+
+                warnings.warn(
+                    f"tracked conf restore failed for {key!r}: {e!r} — "
+                    "the session keeps the entry-scoped value",
+                    stacklevel=2,
+                )
 
 
 def register(name: str, oracle: str | None = None):

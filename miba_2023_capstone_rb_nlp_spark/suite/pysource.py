@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from miba_2023_capstone_rb_nlp_spark.sources.pysource import (
     SeededLinksDataSource,
 )
-from miba_2023_capstone_rb_nlp_spark.suite import register, set_conf_tracked
+from miba_2023_capstone_rb_nlp_spark.suite import register
 
 _N = 2000
 _PYSOURCE_ORACLE = f"""
@@ -49,14 +49,12 @@ def q_custom_pysource_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg. Filter pushdown (engine equality/IN → source-side skip, the
     Spark 4.1 pushFilters contract) is pinned by
     tests/test_sources.py::TestPythonDataSource — this entry reads
-    unfiltered so the oracle covers every generated row."""
-    # a reader that implements pushFilters() requires the opt-in conf
-    # (Spark refuses to silently ignore a pushdown implementation);
-    # runtime-settable, scoped to Python data sources only. Tracked
-    # so the prior value is restored when the NEXT entry is invoked —
-    # the returned plan is lazy, so the conf must outlive this call
-    # (ADVICE r8 #1).
-    set_conf_tracked(spark, "spark.sql.python.filterPushdown.enabled", "true")
+    unfiltered so the oracle covers every generated row, and it does
+    so through the conf-free base reader (no ``pushdown`` option):
+    a pushFilters-implementing reader requires
+    spark.sql.python.filterPushdown.enabled at EXECUTION time, which
+    would couple this entry's lazy plan to session-conf lifetime
+    (review r9 finding #1)."""
     spark.dataSource.register(SeededLinksDataSource)
     df = (
         spark.read.format("seeded_links")

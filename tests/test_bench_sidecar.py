@@ -99,11 +99,7 @@ def test_adaptive_extension_loop_recovers_from_burst():
     def extend(reps, samples):
         samples = iter(samples)
         reps = list(reps)
-        while (
-            len(reps) < bench.MAX_REPS
-            and (qs := bench.quiet_spread_of(reps)) is not None
-            and qs > bench.NOISY_SPREAD
-        ):
+        while bench.should_extend(reps):
             reps.append(next(samples))
         return reps
 
@@ -141,13 +137,7 @@ def test_combined_extension_loop_reaches_plateau():
     def extend(reps, samples):
         samples = iter(samples)
         reps = list(reps)
-        while len(reps) < bench.MAX_REPS and (
-            (
-                (qs := bench.quiet_spread_of(reps)) is not None
-                and qs > bench.NOISY_SPREAD
-            )
-            or bench.still_warming_of(reps)
-        ):
+        while bench.should_extend(reps):
             reps.append(next(samples))
         return reps
 

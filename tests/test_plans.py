@@ -57,6 +57,13 @@ def _optimized_plan(df) -> str:
         return df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         ext = _captured_explain(df, "extended")
+        if "== Optimized Logical Plan ==" not in ext:
+            pytest.fail(
+                "cannot obtain the optimized plan: JVM internals are "
+                "unavailable and explain('extended') lacks the "
+                "'== Optimized Logical Plan ==' section on this Spark "
+                "version — update _optimized_plan's fallback parser"
+            )
         return ext.split("== Optimized Logical Plan ==", 1)[1].split(
             "== Physical Plan ==", 1
         )[0]

@@ -279,7 +279,8 @@ class TestPythonDataSource:
             spark.dataSource.register(SeededLinksDataSource)
             df = (
                 spark.read.format("seeded_links")
-                .option("n", 300).option("parts", 4).load()
+                .option("n", 300).option("parts", 4)
+                .option("pushdown", "true").load()
             )
             full = {r.link_id for r in df.collect() if r.engine == "Google"}
             pushed = {
@@ -302,7 +303,8 @@ class TestPythonDataSource:
             df = (
                 spark.read.format("seeded_links")
                 .option("n", 257).option("parts", 3)
-                .option("arrow", arrow).load()
+                .option("arrow", arrow)
+                .option("pushdown", "true").load()
             )
             return sorted(map(tuple, df.filter(df.engine != "Bing").collect()))
 
@@ -311,17 +313,42 @@ class TestPythonDataSource:
 
 
 def test_tracked_conf_restored_on_next_entry(spark):
-    """set_conf_tracked lifecycle (ADVICE r8 #1): the pushdown conf an
-    entry's LAZY plan needs stays set until the result is
-    materialized, then restores when a DIFFERENT registry entry is
-    invoked — the same release point as tracked persists."""
+    """set_conf_tracked lifecycle (ADVICE r8 #1): a conf tracked
+    during one entry's build stays set until a DIFFERENT registry
+    entry is invoked — the same release point as tracked persists —
+    then restores to its prior value."""
+    from tests.conftest import SF_TEST_DIR
+
+    from miba_2023_capstone_rb_nlp_spark.suite import (
+        load_suite,
+        set_conf_tracked,
+    )
+
+    suite = load_suite()
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior = spark.conf.get(key)
+    assert prior != "1234"
+    # simulate an entry builder tracking a conf mid-build: enter the
+    # entry's lifecycle scope first (the wrapped fn sets the current-
+    # entry cell), then track
+    df = suite["custom_pysource_links"].fn(spark, SF_TEST_DIR)
+    set_conf_tracked(spark, key, "1234")
+    assert spark.conf.get(key) == "1234"  # held for the lazy plan
+    assert df.count() > 0  # materializes while the conf is held
+    suite["exact_dedup"].fn(spark, SF_TEST_DIR)
+    assert spark.conf.get(key) == prior  # released with the entry
+
+
+def test_pysource_entry_plan_survives_deferred_execution(spark):
+    """Review r9 finding #1: building the connector entry's plan,
+    invoking another entry (which releases tracked state), and only
+    THEN materializing must work — the entry's reader is conf-free,
+    so the deferred plan depends on no session state."""
+    from tests.conftest import SF_TEST_DIR
+
     from miba_2023_capstone_rb_nlp_spark.suite import load_suite
 
     suite = load_suite()
-    key = "spark.sql.python.filterPushdown.enabled"
-    prior = spark.conf.get(key)
-    df = suite["custom_pysource_links"].fn(spark, "/root/testdata/sf0.001")
-    assert spark.conf.get(key) == "true"  # held for the lazy plan
-    assert df.count() > 0  # materializes under the tracked conf
-    suite["exact_dedup"].fn(spark, "/root/testdata/sf0.001")
-    assert spark.conf.get(key) == prior  # released with the entry
+    df = suite["custom_pysource_links"].fn(spark, SF_TEST_DIR)
+    suite["exact_dedup"].fn(spark, SF_TEST_DIR).count()
+    assert df.count() > 0  # plan-all-then-run stays executable
