@@ -1226,3 +1226,87 @@ def test_weighted_sample_is_heap_topk_no_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Window" not in plan
+
+
+# --- round-9 pins: the promoted window cohort ------------------------
+# The r9 window promoted 24 oldest-evidence entries plus the flagship;
+# the shapes below had correctness coverage but no executed-plan pin.
+
+
+def test_flagship_two_exchanges_broadcast_docs(spark):
+    """The flagship (SURVEY §3.3): centroid aggregate + label window
+    are the only hash exchanges; the documents join rides a broadcast
+    (never a sort-merge at this dim size), and nothing degenerates to
+    a cartesian."""
+    df = SUITE["cluster_viz_summary"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    assert final.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "Window" in final
+
+
+def test_cube_single_exchange_expand(spark):
+    """CUBE compiles to ONE Expand (grouping-set row replication)
+    feeding ONE partial-agg exchange — not one scan per grouping
+    set."""
+    df = SUITE["order_cube_revenue"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    assert final.count("Expand") == 1
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_" in final
+
+
+def test_salted_agg_two_stage_no_join(spark):
+    """The salted aggregate is exactly two exchanges (salted partial
+    stage, then the de-salted final stage) and join-free — the shape
+    that spreads one hot key over the cluster."""
+    df = SUITE["salted_agg_priority_revenue"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    assert final.count("Exchange hashpartitioning") == 2
+    assert "Join" not in final
+    assert "partial_" in final
+
+
+def test_tumbling_hourly_single_exchange(spark):
+    """Tumbling-window bucketing is a map-side expression (window()
+    on the timestamp), so the whole aggregation is one exchange."""
+    df = SUITE["events_tumbling_hourly"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in final
+
+
+def test_hyperplane_lsh_banded_not_cartesian(spark):
+    """The hyperplane-LSH candidate join is banded (equi-join on the
+    band key) — the all-pairs shape must never appear."""
+    df = SUITE["hyperplane_lsh_pairs"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert final.count("Exchange hashpartitioning") <= 3
+
+
+def test_top_orders_per_customer_group_limit(spark):
+    """Per-customer top-k decorrelates to WindowGroupLimit with the
+    partial limit BEFORE the exchange — k·|customers| rows shuffle,
+    never the orders table."""
+    df = SUITE["top_orders_per_customer"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    assert "WindowGroupLimit" in final
+    assert final.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in final
+
+
+def test_ctfidf_no_cartesian_bounded_exchanges(spark):
+    """The c-TF-IDF matrix math stays relational: per-(lang, term)
+    aggregates, scalar totals as 1-row broadcasts (the only BNLJ),
+    top-k terms via WindowGroupLimit — and never a cartesian or a
+    per-term self-join."""
+    df = SUITE["ctfidf_topics_per_lang"].fn(spark, SF_TEST_DIR)
+    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    assert "CartesianProduct" not in final
+    assert final.count("BroadcastNestedLoopJoin") <= 1  # 1-row scalar
+    assert "WindowGroupLimit" in final
+    assert final.count("Exchange hashpartitioning") <= 4
