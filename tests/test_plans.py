@@ -69,6 +69,13 @@ def _optimized_plan(df) -> str:
         )[0]
 
 
+def _final_plan(df) -> str:
+    """Executed plan truncated to the AQE final section — the
+    assertion surface for node counts (the Initial Plan repeats the
+    tree and would double-count)."""
+    return _executed_plan(df).split("== Initial Plan ==", 1)[0]
+
+
 def _formatted_plan(df) -> str:
     try:
         return df._sc._jvm.PythonSQLUtils.explainString(
@@ -1239,7 +1246,7 @@ def test_flagship_two_exchanges_broadcast_docs(spark):
     (never a sort-merge at this dim size), and nothing degenerates to
     a cartesian."""
     df = SUITE["cluster_viz_summary"].fn(spark, SF_TEST_DIR)
-    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    final = _final_plan(df)
     assert final.count("Exchange hashpartitioning") <= 2
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
@@ -1252,7 +1259,7 @@ def test_cube_single_exchange_expand(spark):
     feeding ONE partial-agg exchange — not one scan per grouping
     set."""
     df = SUITE["order_cube_revenue"].fn(spark, SF_TEST_DIR)
-    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    final = _final_plan(df)
     assert final.count("Expand") == 1
     assert final.count("Exchange hashpartitioning") == 1
     assert "partial_" in final
@@ -1263,7 +1270,7 @@ def test_salted_agg_two_stage_no_join(spark):
     stage, then the de-salted final stage) and join-free — the shape
     that spreads one hot key over the cluster."""
     df = SUITE["salted_agg_priority_revenue"].fn(spark, SF_TEST_DIR)
-    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    final = _final_plan(df)
     assert final.count("Exchange hashpartitioning") == 2
     assert "Join" not in final
     assert "partial_" in final
@@ -1273,7 +1280,7 @@ def test_tumbling_hourly_single_exchange(spark):
     """Tumbling-window bucketing is a map-side expression (window()
     on the timestamp), so the whole aggregation is one exchange."""
     df = SUITE["events_tumbling_hourly"].fn(spark, SF_TEST_DIR)
-    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    final = _final_plan(df)
     assert final.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in final
 
@@ -1282,7 +1289,7 @@ def test_hyperplane_lsh_banded_not_cartesian(spark):
     """The hyperplane-LSH candidate join is banded (equi-join on the
     band key) — the all-pairs shape must never appear."""
     df = SUITE["hyperplane_lsh_pairs"].fn(spark, SF_TEST_DIR)
-    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    final = _final_plan(df)
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
     assert final.count("Exchange hashpartitioning") <= 3
@@ -1293,8 +1300,16 @@ def test_top_orders_per_customer_group_limit(spark):
     partial limit BEFORE the exchange — k·|customers| rows shuffle,
     never the orders table."""
     df = SUITE["top_orders_per_customer"].fn(spark, SF_TEST_DIR)
-    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
-    assert "WindowGroupLimit" in final
+    final = _final_plan(df)
+    # partial + final group-limit nodes, with the partial BEFORE the
+    # first exchange — the property that bounds shuffled rows to
+    # k·|customers|
+    assert final.count("WindowGroupLimit") == 2
+    assert (
+        final.index("WindowGroupLimit")
+        < final.index("Exchange hashpartitioning")
+        < final.rindex("WindowGroupLimit")
+    )
     assert final.count("Exchange hashpartitioning") <= 2
     assert "CartesianProduct" not in final
 
@@ -1305,7 +1320,7 @@ def test_ctfidf_no_cartesian_bounded_exchanges(spark):
     top-k terms via WindowGroupLimit — and never a cartesian or a
     per-term self-join."""
     df = SUITE["ctfidf_topics_per_lang"].fn(spark, SF_TEST_DIR)
-    final = _executed_plan(df).split("== Initial Plan ==", 1)[0]
+    final = _final_plan(df)
     assert "CartesianProduct" not in final
     assert final.count("BroadcastNestedLoopJoin") <= 1  # 1-row scalar
     assert "WindowGroupLimit" in final
