@@ -54,6 +54,11 @@ ENTRIES = [
     "hard_negative_mining",      # batch-partial top-k under any batch shape
     "source_kl_divergence",      # quantized-ln contributions, decimal sum
     "weighted_sample_docs",      # heap top-k over quantized E-S keys
+    # r9: families promoted into the checked window that had no
+    # representative on this axis
+    "ctfidf_topics_per_lang",    # c-TF-IDF tf·idf float math + top-k ties
+    "event_transition_matrix",   # per-user lag sequences → count ratios
+    "events_cusum_changepoint",  # running-scan windows over event order
 ]
 
 
