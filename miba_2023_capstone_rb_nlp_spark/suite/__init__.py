@@ -74,7 +74,18 @@ def set_conf_tracked(spark: SparkSession, key: str, value: str) -> None:
     conf errors if materialized after the restore, so entries must not
     make execution depend on one (the connector entry reads through a
     conf-free reader for exactly this reason). Use this only for confs
-    that tune execution, never ones that gate it."""
+    that tune execution, never ones that gate it.
+
+    Restore-by-value caveat (ADVICE r9 #2): ``spark.conf.get(key)``
+    returns the BUILT-IN DEFAULT for keys that have one, so for a
+    default-valued key that was never explicitly set, restore re-SETS
+    the default string instead of returning the key to unset — a
+    later consumer distinguishing set-vs-default (e.g. via
+    ``unset``/``isModifiable`` probing) would see changed state. The
+    effective value is identical, and Spark's RuntimeConfig offers no
+    portable set-vs-default probe, so this is documented rather than
+    worked around; keys without a built-in default are restored to
+    truly-unset (the ``except`` path below)."""
     try:
         prior: str | None = spark.conf.get(key)
     except Exception:  # unset key: Spark raises rather than None
@@ -85,7 +96,15 @@ def set_conf_tracked(spark: SparkSession, key: str, value: str) -> None:
 
 def release_persisted() -> None:
     while _LIVE_PERSISTS:
-        _LIVE_PERSISTS.pop().unpersist(blocking=False)
+        df = _LIVE_PERSISTS.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            # a stopped session has nothing to unpersist (ADVICE r9
+            # #1: an unguarded raise here would skip the conf-restore
+            # loop below, leaking tracked confs into the next entry);
+            # the cache dies with the session either way
+            pass
     while _LIVE_CONF_RESTORES:
         spark, key, prior = _LIVE_CONF_RESTORES.pop()
         try:
@@ -159,218 +178,217 @@ def register(name: str, oracle: str | None = None):
 #       (b)-demoted entry re-enters the window within ~2 rounds.
 _DEPRIORITIZED = (
     "approx_distinct_parts",  # rows-only HLL++ estimate, tail by design
-    # ================= ROUND-9 ROTATION (VERDICT r8 next-round #1/#2)
-    # The r8 window went 50/50 green (third consecutive fully-green
-    # round), so EVERY r8-green entry except the flagship rotates
-    # out: clause (a) for the 42-entry r4-stale cohort (each now
-    # holds greens from r<=4 AND r8), clause (b) (demoted_in=9,
-    # green r8) for the seven one-green r8 debuts
-    # (Q21/Q2/Q20/Q22/Q11 + ORC/XML). The 49 freed slots take the 25
-    # never-driver-checked r8 second-half debuts (8 TPC-H battery
-    # completions, 4 LLM-pipeline, 13 third-wave engine surfaces)
-    # plus the 24 oldest-evidence entries: the 12 whose last green is
-    # round 5 (five singles + seven multi-round) and 12 of the 13
-    # r6-green cohort. After this round no oracled entry's last green
-    # predates round 6.
+    # ================= ROUND-10 ROTATION (VERDICT r9 next-round #1)
+    # The r9 window went 50/50 green (fourth consecutive fully-green
+    # round), so every r9-green entry except the flagship rotates
+    # out and the window executes the R10 slate exactly as written in
+    # round 9: promote events_sliding_hourly (the only entry whose
+    # last green was r6) FIRST, then fresh rows-only passes for the
+    # wizard/kmeans/pca trio (stale since r5), then the ten
+    # clause-(b) demoted_in=8 entries (green r7), the seven
+    # demoted_in=9 entries (green r8), and 28 of the 39 r7-green
+    # clause-(a) demotions — the three whose PRIOR evidence is oldest
+    # (r2: hash_split_profile, temperature_resample,
+    # video_frame_sample) first, then list order; the 11 that did not
+    # fit (all greens r5/r6+r7) promote FIRST in r11. After this
+    # round no oracled entry's last green predates r7.
     #
-    # R10 ROTATION SLATE (plan, per the standing policy): demote the
-    # r9 window's twice-green entries (clause (a) — the whole
-    # promoted cohort gains a second/third green) and the one-green
-    # r9 debuts via clause (b), then promote (1) events_sliding_hourly
-    # (last green r6 — the single r6-green entry that yielded its r9
-    # slot to its in-window tumbling twin; it promotes FIRST), (2)
-    # fresh rows-only passes for wizard_full_chain / kmeans_clusters /
-    # pca_coords (rows-only recorded r5; they could not fit in the r9
-    # window — 25 debuts + 24 oracled-staleness promotions filled it),
-    # (3) the ten clause-(b) demoted_in=8 entries (green r7:
-    # local_supplier_volume_q5, promo_revenue_q14,
-    # disjunctive_revenue_q19, part_triangle_counts,
-    # events_json_roundtrip, hybrid_rrf_search, orders_merge_steady,
-    # volume_shipping_q7, small_qty_revenue_q17, events_csv_roundtrip),
-    # (4) the seven clause-(b) demoted_in=9 entries (green r8), and
-    # (5) the oldest of the 39 r7-green clause-(a) demotions;
-    # backfill with the freshest r8-green demotions.
+    # R11 ROTATION SLATE (plan, per the standing policy): demote the
+    # r10 window's twice-green entries via clause (a) — the 28
+    # promoted r7-green entries (gaining a 3rd/4th green), the ten
+    # demoted_in=8 + seven demoted_in=9 clause-(b) returnees (gaining
+    # their 2nd green), and events_sliding_hourly (greens r1/r6+r10);
+    # refresh the rows-only trio's evidence stamp. Then promote (1)
+    # the 11 r7-green leftovers below (oldest evidence by then —
+    # part_price_skyline … wizard_chain_stages), (2) the 25
+    # clause-(b) demoted_in=10 entries (green r9, owed a second
+    # green), and (3) backfill the remaining ~13 slots with the
+    # oldest of the 42-entry r8-green clause-(a) cohort (last green
+    # r8 — 3 rounds stale by r11), keeping the ≤3-round freshness
+    # invariant.
     #
-    # -- clause (a), demoted in r9: the r4-stale cohort, re-proven
-    # -- green in the r8 window (greens r<=4 + r8) --
-    "pricing_summary",  # dec-sum kernel ⊂ in-window TPC-H battery (Q6/Q9)
-    "region_revenue",  # star join shape ⊂ market_share_q8 (in-window)
-    "order_priority_semijoin",  # EXISTS semi ⊂ late_shipment_priority_q12
+    # -- clause (b), demoted in r10: the 25 r8-second-half debuts,
+    # -- first green r9 (recorded in ROTATED_OUT_FRESH; re-enter
+    # -- ~r11) --
+    "forecast_revenue_q6",  # dec-sum kernel ⊂ promo_revenue_q14 (in-window)
+    "market_share_q8",  # star join ⊂ local_supplier_volume_q5 / volume_shipping_q7
+    "product_profit_q9",  # multi-join agg ⊂ volume_shipping_q7 (in-window)
+    "late_shipment_priority_q12",  # conditional agg ⊂ promo_revenue_q14
+    "order_count_distribution_q13",  # outer-join histogram ⊂ idle_customers_q22
+    "top_supplier_q15",  # scalar-max ⊂ min_cost_supplier_q2 (in-window)
+    "supplier_part_counts_q16",  # distinct-count ⊂ excess_shipment_q20
+    "large_volume_customers_q18",  # semi-on-aggregate ⊂ excess_shipment_q20
+    "semantic_dedup_cells",  # cell-bounded cosine ⊂ knn_ivf_pruned cells
+    "perplexity_bucket_filter",  # ntile terciles ⊂ bigram_lm_perplexity
+    "countmin_heavy_hitters",  # bounded sketch ⊂ bigram_topk postings
+    "custom_pysource_links",  # connector reads ⊂ events_csv/orc/xml roundtrips
+    "events_stream_static_join",  # stream-static ⊂ events_stream_stream_join
+    "events_variant_extract",  # VARIANT paths ⊂ events_json_roundtrip
+    "trade_hops_recursive",  # UnionLoop rounds ⊂ part_pagerank loop
+    "top_customers_lateral",  # lateral group-limit ⊂ returned_items_q10 heap
+    "doc_chunks_udtf",  # Arrow UDTF spans ⊂ doc_chunk_windows (in-window)
+    "doc_bytes_arrow",  # mapInArrow surface ⊂ video_frame_sample
+    "collated_lang_counts",  # collation groupBy ⊂ fuzzy_name_matches norms
+    "events_try_ops_safe",  # try_* kernels ⊂ events_hourly_gapfill arithmetic
+    "user_event_map_profile",  # map-type aggs ⊂ events_funnel_stages seqs
+    "sql_udf_token_stats",  # SQL UDF ⊂ brand_price_regression expressions
+    "hard_negative_mining",  # rank-window mining ⊂ knn_int8_rerank
+    "source_kl_divergence",  # distribution compare ⊂ bigram_lm_perplexity
+    "weighted_sample_docs",  # keyed-hash heaps ⊂ temperature_resample
+    # -- clause (a), demoted in r10: the 24 oldest-evidence r9
+    # -- promotions, each now holding greens r<=6 AND r9 --
+    "bpe_merge_learn",  # merge-learn rounds ⊂ bpe_encode_stats (in-window)
+    "shipping_priority_q3",  # heap top-k ⊂ returned_items_q10 (in-window)
+    "event_transition_matrix",  # per-user seqs ⊂ events_funnel_stages
+    "events_value_ttest",  # moment pass ⊂ brand_price_regression
+    "events_cusum_changepoint",  # running scans ⊂ user_decayed_value twin machinery
+    "ctfidf_topics_per_lang",  # column sums ⊂ group_concat_docs (in-window)
+    "dedup_canonical_corpus",  # large/small-star ⊂ part_pagerank checkpointed rounds
+    "events_stateful_running",  # state-store path ⊂ events_stream_stream_join
+    "events_stream_dedup",  # watermark state ⊂ events_streaming_upsert
+    "hyperplane_lsh_pairs",  # banded self-join ⊂ incremental_minhash_dedup
+    "data_quality_report",  # map-only stats ⊂ doc-stat kernels in-window twins
+    "weekly_active_users",  # distinct-window ⊂ events_hourly_gapfill buckets
+    "customers_without_orders",  # anti join ⊂ orders_merge_bucketed SMJ family
+    "top_orders_per_customer",  # group-limit ⊂ returned_items_q10 heap top-k
+    "order_cube_revenue",  # Expand cube ⊂ lineitem_unpivot_stats (in-window)
+    "customer_order_frames",  # window frames ⊂ retention_cohorts machinery twin
+    "salted_agg_priority_revenue",  # salt invariance ⊂ salted_join twin tests
+    "events_tumbling_hourly",  # tumbling ⊂ events_sliding_hourly (in-window)
+    "events_json_value_counts",  # schema-on-read ⊂ events_json_roundtrip
+    "knn_ivf_cells",  # cell-rank kernel ⊂ knn_ivf_pruned (in-window)
+    "embedding_neardup_pairs",  # exact-cos oracle ⊂ knn_int8_rerank exact path
+    "source_vocab_overlap",  # set overlap ⊂ fuzzy_name_matches q-gram sets
+    "events_type_pivot",  # pivot ⊂ lineitem_unpivot_stats Expand machinery
+    "incremental_revenue_merge",  # foreachBatch MERGE ⊂ events_streaming_upsert
+    # ================= older cohorts still demoted =================
+    # -- clause (a), demoted in r9 (greens r<=4 + r8) --
+    "pricing_summary",  # dec-sum kernel ⊂ promo_revenue_q14 (in-window)
+    "region_revenue",  # star join shape ⊂ local_supplier_volume_q5
+    "order_priority_semijoin",  # EXISTS semi ⊂ waiting_suppliers_q21
     "nation_set_ops",  # INTERSECT/EXCEPT ⊂ set-op kernels in-window twins
-    "order_window_enrich",  # window frames ⊂ customer_order_frames (in-window)
-    "argmax_per_flag",  # struct-max ⊂ top_supplier_q15 argmax (in-window)
-    "order_rollup_revenue",  # Expand rollup ⊂ order_cube_revenue (in-window)
-    "salted_join_nation_customers",  # salt invariance ⊂ salted_agg twin
-    "price_quantiles",  # quantile kernel ⊂ perplexity_bucket_filter ntile
-    "etl_clean_articles",  # F1-F7 chain ⊂ data_quality_report (in-window)
-    "explode_paragraphs",  # posexplode ⊂ doc_chunks_udtf (in-window)
-    "ner_top_orgs",  # weighted top-n ⊂ top_customers_lateral group-limit
-    "media_features",  # mapInPandas surface ⊂ doc_bytes_arrow (in-window)
-    "events_session_windows",  # sessionize ⊂ event_transition_matrix seqs
-    "events_tumbling_streaming",  # micro-batch ⊂ events_stream_dedup
-    "events_asof_last_click",  # as-of kernel ⊂ events_stream_static_join
-    "events_range_click_counts",  # range join ⊂ events_tumbling_hourly aggs
-    "doc_stats_quality",  # map-only stats ⊂ data_quality_report (in-window)
-    "lang_id",  # n-gram scoring ⊂ source_kl_divergence (in-window)
-    "top_terms_per_source",  # top-n terms ⊂ ctfidf_topics_per_lang
-    "sentence_stats",  # sentence split ⊂ sql_udf_token_stats (in-window)
-    "lemma_term_counts",  # lemma map ⊂ collated_lang_counts normalization
-    "bpe_token_stats",  # regex tokenize ⊂ bpe_merge_learn (in-window)
-    "bm25_topk",  # posting top-k ⊂ countmin_heavy_hitters + bigram twins
-    "stratified_sample_docs",  # keyed-md5 rates ⊂ weighted_sample_docs
-    "winnowing_fingerprints",  # rolling-hash spans ⊂ semantic_dedup_cells
-    "gopher_repetition_flags",  # map-only scans ⊂ data_quality_report
-    "pii_redaction",  # regex scrub ⊂ data_quality_report (in-window)
-    "contamination_ngram_overlap",  # broadcast n-grams ⊂ countmin twin
+    "order_window_enrich",  # window frames ⊂ retention_cohorts twin
+    "argmax_per_flag",  # struct-max ⊂ min_cost_supplier_q2 argmin
+    "order_rollup_revenue",  # Expand rollup ⊂ lineitem_unpivot_stats
+    "salted_join_nation_customers",  # salt invariance ⊂ salted tests
+    "price_quantiles",  # quantile kernel ⊂ price_decile_histogram twin
+    "etl_clean_articles",  # F1-F7 chain ⊂ wizard_chain_stages twin + tests
+    "explode_paragraphs",  # posexplode ⊂ doc_chunk_windows (in-window)
+    "ner_top_orgs",  # weighted top-n ⊂ part_affinity_topk (in-window)
+    "media_features",  # mapInPandas surface ⊂ video_frame_sample (in-window)
+    "events_session_windows",  # sessionize ⊂ events_funnel_stages seqs
+    "events_tumbling_streaming",  # micro-batch ⊂ events_stream_stream_join
+    "events_asof_last_click",  # as-of kernel ⊂ events_asof_cogroup (in-window)
+    "events_range_click_counts",  # range join ⊂ events_hourly_gapfill buckets
+    "doc_stats_quality",  # map-only stats ⊂ in-window doc kernels
+    "lang_id",  # n-gram scoring ⊂ bigram_lm_perplexity (in-window)
+    "top_terms_per_source",  # top-n terms ⊂ bigram_topk (in-window)
+    "sentence_stats",  # sentence split ⊂ doc_chunk_windows spans
+    "lemma_term_counts",  # lemma map ⊂ group_concat_docs normalization
+    "bpe_token_stats",  # regex tokenize ⊂ bpe_encode_stats (in-window)
+    "bm25_topk",  # posting top-k ⊂ bigram_topk (in-window)
+    "stratified_sample_docs",  # keyed-md5 rates ⊂ temperature_resample
+    "winnowing_fingerprints",  # rolling-hash spans ⊂ duplicate_span_flags
+    "gopher_repetition_flags",  # map-only scans ⊂ in-window doc kernels
+    "pii_redaction",  # regex scrub ⊂ in-window cleaning twins
+    "contamination_ngram_overlap",  # broadcast n-grams ⊂ incremental_minhash batch
     "corpus_prep_chain",  # composed stages each have in-window twins
-    "exact_dedup",  # md5 groupBy ⊂ dedup_canonical_corpus (in-window)
-    "ngram_jaccard_pairs",  # labeled oracle ⊂ semantic_dedup_cells pairs
-    "minhash_lsh_pairs",  # banding ⊂ hyperplane_lsh_pairs (in-window)
-    "simhash_pairs",  # pigeonhole bands ⊂ hyperplane_lsh_pairs
-    "neardup_components",  # min-label rounds ⊂ trade_hops_recursive loop
-    "knn_bruteforce",  # bounded broadcast ⊂ hard_negative_mining
-    "knn_ivf_multiprobe",  # cell pruning ⊂ knn_ivf_cells (in-window)
-    "hash_embeddings",  # salted stand-in ⊂ embedding_neardup_pairs
-    "sentiment_distinct_join",  # distinct→infer→join ⊂ ml twins + tests
+    "exact_dedup",  # md5 groupBy ⊂ line_dedup_rebuild (in-window)
+    "ngram_jaccard_pairs",  # labeled oracle ⊂ prefix_jaccard_pairs twin
+    "minhash_lsh_pairs",  # banding ⊂ incremental_minhash_dedup (in-window)
+    "simhash_pairs",  # pigeonhole bands ⊂ incremental_minhash_dedup
+    "neardup_components",  # min-label rounds ⊂ part_pagerank loop
+    "knn_bruteforce",  # bounded broadcast ⊂ knn_int8_rerank exact path
+    "knn_ivf_multiprobe",  # cell pruning ⊂ knn_ivf_pruned (in-window)
+    "hash_embeddings",  # salted stand-in ⊂ embedding_dim_stats vectors
+    "sentiment_distinct_join",  # distinct→infer→join ⊂ wizard_chain_stages
     "medoid_summaries",  # k-nearest medoids ⊂ flagship (in-window)
     "pairwise_medoids",  # pairwise-avg medoids ⊂ flagship machinery
-    "sequence_packing",  # greedy packing ⊂ weighted_sample_docs heaps
-    # -- clause (b), demoted in r9: one-green r8 debuts (green r8,
-    # -- recorded in ROTATED_OUT_FRESH; re-enter ~r10) --
-    "waiting_suppliers_q21",  # multi-EXISTS ⊂ late_shipment_priority_q12
-    "min_cost_supplier_q2",  # scalar-min decorrelation ⊂ top_supplier_q15
-    "excess_shipment_q20",  # semi-on-aggregate ⊂ supplier_part_counts_q16
-    "idle_customers_q22",  # scalar-avg + anti ⊂ order_count_distribution_q13
-    "revenue_concentration_q11",  # global-fraction HAVING ⊂ top_supplier_q15
-    "events_orc_roundtrip",  # at-rest format ⊂ custom_pysource_links reads
-    "events_xml_roundtrip",  # at-rest format ⊂ custom_pysource_links reads
-    # ================= older cohorts still demoted =================
-    # -- clause (a), demoted in r8 (green r7 + >=1 earlier round) --
-    "bigram_lm_perplexity",  # single-matrix scan ⊂ perplexity_bucket_filter
-    "bigram_topk",  # posting-list top-k ⊂ countmin_heavy_hitters
-    "bpe_encode_stats",  # encode runs _bpe_learn in-window via bpe_merge_learn
-    "brand_price_regression",  # one-moment-pass ⊂ events_value_ttest (in-window)
-    "doc_chunk_windows",  # overlapping windows ⊂ doc_chunks_udtf (in-window)
-    "dsir_importance_select",  # md5 bucketing ⊂ weighted_sample_docs
-    "duplicate_span_flags",  # sorted-scan spans ⊂ semantic_dedup_cells
-    "embedding_dim_stats",  # vector stats ⊂ embedding_neardup_pairs
-    "event_outliers_mad",  # median/MAD fences ⊂ perplexity_bucket_filter
-    "events_asof_cogroup",  # as-of kernel ⊂ events_stream_static_join
-    "events_funnel_stages",  # per-user sequences ⊂ event_transition_matrix
-    "events_hourly_gapfill",  # bucket aggs ⊂ events_tumbling_hourly
-    "events_stream_stream_join",  # streaming state ⊂ events_stream_dedup
-    "events_streaming_upsert",  # foreachBatch merge ⊂ incremental_revenue_merge
-    "fuzzy_name_matches",  # q-gram count filter ⊂ semantic_dedup_cells
-    "group_concat_docs",  # A3 concat ⊂ ctfidf_topics_per_lang (in-window)
-    "incremental_minhash_dedup",  # banding ⊂ hyperplane_lsh_pairs
-    "knn_int8_rerank",  # exact re-rank ⊂ knn_ivf_cells + hard negatives
-    "knn_ivf_pruned",  # cell-rank kernel ⊂ knn_ivf_cells (in-window)
-    "line_dedup_rebuild",  # anti-join rebuild ⊂ dedup_canonical_corpus
-    "lineitem_unpivot_stats",  # Expand machinery ⊂ order_cube_revenue
-    "orders_merge_bucketed",  # bucketed SMJ pinned by test_plans + twin
-    "orders_upsert_merge",  # partial-state merge ⊂ incremental_revenue_merge
-    "part_affinity_topk",  # basket self-join guard pinned by test_guards_r7
-    "part_pagerank",  # checkpointed rounds ⊂ trade_hops_recursive loop
-    "part_price_skyline",  # local-prune mapInPandas ⊂ doc_bytes_arrow
-    "phrase_match_docs",  # positional postings ⊂ doc_chunks_udtf spans
-    "prefix_jaccard_pairs",  # prefix filter ⊂ semantic_dedup_cells pairs
-    "price_decile_histogram",  # width-bucket ⊂ perplexity_bucket_filter
-    "quality_representative_dedup",  # struct-max ⊂ top_supplier_q15
-    "retention_cohorts",  # cohort windows ⊂ customer_order_frames
-    "returned_items_q10",  # heap top-k ⊂ large_volume_customers_q18
-    "sql_interface_segment_revenue",  # dual-engine SQL ⊂ sql_udf_token_stats
-    "temperature_resample",  # keyed-md5 rates ⊂ weighted_sample_docs
-    "hash_split_profile",  # md5 split ⊂ weighted_sample_docs keys
-    "url_canonical_dedup",  # canonicalize+dedup ⊂ dedup_canonical_corpus
-    "user_decayed_value",  # running scans ⊂ events_cusum_changepoint
-    "video_frame_sample",  # sample-before-decode ⊂ doc_bytes_arrow
-    "wizard_chain_stages",  # its stages ⊂ etl/sentiment/embed/summarize
-    # -- r6-green entry that yielded its r9 slot to its in-window
-    # -- tumbling twin (last green r6; promotes FIRST in r10) --
-    "events_sliding_hourly",  # sliding ⊂ events_tumbling_hourly (in-window)
-    # -- clause (b): demoted in r8 with green-r7 evidence --
-    "local_supplier_volume_q5",  # Q5 star shape ⊂ market_share_q8
-    "promo_revenue_q14",  # conditional agg ⊂ forecast_revenue_q6
-    "disjunctive_revenue_q19",  # OR-of-ANDs factoring pinned by test_plans
-    "part_triangle_counts",  # wedge orientation pinned by test_graph + guard
-    "events_json_roundtrip",  # schema-on-read ⊂ events_json_value_counts
-    "hybrid_rrf_search",  # RRF fuse ⊂ knn_ivf_cells + retrieval twins
-    "orders_merge_steady",  # steady-state merge ⊂ incremental_revenue_merge
-    "volume_shipping_q7",  # pair-dim broadcast ⊂ market_share_q8
-    "small_qty_revenue_q17",  # decorrelated avg ⊂ idle_customers_q22 twin
-    "events_csv_roundtrip",  # explicit-schema text read ⊂ xml/orc twins
-    # -- rows-only by design (fresh rows-only passes queued for r10;
-    # -- they could not fit the r9 window per the slate above) --
-    "wizard_full_chain",
-    "kmeans_clusters",
-    "pca_coords",
+    "sequence_packing",  # greedy packing ⊂ doc_chunk_windows spans
+    # -- clause (a), demoted in r8, the 11 r7-green leftovers that
+    # -- did not fit the r10 window (greens r5/r6 + r7; promote
+    # -- FIRST in r11) --
+    "part_price_skyline",  # local-prune mapInPandas ⊂ video_frame_sample
+    "phrase_match_docs",  # positional postings ⊂ bigram_topk (in-window)
+    "prefix_jaccard_pairs",  # prefix filter ⊂ incremental_minhash_dedup
+    "price_decile_histogram",  # width-bucket ⊂ event_outliers_mad fences
+    "quality_representative_dedup",  # struct-max ⊂ min_cost_supplier_q2
+    "retention_cohorts",  # cohort windows ⊂ events_funnel_stages
+    "returned_items_q10",  # heap top-k ⊂ in-window group-limit twins
+    "sql_interface_segment_revenue",  # dual-engine SQL ⊂ in-window SQL twins
+    "url_canonical_dedup",  # canonicalize+dedup ⊂ line_dedup_rebuild
+    "user_decayed_value",  # running scans ⊂ events_asof_cogroup scans
+    "wizard_chain_stages",  # its stages ⊂ etl/sentiment/embed twins + tests
 )
 
 # Entries promoted to the registry head (after the flagship): these
 # must land inside the driver's 50-row checked window regardless of
-# module registration order. Round 9 (VERDICT r8 next-round #1/#2):
-# the flagship + ALL 25 never-driver-checked round-8 debuts + the 24
-# oldest-evidence demotions (12 last-green-r5 + 12 of the 13
-# last-green-r6) = exactly the 50-slot window.
+# module registration order. Round 10 (VERDICT r9 next-round #1): the
+# flagship + events_sliding_hourly (last green r6 — promotes FIRST) +
+# fresh rows-only passes for the wizard/kmeans/pca trio (stale since
+# r5) + the ten clause-(b) demoted_in=8 returnees (green r7) + the
+# seven demoted_in=9 returnees (green r8) + 28 of the 39 r7-green
+# clause-(a) demotions = exactly the 50-slot window.
 _PRIORITIZED = (
     "cluster_viz_summary",  # flagship: entry() runs this
-    # -- the 8 TPC-H battery completions (registered after the r8
-    # -- window froze; never driver-checked) --
-    "forecast_revenue_q6",
-    "market_share_q8",
-    "product_profit_q9",
-    "late_shipment_priority_q12",
-    "order_count_distribution_q13",
-    "top_supplier_q15",
-    "supplier_part_counts_q16",
-    "large_volume_customers_q18",
-    # -- the 4 LLM-pipeline r8 debuts (never driver-checked) --
-    "semantic_dedup_cells",
-    "perplexity_bucket_filter",
-    "countmin_heavy_hitters",
-    "custom_pysource_links",
-    # -- the 13 third-wave engine-surface r8 debuts (never checked) --
-    "events_stream_static_join",
-    "events_variant_extract",
-    "trade_hops_recursive",
-    "top_customers_lateral",
-    "doc_chunks_udtf",
-    "doc_bytes_arrow",
-    "collated_lang_counts",
-    "events_try_ops_safe",
-    "user_event_map_profile",
-    "sql_udf_token_stats",
-    "hard_negative_mining",
-    "source_kl_divergence",
-    "weighted_sample_docs",
-    # -- last green r5: the five clause-(b) singles (demoted r6) --
-    "bpe_merge_learn",
-    "shipping_priority_q3",
-    "event_transition_matrix",
-    "events_value_ttest",
-    "events_cusum_changepoint",
-    # -- last green r5: the multi-round cohort (demoted r6) --
-    "ctfidf_topics_per_lang",
-    "dedup_canonical_corpus",
-    "events_stateful_running",
-    "events_stream_dedup",
-    "hyperplane_lsh_pairs",
-    "data_quality_report",
-    "weekly_active_users",
-    # -- last green r6: 12 of the 13-entry cohort (sliding yielded
-    # -- its slot to its in-window tumbling twin, promotes r10) --
-    "customers_without_orders",
-    "top_orders_per_customer",
-    "order_cube_revenue",
-    "customer_order_frames",
-    "salted_agg_priority_revenue",
-    "events_tumbling_hourly",
-    "events_json_value_counts",
-    "knn_ivf_cells",
-    "embedding_neardup_pairs",
-    "source_vocab_overlap",
-    "events_type_pivot",
-    "incremental_revenue_merge",
+    # -- the single entry whose last green is r6 (promotes FIRST) --
+    "events_sliding_hourly",
+    # -- rows-only trio, evidence stale since r5 (fresh rows-only
+    # -- passes are the r10 deliverable for them) --
+    "wizard_full_chain",
+    "kmeans_clusters",
+    "pca_coords",
+    # -- clause-(b) demoted_in=8 returnees (one green, r7) --
+    "local_supplier_volume_q5",
+    "promo_revenue_q14",
+    "disjunctive_revenue_q19",
+    "part_triangle_counts",
+    "events_json_roundtrip",
+    "hybrid_rrf_search",
+    "orders_merge_steady",
+    "volume_shipping_q7",
+    "small_qty_revenue_q17",
+    "events_csv_roundtrip",
+    # -- clause-(b) demoted_in=9 returnees (one green, r8) --
+    "waiting_suppliers_q21",
+    "min_cost_supplier_q2",
+    "excess_shipment_q20",
+    "idle_customers_q22",
+    "revenue_concentration_q11",
+    "events_orc_roundtrip",
+    "events_xml_roundtrip",
+    # -- clause-(a) r7-green promotions: the three whose prior
+    # -- evidence is oldest (r2) first --
+    "hash_split_profile",
+    "temperature_resample",
+    "video_frame_sample",
+    # -- then the r5/r6-prior cohort in list order (the 11 that do
+    # -- not fit promote first in r11) --
+    "bigram_lm_perplexity",
+    "bigram_topk",
+    "bpe_encode_stats",
+    "brand_price_regression",
+    "doc_chunk_windows",
+    "dsir_importance_select",
+    "duplicate_span_flags",
+    "embedding_dim_stats",
+    "event_outliers_mad",
+    "events_asof_cogroup",
+    "events_funnel_stages",
+    "events_hourly_gapfill",
+    "events_stream_stream_join",
+    "events_streaming_upsert",
+    "fuzzy_name_matches",
+    "group_concat_docs",
+    "incremental_minhash_dedup",
+    "knn_int8_rerank",
+    "knn_ivf_pruned",
+    "line_dedup_rebuild",
+    "lineitem_unpivot_stats",
+    "orders_merge_bucketed",
+    "orders_upsert_merge",
+    "part_affinity_topk",
+    "part_pagerank",
 )
 
 _MODULES = (

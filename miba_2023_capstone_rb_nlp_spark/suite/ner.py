@@ -67,10 +67,24 @@ SELECT label, org, weight, rk FROM ranked WHERE rk <= 5
 
 def section_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents⋈embeddings fanned into weighted (label, w, t)
-    sections — the shared input for the gazetteer and model paths."""
+    sections — the shared input for the gazetteer and model paths.
+
+    The TEXT side must be the STREAMED side of this join: every
+    downstream operator (section fan-out, regex extraction) is
+    CPU-bound on ``text``, and a broadcast join's output inherits the
+    probe side's partitioning. Left to its size estimates Spark
+    broadcasts the docs side here (the label projection reads a
+    vector-bearing file, so its pre-pruning estimate is LARGER), which
+    serializes the regex stage onto the label scan's few input splits
+    and throws away cpu_table's fan-out repartition (the r10 1.34×
+    finding). The explicit broadcast of the 16-byte-per-row
+    (vec_id, label) projection pins build-side choice; at corpus-scale
+    label maps (rows ≈ docs, broadcast no longer bounded) swap it for
+    ``embs.hint("shuffle_hash")`` — the regex then runs at shuffle
+    parallelism, which preserves the same invariant."""
     docs = catalog.cpu_table(spark, sf_dir, "documents")
     embs = catalog.table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    d = docs.join(embs, docs["doc_id"] == embs["vec_id"], "inner")
+    d = docs.join(F.broadcast(embs), docs["doc_id"] == embs["vec_id"], "inner")
     sections = [
         (
             w,

@@ -147,3 +147,22 @@ def test_combined_extension_loop_reaches_plateau():
     assert reps == [11.7, 3.13, 3.11, 2.63, 2.43, 2.37]
     # flat quiet tail: no extension at all
     assert extend([9.0, 1.0, 1.02, 1.01], [0.5]) == [9.0, 1.0, 1.02, 1.01]
+
+
+def test_subsecond_entries_draw_deeper_rep_budget():
+    """VERDICT r9 #4: sub-second entries' noise is fixed scheduling
+    jitter, so they may sample up to MAX_REPS_SUBSEC; entries at or
+    above the cutoff keep the standard budget (the budget is a
+    function of the BEST sample, so one fast rep is enough to
+    qualify)."""
+    assert bench.rep_budget_of([0.5, 0.6]) == bench.MAX_REPS_SUBSEC
+    assert bench.rep_budget_of([2.0, 0.9]) == bench.MAX_REPS_SUBSEC
+    assert bench.rep_budget_of([1.0, 1.2]) == bench.MAX_REPS
+    assert bench.rep_budget_of([5.0]) == bench.MAX_REPS
+    # a noisy sub-second entry keeps extending past MAX_REPS...
+    noisy = [0.4, 0.4, 0.9, 0.9, 0.9, 0.9]
+    assert len(noisy) == bench.MAX_REPS and bench.should_extend(noisy)
+    # ...but stops at the deeper budget even if still noisy
+    assert not bench.should_extend(noisy + [0.9] * 4)
+    # a >=1 s entry still stops at MAX_REPS exactly as before
+    assert not bench.should_extend([1.0, 1.0, 4.0, 4.0, 4.0, 4.0])

@@ -238,8 +238,14 @@ def test_bm25_topk_is_heap_topk_with_broadcast_stats(spark):
     # corpus scan+explode subtree runs twice
     assert "InMemoryTableScan" in plan
     opt = _optimized_plan(df)
-    # term IN (...) appears below the tf aggregate, not above it
-    assert "spark" in opt and "INSET" in opt or "term#" in opt
+    # the query-term filter (term IN (...) / INSET) must appear in
+    # the optimized plan — i.e. pushed below the tf aggregate, not
+    # applied post-aggregate (ADVICE r9 #3: the previous form
+    # `A and B or C` was precedence-broken — C was near-always true,
+    # so the pin could never fail)
+    import re as _re
+
+    assert "INSET" in opt or _re.search(r"term#\d+ IN \(", opt), opt[:2000]
 
 
 def test_bigram_topk_single_explode_partial_agg(spark):
@@ -1325,3 +1331,22 @@ def test_ctfidf_no_cartesian_bounded_exchanges(spark):
     assert final.count("BroadcastNestedLoopJoin") <= 1  # 1-row scalar
     assert "WindowGroupLimit" in final
     assert final.count("Exchange hashpartitioning") <= 4
+
+
+def test_ner_top_orgs_streams_text_side(spark):
+    """The CPU-bound text side must be the STREAMED side of the
+    docs⋈labels join (r10 finding): Spark's size estimates broadcast
+    the docs side (the label projection's pre-pruning file estimate is
+    larger), which serializes the regex stage onto the label scan's
+    input splits. The explicit broadcast of the (vec_id, label)
+    projection pins build-side choice, and the section fan-out +
+    regex Generates stay downstream of the join in the same stage."""
+    df = SUITE["ner_top_orgs"].fn(spark, SF_TEST_DIR)
+    final = _final_plan(df)
+    # the right side IS the (vec_id, label) projection by
+    # construction, so BuildRight == "the text side streams"
+    assert "BroadcastHashJoin" in final and "BuildRight" in final
+    assert "BuildLeft" not in final
+    assert final.count("Generate explode") == 2  # sections, then orgs
+    # exactly the documented exchanges: (cluster, org) agg + top-n
+    assert final.count("Exchange hashpartitioning") <= 2

@@ -214,14 +214,42 @@ def test_priority_ordering():
 # CORRECTNESS_r*.json rounds may rotate out.
 DRIVER_WINDOW = 50
 ROTATED_OUT = {
-    # ============ round-9 state (VERDICT r8 next-round #1/#2) =========
-    # The r8 window went 50/50, so every r8-green entry except the
-    # flagship rotated out to clear the 25 never-driver-checked r8
-    # debuts plus the 24 oldest-evidence entries into the window; the
-    # sets below are the CURRENT demotions (history in git).
+    # ============ round-10 state (VERDICT r9 next-round #1) ==========
+    # The r9 window went 50/50, so every r9-green entry except the
+    # flagship rotated out; the window now holds the R10 slate (the
+    # r6-stale sliding entry, the rows-only trio, the clause-(b)
+    # returnees, and 28 of the 39 r7-green clause-(a) demotions).
+    # The sets below are the CURRENT demotions (history in git).
     # Machinery siblings for each are named in suite/__init__.py's
     # _DEPRIORITIZED comments.
-    # -- r8-green r4-stale cohort, >=2 green rounds (demoted in r9) --
+    # -- r9-green oldest-evidence cohort, >=2 green rounds (demoted
+    # -- in r10; greens r<=6 + r9) --
+    "bpe_merge_learn",
+    "shipping_priority_q3",
+    "event_transition_matrix",
+    "events_value_ttest",
+    "events_cusum_changepoint",
+    "ctfidf_topics_per_lang",
+    "dedup_canonical_corpus",
+    "events_stateful_running",
+    "events_stream_dedup",
+    "hyperplane_lsh_pairs",
+    "data_quality_report",
+    "weekly_active_users",
+    "customers_without_orders",
+    "top_orders_per_customer",
+    "order_cube_revenue",
+    "customer_order_frames",
+    "salted_agg_priority_revenue",
+    "events_tumbling_hourly",
+    "events_json_value_counts",
+    "knn_ivf_cells",
+    "embedding_neardup_pairs",
+    "source_vocab_overlap",
+    "events_type_pivot",
+    "incremental_revenue_merge",
+    # -- r8-green r4-stale cohort, >=2 green rounds (demoted in r9,
+    # -- still out) --
     "pricing_summary",
     "region_revenue",
     "order_priority_semijoin",
@@ -264,32 +292,9 @@ ROTATED_OUT = {
     "medoid_summaries",
     "pairwise_medoids",
     "sequence_packing",
-    # -- r7-green, >=2 green rounds (demoted in r8, still out) --
-    "bigram_lm_perplexity",
-    "bigram_topk",
-    "bpe_encode_stats",
-    "brand_price_regression",
-    "doc_chunk_windows",
-    "dsir_importance_select",
-    "duplicate_span_flags",
-    "embedding_dim_stats",
-    "event_outliers_mad",
-    "events_asof_cogroup",
-    "events_funnel_stages",
-    "events_hourly_gapfill",
-    "events_stream_stream_join",
-    "events_streaming_upsert",
-    "fuzzy_name_matches",
-    "group_concat_docs",
-    "incremental_minhash_dedup",
-    "knn_int8_rerank",
-    "knn_ivf_pruned",
-    "line_dedup_rebuild",
-    "lineitem_unpivot_stats",
-    "orders_merge_bucketed",
-    "orders_upsert_merge",
-    "part_affinity_topk",
-    "part_pagerank",
+    # -- r7-green cohort (demoted in r8): the 11 leftovers that did
+    # -- not fit the r10 window (greens r5/r6 + r7; promote FIRST in
+    # -- r11) --
     "part_price_skyline",
     "phrase_match_docs",
     "prefix_jaccard_pairs",
@@ -298,15 +303,9 @@ ROTATED_OUT = {
     "retention_cohorts",
     "returned_items_q10",
     "sql_interface_segment_revenue",
-    "temperature_resample",
-    "hash_split_profile",
     "url_canonical_dedup",
     "user_decayed_value",
-    "video_frame_sample",
     "wizard_chain_stages",
-    # -- r6-green entry (greens r1+r6) that yielded its r9 slot to
-    # -- its in-window tumbling twin; promotes FIRST in r10 --
-    "events_sliding_hourly",
 }
 
 # Round-6 policy amendment, clause (b): an entry may also rotate out
@@ -319,33 +318,34 @@ ROTATED_OUT = {
 # artifact. Rows-only entries (no oracle) satisfy it with a recorded
 # rows-only pass.
 ROTATED_OUT_FRESH = {
-    # demoted in r6, green r5 (rows-only entries: recorded pass;
-    # fresh rows-only passes queued for the r10 window)
-    "wizard_full_chain": 6,
-    "kmeans_clusters": 6,
-    "pca_coords": 6,
-    # demoted in r8, green r7 (the one-green r7 debuts — clause (b)
-    # freed their slots for the r4-stale cohort; re-enter ~r10)
-    "local_supplier_volume_q5": 8,
-    "promo_revenue_q14": 8,
-    "disjunctive_revenue_q19": 8,
-    "part_triangle_counts": 8,
-    "events_json_roundtrip": 8,
-    "hybrid_rrf_search": 8,
-    "orders_merge_steady": 8,
-    "volume_shipping_q7": 8,
-    "small_qty_revenue_q17": 8,
-    "events_csv_roundtrip": 8,
-    # demoted in r9, green r8 (the one-green r8 first/second-wave
-    # debuts — clause (b) frees their slots for the 25 never-checked
-    # r8 second-half debuts; re-enter ~r10)
-    "waiting_suppliers_q21": 9,
-    "min_cost_supplier_q2": 9,
-    "excess_shipment_q20": 9,
-    "idle_customers_q22": 9,
-    "revenue_concentration_q11": 9,
-    "events_orc_roundtrip": 9,
-    "events_xml_roundtrip": 9,
+    # demoted in r10, green r9 (the 25 never-driver-checked r8
+    # second-half debuts earned their first green in the r9 window;
+    # clause (b) frees their slots for the R10 slate; re-enter ~r11)
+    "forecast_revenue_q6": 10,
+    "market_share_q8": 10,
+    "product_profit_q9": 10,
+    "late_shipment_priority_q12": 10,
+    "order_count_distribution_q13": 10,
+    "top_supplier_q15": 10,
+    "supplier_part_counts_q16": 10,
+    "large_volume_customers_q18": 10,
+    "semantic_dedup_cells": 10,
+    "perplexity_bucket_filter": 10,
+    "countmin_heavy_hitters": 10,
+    "custom_pysource_links": 10,
+    "events_stream_static_join": 10,
+    "events_variant_extract": 10,
+    "trade_hops_recursive": 10,
+    "top_customers_lateral": 10,
+    "doc_chunks_udtf": 10,
+    "doc_bytes_arrow": 10,
+    "collated_lang_counts": 10,
+    "events_try_ops_safe": 10,
+    "user_event_map_profile": 10,
+    "sql_udf_token_stats": 10,
+    "hard_negative_mining": 10,
+    "source_kl_divergence": 10,
+    "weighted_sample_docs": 10,
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -417,35 +417,36 @@ def test_core_entries_inside_driver_window():
     # (VERDICT r6 #4), the round-6 promotions still earning their
     # second green, and the round-5 debuts that still hold their slot
     promoted = {
-        # round-9 rotation (VERDICT r8 #1): the 25 never-driver-
-        # checked r8 second-half debuts...
-        "forecast_revenue_q6", "market_share_q8", "product_profit_q9",
-        "late_shipment_priority_q12", "order_count_distribution_q13",
-        "top_supplier_q15", "supplier_part_counts_q16",
-        "large_volume_customers_q18", "semantic_dedup_cells",
-        "perplexity_bucket_filter", "countmin_heavy_hitters",
-        "custom_pysource_links", "events_stream_static_join",
-        "events_variant_extract", "trade_hops_recursive",
-        "top_customers_lateral", "doc_chunks_udtf", "doc_bytes_arrow",
-        "collated_lang_counts", "events_try_ops_safe",
-        "user_event_map_profile", "sql_udf_token_stats",
-        "hard_negative_mining", "source_kl_divergence",
-        "weighted_sample_docs",
-        # ...plus the oldest-evidence cohort (VERDICT r8 #2):
-        # last green r5 (five singles + seven multi-round)
-        "bpe_merge_learn", "shipping_priority_q3",
-        "event_transition_matrix", "events_value_ttest",
-        "events_cusum_changepoint", "ctfidf_topics_per_lang",
-        "dedup_canonical_corpus", "events_stateful_running",
-        "events_stream_dedup", "hyperplane_lsh_pairs",
-        "data_quality_report", "weekly_active_users",
-        # last green r6 (12 of 13; sliding yielded to tumbling twin)
-        "customers_without_orders", "top_orders_per_customer",
-        "order_cube_revenue", "customer_order_frames",
-        "salted_agg_priority_revenue", "events_tumbling_hourly",
-        "events_json_value_counts", "knn_ivf_cells",
-        "embedding_neardup_pairs", "source_vocab_overlap",
-        "events_type_pivot", "incremental_revenue_merge",
+        # round-10 rotation (VERDICT r9 #1): the r6-stale sliding
+        # entry + the rows-only trio...
+        "events_sliding_hourly", "wizard_full_chain",
+        "kmeans_clusters", "pca_coords",
+        # ...the clause-(b) demoted_in=8 returnees (green r7)...
+        "local_supplier_volume_q5", "promo_revenue_q14",
+        "disjunctive_revenue_q19", "part_triangle_counts",
+        "events_json_roundtrip", "hybrid_rrf_search",
+        "orders_merge_steady", "volume_shipping_q7",
+        "small_qty_revenue_q17", "events_csv_roundtrip",
+        # ...the clause-(b) demoted_in=9 returnees (green r8)...
+        "waiting_suppliers_q21", "min_cost_supplier_q2",
+        "excess_shipment_q20", "idle_customers_q22",
+        "revenue_concentration_q11", "events_orc_roundtrip",
+        "events_xml_roundtrip",
+        # ...and 28 of the 39 r7-green clause-(a) demotions (oldest
+        # prior evidence first, then list order)
+        "hash_split_profile", "temperature_resample",
+        "video_frame_sample", "bigram_lm_perplexity", "bigram_topk",
+        "bpe_encode_stats", "brand_price_regression",
+        "doc_chunk_windows", "dsir_importance_select",
+        "duplicate_span_flags", "embedding_dim_stats",
+        "event_outliers_mad", "events_asof_cogroup",
+        "events_funnel_stages", "events_hourly_gapfill",
+        "events_stream_stream_join", "events_streaming_upsert",
+        "fuzzy_name_matches", "group_concat_docs",
+        "incremental_minhash_dedup", "knn_int8_rerank",
+        "knn_ivf_pruned", "line_dedup_rebuild",
+        "lineitem_unpivot_stats", "orders_merge_bucketed",
+        "orders_upsert_merge", "part_affinity_topk", "part_pagerank",
     }
     assert promoted <= head, sorted(promoted - head)
 
