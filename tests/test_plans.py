@@ -1350,3 +1350,97 @@ def test_ner_top_orgs_streams_text_side(spark):
     assert final.count("Generate explode") == 2  # sections, then orgs
     # exactly the documented exchanges: (cluster, org) agg + top-n
     assert final.count("Exchange hashpartitioning") <= 2
+
+
+# --- r10 promoted-cohort pins: the plan shapes the rotation relies on
+# (each promoted entry re-enters the driver window with its scale
+# property pinned, mirroring the r9 promoted-cohort pins) ------------
+
+
+def test_sliding_window_is_expand_not_self_join(spark):
+    """Sliding 1h/30m window: each event fans out to window/slide = 2
+    buckets via ONE Expand inside the scan stage — never a per-slide
+    self-join or a second scan — and the aggregate is map-side
+    partial before the single (window) exchange."""
+    df = SUITE["events_sliding_hourly"].fn(spark, SF_TEST_DIR)
+    final = _final_plan(df)
+    assert final.count("Expand") == 1
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_" in final
+    assert "Join" not in final and final.count("FileScan") == 1
+
+
+def test_temperature_resample_single_scan_via_exchange_reuse(spark):
+    """The per-source count table feeds three consumers (weights, the
+    doc total, the weight total); AQE's exchange reuse keeps the
+    corpus scan at ONE (contrast bm25_topk, where an explode between
+    the scan and the reused subtree defeats reuse and a persist is
+    required — this pin is the evidence for when reuse alone is
+    enough). The only joins are 1-row scalar broadcasts."""
+    df = SUITE["temperature_resample"].fn(spark, SF_TEST_DIR)
+    final = _final_plan(df)
+    assert final.count("FileScan") == 1
+    assert "ReusedExchange" in final
+    assert "CartesianProduct" not in final
+    assert "SortMergeJoin" not in final
+    # scalar broadcasts only — every BNLJ builds a 1-row aggregate
+    assert final.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_video_frame_sample_prunes_payload_before_decode(spark):
+    """Sample-before-decode, executed: the frame-index posexplode is
+    the ONLY generator, the plan is map-only (no exchange — the
+    fan-out repartition aside), no Python crossing runs (decode is
+    gated), and column pruning drops BOTH the text column and the
+    fabricated binary content from the scan — the scan reads only
+    doc_id. At 100 TB this is the difference between sampling
+    metadata and decoding every frame."""
+    df = SUITE["video_frame_sample"].fn(spark, SF_TEST_DIR)
+    final = _final_plan(df)
+    assert final.count("Generate posexplode") == 1
+    assert "Exchange hashpartitioning" not in final
+    assert "EvalPython" not in final and "MapInPandas" not in final
+    import re
+
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", final)
+    assert len(scans) == 1 and "text" not in scans[0], scans
+
+
+def test_group_concat_single_object_agg_exchange(spark):
+    """A3 group string-concat: ONE (lang) exchange with a partial
+    ObjectHashAggregate below it (collect_list combines map-side);
+    the deterministic ordering is an array_sort INSIDE the aggregate
+    output, never a global sort or window."""
+    df = SUITE["group_concat_docs"].fn(spark, SF_TEST_DIR)
+    final = _final_plan(df)
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "ObjectHashAggregate" in final and "partial_" in final
+    assert "Window" not in final and "Join" not in final
+    assert "Sort " not in final.replace("array_sort", "")
+
+
+def test_knn_int8_rerank_partial_topk_no_product(spark):
+    """int8 shortlist → exact re-rank: candidate generation never
+    materializes a query×corpus product in the plan (the bounded
+    query set travels as a broadcast into the scoring kernel), the
+    shortlist/re-rank cuts are WindowGroupLimit top-ks, and exactly
+    one hash exchange (the per-query regroup) survives."""
+    df = SUITE["knn_int8_rerank"].fn(spark, SF_TEST_DIR)
+    final = _final_plan(df)
+    assert "CartesianProduct" not in final
+    assert "SortMergeJoin" not in final
+    assert "WindowGroupLimit" in final
+    assert final.count("Exchange hashpartitioning") <= 1
+
+
+def test_hybrid_rrf_fuses_k_row_lists(spark):
+    """RRF fusion: both rankers end in heap top-ks
+    (TakeOrderedAndProject), the doubly-consumed sparse tf table
+    comes from ONE cached materialization (InMemoryTableScan — the
+    bm25_topk persist contract), and no step builds a product; the
+    full-outer fusion join touches only the two k-row rank lists."""
+    df = SUITE["hybrid_rrf_search"].fn(spark, SF_TEST_DIR)
+    final = _final_plan(df)
+    assert final.count("TakeOrderedAndProject") >= 2
+    assert "InMemoryTableScan" in final
+    assert "CartesianProduct" not in final
