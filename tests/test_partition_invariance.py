@@ -59,6 +59,15 @@ ENTRIES = [
     "ctfidf_topics_per_lang",    # c-TF-IDF tf·idf float math + top-k ties
     "event_transition_matrix",   # per-user lag sequences → count ratios
     "events_cusum_changepoint",  # running-scan windows over event order
+    # r10: families promoted into the checked window that had no
+    # representative on this axis
+    "group_concat_docs",         # collect_list order is shuffle-dependent;
+                                 # the in-aggregate array_sort must erase it
+    "knn_int8_rerank",           # int-dot shortlist (order-exact) + float
+                                 # re-rank tie-breaks under any batch shape
+    "events_asof_cogroup",       # pandas cogroup as-of across hash buckets
+    "events_sliding_hourly",     # Expand fan-out + exact-decimal window sums
+    "hybrid_rrf_search",         # two rankers' ties + quantized RRF fusion
 ]
 
 
