@@ -225,9 +225,9 @@ _DEPRIORITIZED = (
     "events_stream_static_join",  # stream-static ⊂ events_stream_stream_join
     "events_variant_extract",  # VARIANT paths ⊂ events_json_roundtrip
     "trade_hops_recursive",  # UnionLoop rounds ⊂ part_pagerank loop
-    "top_customers_lateral",  # lateral group-limit ⊂ returned_items_q10 heap
+    "top_customers_lateral",  # lateral group-limit ⊂ knn_int8_rerank WindowGroupLimit (in-window)
     "doc_chunks_udtf",  # Arrow UDTF spans ⊂ doc_chunk_windows (in-window)
-    "doc_bytes_arrow",  # mapInArrow surface ⊂ video_frame_sample
+    "doc_bytes_arrow",  # Arrow-batch Python crossing ⊂ events_asof_cogroup (in-window)
     "collated_lang_counts",  # collation groupBy ⊂ fuzzy_name_matches norms
     "events_try_ops_safe",  # try_* kernels ⊂ events_hourly_gapfill arithmetic
     "user_event_map_profile",  # map-type aggs ⊂ events_funnel_stages seqs
@@ -238,22 +238,22 @@ _DEPRIORITIZED = (
     # -- clause (a), demoted in r10: the 24 oldest-evidence r9
     # -- promotions, each now holding greens r<=6 AND r9 --
     "bpe_merge_learn",  # merge-learn rounds ⊂ bpe_encode_stats (in-window)
-    "shipping_priority_q3",  # heap top-k ⊂ returned_items_q10 (in-window)
+    "shipping_priority_q3",  # heap top-k ⊂ part_affinity_topk (in-window)
     "event_transition_matrix",  # per-user seqs ⊂ events_funnel_stages
     "events_value_ttest",  # moment pass ⊂ brand_price_regression
-    "events_cusum_changepoint",  # running scans ⊂ user_decayed_value twin machinery
+    "events_cusum_changepoint",  # ordered running scans ⊂ events_funnel_stages (in-window)
     "ctfidf_topics_per_lang",  # column sums ⊂ group_concat_docs (in-window)
     "dedup_canonical_corpus",  # large/small-star ⊂ part_pagerank checkpointed rounds
     "events_stateful_running",  # state-store path ⊂ events_stream_stream_join
     "events_stream_dedup",  # watermark state ⊂ events_streaming_upsert
     "hyperplane_lsh_pairs",  # banded self-join ⊂ incremental_minhash_dedup
-    "data_quality_report",  # map-only stats ⊂ doc-stat kernels in-window twins
+    "data_quality_report",  # map-only doc stats ⊂ dsir_importance_select (in-window)
     "weekly_active_users",  # distinct-window ⊂ events_hourly_gapfill buckets
     "customers_without_orders",  # anti join ⊂ orders_merge_bucketed SMJ family
-    "top_orders_per_customer",  # group-limit ⊂ returned_items_q10 heap top-k
+    "top_orders_per_customer",  # group-limit ⊂ knn_int8_rerank WindowGroupLimit (in-window)
     "order_cube_revenue",  # Expand cube ⊂ lineitem_unpivot_stats (in-window)
-    "customer_order_frames",  # window frames ⊂ retention_cohorts machinery twin
-    "salted_agg_priority_revenue",  # salt invariance ⊂ salted_join twin tests
+    "customer_order_frames",  # rank/frame windows ⊂ knn_int8_rerank windows + local frame pins
+    "salted_agg_priority_revenue",  # salt invariance pinned by local invariance + plan tests
     "events_tumbling_hourly",  # tumbling ⊂ events_sliding_hourly (in-window)
     "events_json_value_counts",  # schema-on-read ⊂ events_json_roundtrip
     "knn_ivf_cells",  # cell-rank kernel ⊂ knn_ivf_pruned (in-window)
@@ -266,13 +266,13 @@ _DEPRIORITIZED = (
     "pricing_summary",  # dec-sum kernel ⊂ promo_revenue_q14 (in-window)
     "region_revenue",  # star join shape ⊂ local_supplier_volume_q5
     "order_priority_semijoin",  # EXISTS semi ⊂ waiting_suppliers_q21
-    "nation_set_ops",  # INTERSECT/EXCEPT ⊂ set-op kernels in-window twins
-    "order_window_enrich",  # window frames ⊂ retention_cohorts twin
+    "nation_set_ops",  # EXCEPT/anti kernel ⊂ line_dedup_rebuild LeftAnti (in-window)
+    "order_window_enrich",  # rank/lag windows ⊂ knn_int8_rerank windows (in-window)
     "argmax_per_flag",  # struct-max ⊂ min_cost_supplier_q2 argmin
     "order_rollup_revenue",  # Expand rollup ⊂ lineitem_unpivot_stats
     "salted_join_nation_customers",  # salt invariance ⊂ salted tests
-    "price_quantiles",  # quantile kernel ⊂ price_decile_histogram twin
-    "etl_clean_articles",  # F1-F7 chain ⊂ wizard_chain_stages twin + tests
+    "price_quantiles",  # quantile kernel pinned by tests/test_approx_swap.py
+    "etl_clean_articles",  # F1-F7 chain ⊂ wizard_full_chain etl stage (in-window)
     "explode_paragraphs",  # posexplode ⊂ doc_chunk_windows (in-window)
     "ner_top_orgs",  # weighted top-n ⊂ part_affinity_topk (in-window)
     "media_features",  # mapInPandas surface ⊂ video_frame_sample (in-window)
@@ -280,7 +280,7 @@ _DEPRIORITIZED = (
     "events_tumbling_streaming",  # micro-batch ⊂ events_stream_stream_join
     "events_asof_last_click",  # as-of kernel ⊂ events_asof_cogroup (in-window)
     "events_range_click_counts",  # range join ⊂ events_hourly_gapfill buckets
-    "doc_stats_quality",  # map-only stats ⊂ in-window doc kernels
+    "doc_stats_quality",  # map-only doc stats ⊂ dsir_importance_select (in-window)
     "lang_id",  # n-gram scoring ⊂ bigram_lm_perplexity (in-window)
     "top_terms_per_source",  # top-n terms ⊂ bigram_topk (in-window)
     "sentence_stats",  # sentence split ⊂ doc_chunk_windows spans
@@ -289,36 +289,36 @@ _DEPRIORITIZED = (
     "bm25_topk",  # posting top-k ⊂ bigram_topk (in-window)
     "stratified_sample_docs",  # keyed-md5 rates ⊂ temperature_resample
     "winnowing_fingerprints",  # rolling-hash spans ⊂ duplicate_span_flags
-    "gopher_repetition_flags",  # map-only scans ⊂ in-window doc kernels
-    "pii_redaction",  # regex scrub ⊂ in-window cleaning twins
+    "gopher_repetition_flags",  # map-only doc scans ⊂ dsir_importance_select (in-window)
+    "pii_redaction",  # regex scrub ⊂ wizard_full_chain etl stage (in-window)
     "contamination_ngram_overlap",  # broadcast n-grams ⊂ incremental_minhash batch
     "corpus_prep_chain",  # composed stages each have in-window twins
     "exact_dedup",  # md5 groupBy ⊂ line_dedup_rebuild (in-window)
-    "ngram_jaccard_pairs",  # labeled oracle ⊂ prefix_jaccard_pairs twin
+    "ngram_jaccard_pairs",  # shingle equi-join oracle ⊂ fuzzy_name_matches gram join (in-window)
     "minhash_lsh_pairs",  # banding ⊂ incremental_minhash_dedup (in-window)
     "simhash_pairs",  # pigeonhole bands ⊂ incremental_minhash_dedup
     "neardup_components",  # min-label rounds ⊂ part_pagerank loop
     "knn_bruteforce",  # bounded broadcast ⊂ knn_int8_rerank exact path
     "knn_ivf_multiprobe",  # cell pruning ⊂ knn_ivf_pruned (in-window)
     "hash_embeddings",  # salted stand-in ⊂ embedding_dim_stats vectors
-    "sentiment_distinct_join",  # distinct→infer→join ⊂ wizard_chain_stages
+    "sentiment_distinct_join",  # distinct→infer→join ⊂ wizard_full_chain sentiment stage
     "medoid_summaries",  # k-nearest medoids ⊂ flagship (in-window)
     "pairwise_medoids",  # pairwise-avg medoids ⊂ flagship machinery
     "sequence_packing",  # greedy packing ⊂ doc_chunk_windows spans
     # -- clause (a), demoted in r8, the 11 r7-green leftovers that
     # -- did not fit the r10 window (greens r5/r6 + r7; promote
     # -- FIRST in r11) --
-    "part_price_skyline",  # local-prune mapInPandas ⊂ video_frame_sample
+    "part_price_skyline",  # local-prune pandas crossing ⊂ events_asof_cogroup (in-window)
     "phrase_match_docs",  # positional postings ⊂ bigram_topk (in-window)
     "prefix_jaccard_pairs",  # prefix filter ⊂ incremental_minhash_dedup
     "price_decile_histogram",  # width-bucket ⊂ event_outliers_mad fences
     "quality_representative_dedup",  # struct-max ⊂ min_cost_supplier_q2
     "retention_cohorts",  # cohort windows ⊂ events_funnel_stages
-    "returned_items_q10",  # heap top-k ⊂ in-window group-limit twins
-    "sql_interface_segment_revenue",  # dual-engine SQL ⊂ in-window SQL twins
+    "returned_items_q10",  # heap top-k ⊂ part_affinity_topk (in-window)
+    "sql_interface_segment_revenue",  # dual-engine SQL string re-proven by its per-round sf0.001 parity lane
     "url_canonical_dedup",  # canonicalize+dedup ⊂ line_dedup_rebuild
     "user_decayed_value",  # running scans ⊂ events_asof_cogroup scans
-    "wizard_chain_stages",  # its stages ⊂ etl/sentiment/embed twins + tests
+    "wizard_chain_stages",  # all its stages run inside wizard_full_chain (in-window)
 )
 
 # Entries promoted to the registry head (after the flagship): these
