@@ -32,7 +32,15 @@ class _state_partitions:
     sized to the stateful workload, not inherited from the batch conf.
     The dedup/window state here is ~10^5 keys — 8 partitions beat 32
     (~2×: fewer state stores to open/commit per micro-batch). On a
-    real feed, size to keys×bytes per partition, not cores."""
+    real feed, size to keys×bytes per partition, not cores.
+
+    Provider choice (measured r10, order-swapped same-JVM A/B on the
+    stateful entry at sf0.1): the default HDFS-backed in-memory store
+    wins at this state size (best 4.8 s vs RocksDB 5.6 s — the
+    apparent RocksDB edge in one ordering was warm-JVM bias, gone
+    when the arms swap). RocksDB becomes the right provider only when
+    per-partition state outgrows executor memory (bounded heap,
+    incremental snapshots) — the corpus-scale swap, not a local win."""
 
     def __init__(self, spark: SparkSession, n: int = 8):
         self.spark, self.n = spark, str(n)

@@ -4,13 +4,11 @@ flukes that only appear with more rows near floor boundaries (the
 failure class the fixed-point recipe is designed to exclude).
 
 Slow (~3-6 min on local[32]); opt in with SPARK_GRAFT_SF01_PARITY=1.
-Last full run: round 9, **149/149 oracles green (386 s)** — the full
-registry, now including the two entries registered after round 8's
-147/147 run (`source_kl_divergence`, `weighted_sample_docs`;
-VERDICT r8 "What's wrong" #1) and the round-9 fixes (bm25 tf
-persist, hard-negative NULL-group pre-filter). (Earlier full runs:
-147/147 in 371 s in round 8; 136/136 in 269 s in round 7; 111/111 in
-279 s in round 6.)
+Last full run: round 10, **149/149 oracles green (282 s)** — the
+full registry after the r10 rotation and the ner_top_orgs build-side
+fix. (Earlier full runs: 149/149 in 386 s in round 9; 147/147 in
+371 s in round 8; 136/136 in 269 s in round 7; 111/111 in 279 s in
+round 6.)
 """
 
 from __future__ import annotations
