@@ -61,6 +61,23 @@ def persist_tracked(df: DataFrame, level=None) -> DataFrame:
     return out
 
 
+def _conf_explicitly_set(spark: SparkSession, key: str) -> bool | None:
+    """True/False iff the key is/isn't EXPLICITLY set on this session
+    (as opposed to merely resolving to its built-in default) — the
+    set-vs-default probe RuntimeConfig doesn't expose.
+
+    ``spark.conf.get(key, sentinel)`` cannot serve here: the default
+    argument is VALIDATED against the conf entry's type (a string
+    sentinel throws INVALID_CONF_VALUE on typed confs), so the probe
+    goes through the JVM ``SQLConf.contains`` bridge instead — a
+    private API, absent under Spark Connect, hence the ``None``
+    (unknown) return for the caller to fall back on."""
+    try:
+        return bool(spark._jsparkSession.sessionState().conf().contains(key))
+    except Exception:
+        return None
+
+
 def set_conf_tracked(spark: SparkSession, key: str, value: str) -> None:
     """Set a session conf an entry's LAZY plan needs at execution
     time, restoring the prior value on the same lifecycle as
@@ -76,19 +93,19 @@ def set_conf_tracked(spark: SparkSession, key: str, value: str) -> None:
     conf-free reader for exactly this reason). Use this only for confs
     that tune execution, never ones that gate it.
 
-    Restore-by-value caveat (ADVICE r9 #2): ``spark.conf.get(key)``
-    returns the BUILT-IN DEFAULT for keys that have one, so for a
-    default-valued key that was never explicitly set, restore re-SETS
-    the default string instead of returning the key to unset — a
-    later consumer distinguishing set-vs-default (e.g. via
-    ``unset``/``isModifiable`` probing) would see changed state. The
-    effective value is identical, and Spark's RuntimeConfig offers no
-    portable set-vs-default probe, so this is documented rather than
-    worked around; keys without a built-in default are restored to
-    truly-unset (the ``except`` path below)."""
+    Unset-capture (VERDICT r10 #6, closing ADVICE r9 #2 properly): a
+    default-valued key that was never explicitly set is restored to
+    TRULY-UNSET, not re-set to its default string — a later consumer
+    distinguishing set-vs-default sees unchanged state. The probe is
+    ``_conf_explicitly_set``; where that bridge is unavailable
+    (Connect), restore degrades to by-value — same effective value,
+    the documented pre-r11 behavior."""
     try:
         prior: str | None = spark.conf.get(key)
-    except Exception:  # unset key: Spark raises rather than None
+    except Exception:  # unset key without a default: Spark raises
+        prior = None
+    if prior is not None and _conf_explicitly_set(spark, key) is False:
+        # the value came from the built-in default, not a set()
         prior = None
     _LIVE_CONF_RESTORES.append((spark, key, prior))
     spark.conf.set(key, value)
@@ -177,218 +194,223 @@ def register(name: str, oracle: str | None = None):
 #       more slots than the ≥2-green population can free. A
 #       (b)-demoted entry re-enters the window within ~2 rounds.
 _DEPRIORITIZED = (
-    "approx_distinct_parts",  # rows-only HLL++ estimate, tail by design
-    # ================= ROUND-10 ROTATION (VERDICT r9 next-round #1)
-    # The r9 window went 50/50 green (fourth consecutive fully-green
-    # round), so every r9-green entry except the flagship rotates
-    # out and the window executes the R10 slate exactly as written in
-    # round 9: promote events_sliding_hourly (the only entry whose
-    # last green was r6) FIRST, then fresh rows-only passes for the
-    # wizard/kmeans/pca trio (stale since r5), then the ten
-    # clause-(b) demoted_in=8 entries (green r7), the seven
-    # demoted_in=9 entries (green r8), and 28 of the 39 r7-green
-    # clause-(a) demotions — the three whose PRIOR evidence is oldest
-    # (r2: hash_split_profile, temperature_resample,
-    # video_frame_sample) first, then list order; the 11 that did not
-    # fit (all greens r5/r6+r7) promote FIRST in r11. After this
-    # round no oracled entry's last green predates r7.
+    # ================= ROUND-11 ROTATION (VERDICT r10 next-round #2)
+    # The r10 window went 47 green + 3 rows-only (fifth consecutive
+    # fully-green round), so every r10-checked entry except the
+    # flagship rotates out via clause (a) — the 28 promoted r7-green
+    # entries (3rd/4th green), the 17 clause-(b) returnees (2nd
+    # green), events_sliding_hourly (greens r1/r6+r10) — except
+    # kmeans_clusters and pca_coords, which STAY in-window because
+    # this round converts them from rows-only to witness-oracled
+    # (VERDICT r10 #4) and they owe their first hash-green;
+    # wizard_full_chain (still rows-only by design, r10 rows-only
+    # pass) demotes via clause (b), its composition re-proven by the
+    # now-oracled-and-in-window wizard_chain_stages. Promoted: (1)
+    # approx_distinct_parts — newly error-bound-oracled (VERDICT r10
+    # #3), last driver row r1, the registry's stalest evidence; (2)
+    # the 11 r7-green leftovers (part_price_skyline …
+    # wizard_chain_stages); (3) the 25 clause-(b) demoted_in=10
+    # returnees (green r9, owed a second green); (4) 10 backfill
+    # slots from the 42-entry r8-green clause-(a) cohort, fewest
+    # prior greens first (the six entries missing an r2 green, then
+    # the r2-start four in list order).
     #
-    # R11 ROTATION SLATE (plan, per the standing policy): demote the
-    # r10 window's twice-green entries via clause (a) — the 28
-    # promoted r7-green entries (gaining a 3rd/4th green), the ten
-    # demoted_in=8 + seven demoted_in=9 clause-(b) returnees (gaining
-    # their 2nd green), and events_sliding_hourly (greens r1/r6+r10);
-    # refresh the rows-only trio's evidence stamp. Then promote (1)
-    # the 11 r7-green leftovers below (oldest evidence by then —
-    # part_price_skyline … wizard_chain_stages), (2) the 25
-    # clause-(b) demoted_in=10 entries (green r9, owed a second
-    # green), and (3) backfill the remaining ~13 slots with the
-    # oldest of the 42-entry r8-green clause-(a) cohort (last green
-    # r8 — 3 rounds stale by r11), keeping the ≤3-round freshness
-    # invariant.
+    # R12 ROTATION SLATE (plan, per the standing policy): demote the
+    # r11 window via clause (a) — the 25 returnees (2nd green), the
+    # 11 leftovers and 10 backfills (3rd+ green) — and via clause (b)
+    # demoted_in=12 for kmeans_clusters / pca_coords /
+    # approx_distinct_parts (first hash-green r11). Then promote the
+    # remaining 32-entry r8-green cohort (4 rounds stale by r12,
+    # pricing_summary … sequence_packing below) and fill the last
+    # ~17 slots with the oldest of the 24-entry r<=6+r9 cohort
+    # (bpe_merge_learn … incremental_revenue_merge).
     #
-    # -- clause (b), demoted in r10: the 25 r8-second-half debuts,
-    # -- first green r9 (recorded in ROTATED_OUT_FRESH; re-enter
-    # -- ~r11) --
-    "forecast_revenue_q6",  # dec-sum kernel ⊂ promo_revenue_q14 (in-window)
-    "market_share_q8",  # star join ⊂ local_supplier_volume_q5 / volume_shipping_q7
-    "product_profit_q9",  # multi-join agg ⊂ volume_shipping_q7 (in-window)
-    "late_shipment_priority_q12",  # conditional agg ⊂ promo_revenue_q14
-    "order_count_distribution_q13",  # outer-join histogram ⊂ idle_customers_q22
-    "top_supplier_q15",  # scalar-max ⊂ min_cost_supplier_q2 (in-window)
-    "supplier_part_counts_q16",  # distinct-count ⊂ excess_shipment_q20
-    "large_volume_customers_q18",  # semi-on-aggregate ⊂ excess_shipment_q20
-    "semantic_dedup_cells",  # cell-bounded cosine ⊂ knn_ivf_pruned cells
-    "perplexity_bucket_filter",  # ntile terciles ⊂ bigram_lm_perplexity
-    "countmin_heavy_hitters",  # bounded sketch ⊂ bigram_topk postings
-    "custom_pysource_links",  # connector reads ⊂ events_csv/orc/xml roundtrips
-    "events_stream_static_join",  # stream-static ⊂ events_stream_stream_join
-    "events_variant_extract",  # VARIANT paths ⊂ events_json_roundtrip
-    "trade_hops_recursive",  # UnionLoop rounds ⊂ part_pagerank loop
-    "top_customers_lateral",  # lateral group-limit ⊂ knn_int8_rerank WindowGroupLimit (in-window)
-    "doc_chunks_udtf",  # Arrow UDTF spans ⊂ doc_chunk_windows (in-window)
-    "doc_bytes_arrow",  # Arrow-batch Python crossing ⊂ events_asof_cogroup (in-window)
-    "collated_lang_counts",  # collation groupBy ⊂ fuzzy_name_matches norms
-    "events_try_ops_safe",  # try_* kernels ⊂ events_hourly_gapfill arithmetic
-    "user_event_map_profile",  # map-type aggs ⊂ events_funnel_stages seqs
-    "sql_udf_token_stats",  # SQL UDF ⊂ brand_price_regression expressions
-    "hard_negative_mining",  # rank-window mining ⊂ knn_int8_rerank
-    "source_kl_divergence",  # distribution compare ⊂ bigram_lm_perplexity
-    "weighted_sample_docs",  # keyed-hash heaps ⊂ temperature_resample
+    # -- clause (a), demoted in r11: the r10 window (greens r<=7 +
+    # -- r10) --
+    "events_sliding_hourly",  # sliding buckets ⊂ events_range_click_counts bucket arithmetic (in-window)
+    "local_supplier_volume_q5",  # star join ⊂ market_share_q8 (in-window)
+    "promo_revenue_q14",  # dec-sum kernel ⊂ forecast_revenue_q6 (in-window)
+    "disjunctive_revenue_q19",  # multi-predicate join agg ⊂ product_profit_q9 (in-window)
+    "part_triangle_counts",  # iterative graph rounds ⊂ trade_hops_recursive (in-window)
+    "events_json_roundtrip",  # JSON paths ⊂ events_variant_extract (in-window)
+    "hybrid_rrf_search",  # fused rank lists ⊂ bm25_topk heap top-k (in-window)
+    "orders_merge_steady",  # MERGE shape pinned by tests/test_plans.py MERGE pins
+    "volume_shipping_q7",  # star join ⊂ market_share_q8 (in-window)
+    "small_qty_revenue_q17",  # agg-subquery semi ⊂ large_volume_customers_q18 (in-window)
+    "events_csv_roundtrip",  # connector read ⊂ custom_pysource_links (in-window)
+    "waiting_suppliers_q21",  # EXISTS semi/anti ⊂ large_volume_customers_q18 (in-window)
+    "min_cost_supplier_q2",  # scalar-subquery argmin ⊂ top_supplier_q15 (in-window)
+    "excess_shipment_q20",  # distinct-count semi ⊂ supplier_part_counts_q16 (in-window)
+    "idle_customers_q22",  # outer-join histogram ⊂ order_count_distribution_q13 (in-window)
+    "revenue_concentration_q11",  # scalar-threshold ⊂ top_supplier_q15 (in-window)
+    "events_orc_roundtrip",  # connector read ⊂ custom_pysource_links (in-window)
+    "events_xml_roundtrip",  # connector read ⊂ custom_pysource_links (in-window)
+    "hash_split_profile",  # keyed-hash rates ⊂ stratified_sample_docs (in-window)
+    "temperature_resample",  # keyed sampling ⊂ weighted_sample_docs heaps (in-window)
+    "video_frame_sample",  # Arrow binary crossing ⊂ doc_bytes_arrow (in-window)
+    "bigram_lm_perplexity",  # n-gram LM scoring ⊂ perplexity_bucket_filter (in-window)
+    "bigram_topk",  # posting top-k ⊂ bm25_topk (in-window)
+    "bpe_encode_stats",  # BPE tokenize ⊂ bpe_token_stats (in-window)
+    "brand_price_regression",  # moment-pass expressions ⊂ sql_udf_token_stats (in-window)
+    "doc_chunk_windows",  # token spans ⊂ doc_chunks_udtf (in-window)
+    "dsir_importance_select",  # importance-bucket select ⊂ perplexity_bucket_filter (in-window)
+    "duplicate_span_flags",  # rolling-hash spans ⊂ winnowing_fingerprints (in-window)
+    "embedding_dim_stats",  # vector moments ⊂ hash_embeddings vectors (in-window)
+    "event_outliers_mad",  # fences ⊂ price_decile_histogram width-bucket (in-window)
+    "events_asof_cogroup",  # as-of kernel ⊂ events_asof_last_click (in-window)
+    "events_funnel_stages",  # per-user seqs ⊂ retention_cohorts (in-window)
+    "events_hourly_gapfill",  # bucket arithmetic ⊂ events_range_click_counts (in-window)
+    "events_stream_stream_join",  # micro-batch join ⊂ events_stream_static_join (in-window)
+    "events_streaming_upsert",  # micro-batch sink ⊂ events_stream_static_join (in-window) + tests/test_plans.py MERGE pins
+    "fuzzy_name_matches",  # norms/collation ⊂ collated_lang_counts (in-window)
+    "group_concat_docs",  # group string assembly ⊂ medoid_summaries summaries (in-window)
+    "incremental_minhash_dedup",  # banded self-join ⊂ prefix_jaccard_pairs filter join (in-window)
+    "knn_int8_rerank",  # rank windows ⊂ knn_ivf_multiprobe rerank (in-window)
+    "knn_ivf_pruned",  # cell pruning ⊂ knn_ivf_multiprobe (in-window)
+    "line_dedup_rebuild",  # LeftAnti rebuild ⊂ url_canonical_dedup (in-window)
+    "lineitem_unpivot_stats",  # Expand shape pinned by tests/test_plans.py
+    "orders_merge_bucketed",  # bucketed SMJ pinned by tests/test_bucketing.py + tests/test_plans.py
+    "orders_upsert_merge",  # MERGE upsert pinned by tests/test_plans.py
+    "part_affinity_topk",  # heap top-k ⊂ returned_items_q10 (in-window)
+    "part_pagerank",  # checkpointed rounds ⊂ trade_hops_recursive (in-window)
+    # -- clause (b), demoted in r11: rows-only by design, r10
+    # -- rows-only pass (ROTATED_OUT_FRESH) --
+    "wizard_full_chain",  # composition oracled stage-by-stage by wizard_chain_stages (in-window)
     # -- clause (a), demoted in r10: the 24 oldest-evidence r9
     # -- promotions, each now holding greens r<=6 AND r9 --
-    "bpe_merge_learn",  # merge-learn rounds ⊂ bpe_encode_stats (in-window)
-    "shipping_priority_q3",  # heap top-k ⊂ part_affinity_topk (in-window)
-    "event_transition_matrix",  # per-user seqs ⊂ events_funnel_stages
-    "events_value_ttest",  # moment pass ⊂ brand_price_regression
-    "events_cusum_changepoint",  # ordered running scans ⊂ events_funnel_stages (in-window)
-    "ctfidf_topics_per_lang",  # column sums ⊂ group_concat_docs (in-window)
-    "dedup_canonical_corpus",  # large/small-star ⊂ part_pagerank checkpointed rounds
-    "events_stateful_running",  # state-store path ⊂ events_stream_stream_join
-    "events_stream_dedup",  # watermark state ⊂ events_streaming_upsert
-    "hyperplane_lsh_pairs",  # banded self-join ⊂ incremental_minhash_dedup
-    "data_quality_report",  # map-only doc stats ⊂ dsir_importance_select (in-window)
-    "weekly_active_users",  # distinct-window ⊂ events_hourly_gapfill buckets
-    "customers_without_orders",  # anti join ⊂ orders_merge_bucketed SMJ family
-    "top_orders_per_customer",  # group-limit ⊂ knn_int8_rerank WindowGroupLimit (in-window)
-    "order_cube_revenue",  # Expand cube ⊂ lineitem_unpivot_stats (in-window)
-    "customer_order_frames",  # rank/frame windows ⊂ knn_int8_rerank windows + local frame pins
-    "salted_agg_priority_revenue",  # salt invariance pinned by local invariance + plan tests
-    "events_tumbling_hourly",  # tumbling ⊂ events_sliding_hourly (in-window)
-    "events_json_value_counts",  # schema-on-read ⊂ events_json_roundtrip
-    "knn_ivf_cells",  # cell-rank kernel ⊂ knn_ivf_pruned (in-window)
-    "embedding_neardup_pairs",  # exact-cos oracle ⊂ knn_int8_rerank exact path
-    "source_vocab_overlap",  # set overlap ⊂ fuzzy_name_matches q-gram sets
-    "events_type_pivot",  # pivot ⊂ lineitem_unpivot_stats Expand machinery
-    "incremental_revenue_merge",  # foreachBatch MERGE ⊂ events_streaming_upsert
+    "bpe_merge_learn",  # merge-learn rounds ⊂ bpe_token_stats tokenize (in-window)
+    "shipping_priority_q3",  # heap top-k ⊂ returned_items_q10 (in-window)
+    "event_transition_matrix",  # per-user seqs ⊂ retention_cohorts (in-window)
+    "events_value_ttest",  # moment/distribution pass ⊂ source_kl_divergence (in-window)
+    "events_cusum_changepoint",  # ordered running scans ⊂ user_decayed_value (in-window)
+    "ctfidf_topics_per_lang",  # grouped ratio-of-sums ⊂ market_share_q8 (in-window)
+    "dedup_canonical_corpus",  # large/small-star rounds ⊂ trade_hops_recursive (in-window)
+    "events_stateful_running",  # stateful micro-batch ⊂ events_stream_static_join (in-window)
+    "events_stream_dedup",  # watermark state ⊂ events_stream_static_join (in-window)
+    "hyperplane_lsh_pairs",  # banded self-join ⊂ prefix_jaccard_pairs filter join (in-window)
+    "data_quality_report",  # map-only doc stats ⊂ perplexity_bucket_filter scan (in-window)
+    "weekly_active_users",  # distinct-window buckets ⊂ events_range_click_counts (in-window)
+    "customers_without_orders",  # anti join ⊂ order_count_distribution_q13 outer family (in-window)
+    "top_orders_per_customer",  # group-limit ⊂ top_customers_lateral (in-window)
+    "order_cube_revenue",  # Expand cube pinned by tests/test_plans.py
+    "customer_order_frames",  # running frames ⊂ user_decayed_value running scans (in-window)
+    "salted_agg_priority_revenue",  # salt invariance pinned by tests/test_skew.py + tests/test_plans.py
+    "events_tumbling_hourly",  # tumbling buckets ⊂ events_range_click_counts arithmetic (in-window)
+    "events_json_value_counts",  # schema-on-read JSON ⊂ events_variant_extract (in-window)
+    "knn_ivf_cells",  # cell-rank kernel ⊂ knn_ivf_multiprobe (in-window)
+    "embedding_neardup_pairs",  # exact-cos oracle ⊂ knn_ivf_multiprobe exact rerank (in-window)
+    "source_vocab_overlap",  # token-set overlap ⊂ prefix_jaccard_pairs (in-window)
+    "events_type_pivot",  # pivot Expand pinned by tests/test_plans.py
+    "incremental_revenue_merge",  # foreachBatch MERGE pinned by tests/test_plans.py
     # ================= older cohorts still demoted =================
-    # -- clause (a), demoted in r9 (greens r<=4 + r8) --
-    "pricing_summary",  # dec-sum kernel ⊂ promo_revenue_q14 (in-window)
-    "region_revenue",  # star join shape ⊂ local_supplier_volume_q5
-    "order_priority_semijoin",  # EXISTS semi ⊂ waiting_suppliers_q21
-    "nation_set_ops",  # EXCEPT/anti kernel ⊂ line_dedup_rebuild LeftAnti (in-window)
-    "order_window_enrich",  # rank/lag windows ⊂ knn_int8_rerank windows (in-window)
-    "argmax_per_flag",  # struct-max ⊂ min_cost_supplier_q2 argmin
-    "order_rollup_revenue",  # Expand rollup ⊂ lineitem_unpivot_stats
-    "salted_join_nation_customers",  # salt invariance ⊂ salted tests
+    # -- clause (a), demoted in r9 (greens r<=4 + r8); the 32 not
+    # -- backfilled this round (promote in r12) --
+    "pricing_summary",  # dec-sum kernel ⊂ forecast_revenue_q6 (in-window)
+    "region_revenue",  # star join shape ⊂ market_share_q8 (in-window)
+    "order_priority_semijoin",  # EXISTS semi ⊂ large_volume_customers_q18 (in-window)
+    "nation_set_ops",  # EXCEPT/anti kernel ⊂ semantic_dedup_cells LeftAnti (in-window)
+    "order_window_enrich",  # rank/lag windows ⊂ user_decayed_value running scans (in-window)
+    "argmax_per_flag",  # struct-max ⊂ quality_representative_dedup (in-window)
+    "order_rollup_revenue",  # Expand rollup pinned by tests/test_plans.py
+    "salted_join_nation_customers",  # salt invariance pinned by tests/test_skew.py
     "price_quantiles",  # quantile kernel pinned by tests/test_approx_swap.py
-    "etl_clean_articles",  # F1-F7 chain ⊂ wizard_full_chain etl stage (in-window)
-    "explode_paragraphs",  # posexplode ⊂ doc_chunk_windows (in-window)
-    "ner_top_orgs",  # weighted top-n ⊂ part_affinity_topk (in-window)
-    "media_features",  # mapInPandas surface ⊂ video_frame_sample (in-window)
-    "events_session_windows",  # sessionize ⊂ events_funnel_stages seqs
-    "events_tumbling_streaming",  # micro-batch ⊂ events_stream_stream_join
-    "events_asof_last_click",  # as-of kernel ⊂ events_asof_cogroup (in-window)
-    "events_range_click_counts",  # range join ⊂ events_hourly_gapfill buckets
-    "doc_stats_quality",  # map-only doc stats ⊂ dsir_importance_select (in-window)
-    "lang_id",  # n-gram scoring ⊂ bigram_lm_perplexity (in-window)
-    "top_terms_per_source",  # top-n terms ⊂ bigram_topk (in-window)
-    "sentence_stats",  # sentence split ⊂ doc_chunk_windows spans
-    "lemma_term_counts",  # lemma map ⊂ group_concat_docs normalization
-    "bpe_token_stats",  # regex tokenize ⊂ bpe_encode_stats (in-window)
-    "bm25_topk",  # posting top-k ⊂ bigram_topk (in-window)
-    "stratified_sample_docs",  # keyed-md5 rates ⊂ temperature_resample
-    "winnowing_fingerprints",  # rolling-hash spans ⊂ duplicate_span_flags
-    "gopher_repetition_flags",  # map-only doc scans ⊂ dsir_importance_select (in-window)
-    "pii_redaction",  # regex scrub ⊂ wizard_full_chain etl stage (in-window)
-    "contamination_ngram_overlap",  # broadcast n-grams ⊂ incremental_minhash batch
-    "corpus_prep_chain",  # composed stages each have in-window twins
-    "exact_dedup",  # md5 groupBy ⊂ line_dedup_rebuild (in-window)
-    "ngram_jaccard_pairs",  # shingle equi-join oracle ⊂ fuzzy_name_matches gram join (in-window)
-    "minhash_lsh_pairs",  # banding ⊂ incremental_minhash_dedup (in-window)
-    "simhash_pairs",  # pigeonhole bands ⊂ incremental_minhash_dedup
-    "neardup_components",  # min-label rounds ⊂ part_pagerank loop
-    "knn_bruteforce",  # bounded broadcast ⊂ knn_int8_rerank exact path
-    "knn_ivf_multiprobe",  # cell pruning ⊂ knn_ivf_pruned (in-window)
-    "hash_embeddings",  # salted stand-in ⊂ embedding_dim_stats vectors
-    "sentiment_distinct_join",  # distinct→infer→join ⊂ wizard_full_chain sentiment stage
-    "medoid_summaries",  # k-nearest medoids ⊂ flagship (in-window)
-    "pairwise_medoids",  # pairwise-avg medoids ⊂ flagship machinery
-    "sequence_packing",  # greedy packing ⊂ doc_chunk_windows spans
-    # -- clause (a), demoted in r8, the 11 r7-green leftovers that
-    # -- did not fit the r10 window (greens r5/r6 + r7; promote
-    # -- FIRST in r11) --
-    "part_price_skyline",  # local-prune pandas crossing ⊂ events_asof_cogroup (in-window)
-    "phrase_match_docs",  # positional postings ⊂ bigram_topk (in-window)
-    "prefix_jaccard_pairs",  # prefix filter ⊂ incremental_minhash_dedup
-    "price_decile_histogram",  # width-bucket ⊂ event_outliers_mad fences
-    "quality_representative_dedup",  # struct-max ⊂ min_cost_supplier_q2
-    "retention_cohorts",  # cohort windows ⊂ events_funnel_stages
-    "returned_items_q10",  # heap top-k ⊂ part_affinity_topk (in-window)
-    "sql_interface_segment_revenue",  # dual-engine SQL string re-proven by its per-round sf0.001 parity lane
-    "url_canonical_dedup",  # canonicalize+dedup ⊂ line_dedup_rebuild
-    "user_decayed_value",  # running scans ⊂ events_asof_cogroup scans
-    "wizard_chain_stages",  # all its stages run inside wizard_full_chain (in-window)
+    "etl_clean_articles",  # F1-F7 chain ⊂ wizard_chain_stages etl stage (in-window)
+    "explode_paragraphs",  # posexplode spans ⊂ doc_chunks_udtf (in-window)
+    "ner_top_orgs",  # weighted top-n ⊂ returned_items_q10 heap top-k (in-window)
+    "media_features",  # mapInPandas surface ⊂ doc_bytes_arrow crossing (in-window)
+    "events_session_windows",  # sessionize seqs ⊂ retention_cohorts (in-window)
+    "events_tumbling_streaming",  # micro-batch ⊂ events_stream_static_join (in-window)
+    "doc_stats_quality",  # map-only doc stats ⊂ perplexity_bucket_filter scan (in-window)
+    "lang_id",  # n-gram scoring ⊂ perplexity_bucket_filter LM family (in-window)
+    "top_terms_per_source",  # top-n terms ⊂ bm25_topk postings (in-window)
+    "sentence_stats",  # sentence spans ⊂ doc_chunks_udtf (in-window)
+    "lemma_term_counts",  # token normalization ⊂ bpe_token_stats (in-window)
+    "corpus_prep_chain",  # composed stages ⊂ wizard_chain_stages composition (in-window)
+    "exact_dedup",  # md5 groupBy ⊂ url_canonical_dedup (in-window)
+    "ngram_jaccard_pairs",  # gram equi-join oracle ⊂ prefix_jaccard_pairs (in-window)
+    "minhash_lsh_pairs",  # banded self-join ⊂ prefix_jaccard_pairs filter join (in-window)
+    "simhash_pairs",  # pigeonhole bands ⊂ prefix_jaccard_pairs filter join (in-window)
+    "neardup_components",  # min-label rounds ⊂ trade_hops_recursive loop (in-window)
+    "knn_bruteforce",  # bounded broadcast ⊂ knn_ivf_multiprobe exact path (in-window)
+    "gopher_repetition_flags",  # map-only doc scans ⊂ perplexity_bucket_filter (in-window)
+    "pii_redaction",  # regex scrub ⊂ wizard_chain_stages etl stage (in-window)
+    "contamination_ngram_overlap",  # broadcast n-grams ⊂ phrase_match_docs postings (in-window)
+    "pairwise_medoids",  # pairwise-avg medoids ⊂ medoid_summaries machinery (in-window)
+    "sequence_packing",  # greedy span packing ⊂ doc_chunks_udtf spans (in-window)
 )
 
 # Entries promoted to the registry head (after the flagship): these
 # must land inside the driver's 50-row checked window regardless of
-# module registration order. Round 10 (VERDICT r9 next-round #1): the
-# flagship + events_sliding_hourly (last green r6 — promotes FIRST) +
-# fresh rows-only passes for the wizard/kmeans/pca trio (stale since
-# r5) + the ten clause-(b) demoted_in=8 returnees (green r7) + the
-# seven demoted_in=9 returnees (green r8) + 28 of the 39 r7-green
-# clause-(a) demotions = exactly the 50-slot window.
+# module registration order. Round 11 (VERDICT r10 next-round #2/#3):
+# the flagship + the three rows-only→oracled conversions earning
+# their first hash-green (approx_distinct_parts — last driver row r1,
+# the registry's stalest evidence, promotes FIRST — plus the
+# kmeans/pca witness entries) + the 11 r7-green leftovers + the 25
+# clause-(b) demoted_in=10 returnees (green r9) + 10 backfill slots
+# from the r8-green clause-(a) cohort (fewest prior greens first) =
+# exactly the 50-slot window. After this round no oracled entry's
+# last driver evidence predates r8.
 _PRIORITIZED = (
     "cluster_viz_summary",  # flagship: entry() runs this
-    # -- the single entry whose last green is r6 (promotes FIRST) --
-    "events_sliding_hourly",
-    # -- rows-only trio, evidence stale since r5 (fresh rows-only
-    # -- passes are the r10 deliverable for them) --
-    "wizard_full_chain",
+    # -- rows-only→oracled conversions (VERDICT r10 #3/#4): first
+    # -- hash-green owed; approx_distinct_parts' only prior driver
+    # -- row is r1 --
+    "approx_distinct_parts",
     "kmeans_clusters",
     "pca_coords",
-    # -- clause-(b) demoted_in=8 returnees (one green, r7) --
-    "local_supplier_volume_q5",
-    "promo_revenue_q14",
-    "disjunctive_revenue_q19",
-    "part_triangle_counts",
-    "events_json_roundtrip",
-    "hybrid_rrf_search",
-    "orders_merge_steady",
-    "volume_shipping_q7",
-    "small_qty_revenue_q17",
-    "events_csv_roundtrip",
-    # -- clause-(b) demoted_in=9 returnees (one green, r8) --
-    "waiting_suppliers_q21",
-    "min_cost_supplier_q2",
-    "excess_shipment_q20",
-    "idle_customers_q22",
-    "revenue_concentration_q11",
-    "events_orc_roundtrip",
-    "events_xml_roundtrip",
-    # -- clause-(a) r7-green promotions: the three whose prior
-    # -- evidence is oldest (r2) first --
-    "hash_split_profile",
-    "temperature_resample",
-    "video_frame_sample",
-    # -- then the r5/r6-prior cohort in list order (the 11 that do
-    # -- not fit promote first in r11) --
-    "bigram_lm_perplexity",
-    "bigram_topk",
-    "bpe_encode_stats",
-    "brand_price_regression",
-    "doc_chunk_windows",
-    "dsir_importance_select",
-    "duplicate_span_flags",
-    "embedding_dim_stats",
-    "event_outliers_mad",
-    "events_asof_cogroup",
-    "events_funnel_stages",
-    "events_hourly_gapfill",
-    "events_stream_stream_join",
-    "events_streaming_upsert",
-    "fuzzy_name_matches",
-    "group_concat_docs",
-    "incremental_minhash_dedup",
-    "knn_int8_rerank",
-    "knn_ivf_pruned",
-    "line_dedup_rebuild",
-    "lineitem_unpivot_stats",
-    "orders_merge_bucketed",
-    "orders_upsert_merge",
-    "part_affinity_topk",
-    "part_pagerank",
+    # -- the 11 r7-green leftovers (oldest oracled evidence;
+    # -- promised first in the r10 slate) --
+    "part_price_skyline",
+    "phrase_match_docs",
+    "prefix_jaccard_pairs",
+    "price_decile_histogram",
+    "quality_representative_dedup",
+    "retention_cohorts",
+    "returned_items_q10",
+    "sql_interface_segment_revenue",
+    "url_canonical_dedup",
+    "user_decayed_value",
+    "wizard_chain_stages",
+    # -- the 25 clause-(b) demoted_in=10 returnees (one green, r9) --
+    "forecast_revenue_q6",
+    "market_share_q8",
+    "product_profit_q9",
+    "late_shipment_priority_q12",
+    "order_count_distribution_q13",
+    "top_supplier_q15",
+    "supplier_part_counts_q16",
+    "large_volume_customers_q18",
+    "semantic_dedup_cells",
+    "perplexity_bucket_filter",
+    "countmin_heavy_hitters",
+    "custom_pysource_links",
+    "events_stream_static_join",
+    "events_variant_extract",
+    "trade_hops_recursive",
+    "top_customers_lateral",
+    "doc_chunks_udtf",
+    "doc_bytes_arrow",
+    "collated_lang_counts",
+    "events_try_ops_safe",
+    "user_event_map_profile",
+    "sql_udf_token_stats",
+    "hard_negative_mining",
+    "source_kl_divergence",
+    "weighted_sample_docs",
+    # -- 10 backfill slots from the 42-entry r8-green clause-(a)
+    # -- cohort (all last green r8): fewest prior greens first — the
+    # -- six entries missing an r2 green, then the r2-start four in
+    # -- list order --
+    "events_asof_last_click",
+    "events_range_click_counts",
+    "hash_embeddings",
+    "knn_ivf_multiprobe",
+    "medoid_summaries",
+    "sentiment_distinct_join",
+    "bpe_token_stats",
+    "bm25_topk",
+    "stratified_sample_docs",
+    "winnowing_fingerprints",
 )
 
 _MODULES = (

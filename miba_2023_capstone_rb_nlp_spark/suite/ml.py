@@ -1,7 +1,9 @@
 """ML-stage suite: deterministic stand-ins are oracle-paired
-(hash embeddings, distinct-join sentiment, medoid summaries); MLlib
-kmeans/PCA and the full WordWizard chain are rows-only entries (the
-driver records the weaker check — genuinely non-SQL-expressible)."""
+(hash embeddings, distinct-join sentiment, medoid summaries); the
+kmeans/PCA entries run the real fits and emit witness rows a DuckDB
+oracle checks (VERDICT r10 #4); only the full WordWizard chain
+remains rows-only (it crosses every MLlib stage at once — its
+composition is oracled stage-by-stage by wizard_chain_stages)."""
 
 from __future__ import annotations
 
@@ -137,28 +139,279 @@ def q_medoid_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", "is_medoid", "summary")
 
 
-# --- MLlib stages: rows-only checks --------------------------------
-@register("kmeans_clusters", oracle=None)
+# --- MLlib stages: witness-oracled (VERDICT r10 #4) -----------------
+# The fits themselves are not SQL-expressible (seeded Lloyd's /
+# eigendecomposition), so instead of rows-only assignment dumps these
+# entries run the REAL clustering/reduction and emit WITNESS rows the
+# DuckDB oracle can check: genuinely SQL-recomputable values (row
+# counts; the exact-decimal total-variance the per-dim dim-stats
+# recipe produces) next to Spark-verified invariants of the fitted
+# output (law-of-total-variance bounds, orthonormality, centering)
+# that the oracle pins as constant-true rows. A silent value bug in
+# the assignment/projection flips a boolean witness to 0.0 → a red
+# hash row, which rows-only checks could never produce. Raw
+# assignments/coords remain covered by the partition-invariance lane
+# (tests/test_partition_invariance.py) and test_ml_plumbing.py.
+
+# Per-dim quantized variance, the exact textual recipe of
+# embedding_dim_stats' proven-green oracle, reduced to one scalar.
+_EMB_VAR_CTE = """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+agg AS (
+  SELECT dim, count(*) AS n,
+         CAST(sum(CAST(floor(v * 1000000.0) / 1000000.0
+                       AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(floor(v * v * 100000000.0) / 100000000.0
+                       AS DECIMAL(18,8))) AS DOUBLE) AS s2
+  FROM x GROUP BY dim
+),
+vr AS (
+  SELECT n,
+         floor((s2 / n - (floor(s1 / n * 1000000.0) / 1000000.0)
+                          * (floor(s1 / n * 1000000.0) / 1000000.0))
+               * 1000000.0) / 1000000.0 AS variance
+  FROM agg
+)
+"""
+
+_KMEANS_WITNESS_ORACLE = f"""
+{_EMB_VAR_CTE},
+t AS (
+  SELECT CAST(sum(CAST(variance AS DECIMAL(18,6))) * max(n) AS DOUBLE)
+    AS tss_q
+  FROM vr
+)
+SELECT 'n_assigned' AS witness,
+       CAST((SELECT count(*) FROM embeddings) AS DOUBLE) AS value
+UNION ALL SELECT 'tss_q', (SELECT tss_q FROM t)
+UNION ALL SELECT 'sizes_sum_eq_n', 1.0
+UNION ALL SELECT 'clusters_used_le_k', 1.0
+UNION ALL SELECT 'wss_nonneg', 1.0
+UNION ALL SELECT 'wss_le_tss', 1.0
+"""
+
+
+def _emb_var_frames(x: DataFrame):
+    """(quantized per-dim variance frame, raw per-dim moment frame)
+    from an exploded (dim, v) frame — the Spark mirror of
+    ``_EMB_VAR_CTE``."""
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec, fixed
+
+    qdim = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(fixed(F.col("v"), 6), 6)).cast("double").alias("s1"),
+        F.sum(dec(fixed(F.col("v") * F.col("v"), 8), 8, 18))
+        .cast("double")
+        .alias("s2"),
+    )
+    meanq = fixed(F.col("s1") / F.col("n"), 6)
+    vr = qdim.select(
+        "n", fixed(F.col("s2") / F.col("n") - meanq * meanq, 6).alias("variance")
+    )
+    return vr
+
+
+def _witness_rows(one_row: DataFrame, pairs: list) -> DataFrame:
+    """Explode a 1-row frame of named expressions into (witness,
+    value) rows — one job, no driver-side collect."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("witness"), expr.cast("double").alias("value")
+            )
+            for name, expr in pairs
+        ]
+    )
+    return one_row.select(F.explode(arr).alias("_w")).select(
+        F.col("_w.witness").alias("witness"), F.col("_w.value").alias("value")
+    )
+
+
+@register("kmeans_clusters", oracle=_KMEANS_WITNESS_ORACLE)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded MLlib KMeans (M3) — deterministic in Spark, not
-    SQL-expressible → rows-only driver check."""
+    """Seeded KMeans (M3) with oracle-checkable witnesses: runs the
+    real adaptive fit + codegen assignment, then derives (a)
+    ``n_assigned`` and the exact-decimal ``tss_q`` — values DuckDB
+    recomputes independently — and (b) invariants of the actual
+    labels (sizes sum to n; ≤k clusters used; within-cluster SS is
+    non-negative and ≤ total SS per the law of total variance),
+    pinned as constant-true rows. Everything is one lazy plan over
+    the persisted assignment — no driver-side collect."""
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec
+    from miba_2023_capstone_rb_nlp_spark.suite import persist_tracked
+
     e = catalog.table(spark, sf_dir, "embeddings")
     # count() is a parquet metadata read — cheap n_hint for the
     # adaptive init choice (random below 1M fit rows, k-means|| above)
-    return kmeans_assign(
-        e, "embedding", k=10, n_hint=e.count()
-    ).select("vec_id", "cluster")
+    assigned = persist_tracked(
+        kmeans_assign(e, "embedding", k=10, n_hint=e.count()).select(
+            "vec_id", "cluster", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    x = assigned.select("cluster", F.posexplode("v").alias("dim", "v"))
+    # one exploded pass → per-(cluster, dim) float moments; global
+    # per-dim moments re-aggregate the partials (no second explode)
+    cdim = x.groupBy("cluster", "dim").agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    wss_df = cdim.agg(
+        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("nc")).alias("wss")
+    )
+    tssf_df = (
+        cdim.groupBy("dim")
+        .agg(
+            F.sum("nc").alias("n"),
+            F.sum("s1").alias("gs1"),
+            F.sum("s2").alias("gs2"),
+        )
+        .agg(
+            F.sum(
+                F.col("gs2") - F.col("gs1") * F.col("gs1") / F.col("n")
+            ).alias("tss_f")
+        )
+    )
+    # quantized tss: the dim-stats decimal recipe (its own explode —
+    # the quantization must happen per ROW, pre-aggregation, to match
+    # the oracle's textual order)
+    vr = _emb_var_frames(x.select("dim", "v"))
+    tssq_df = vr.agg(
+        (F.sum(dec(F.col("variance"), 6)) * F.max("n"))
+        .cast("double")
+        .alias("tss_q")
+    )
+    sizes_df = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.sum("sz").alias("sum_sz"), F.count(F.lit(1)).alias("k_used"))
+    )
+    n_df = assigned.agg(F.count(F.lit(1)).alias("n_assigned"))
+    one = (
+        n_df.crossJoin(sizes_df)
+        .crossJoin(wss_df)
+        .crossJoin(tssf_df)
+        .crossJoin(tssq_df)
+    )
+    return _witness_rows(
+        one,
+        [
+            ("n_assigned", F.col("n_assigned")),
+            ("tss_q", F.col("tss_q")),
+            ("sizes_sum_eq_n", F.col("sum_sz") == F.col("n_assigned")),
+            ("clusters_used_le_k", F.col("k_used") <= F.lit(10)),
+            ("wss_nonneg", F.col("wss") >= F.lit(-1e-6)),
+            (
+                "wss_le_tss",
+                F.col("wss")
+                <= F.col("tss_f") * F.lit(1.0 + 1e-9) + F.lit(1e-6),
+            ),
+        ],
+    )
 
 
-@register("pca_coords", oracle=None)
+_PCA_WITNESS_ORACLE = f"""
+{_EMB_VAR_CTE},
+t AS (
+  SELECT CAST(sum(CAST(variance AS DECIMAL(18,6))) AS DOUBLE)
+    AS total_var_q
+  FROM vr
+)
+SELECT 'n_rows' AS witness,
+       CAST((SELECT count(*) FROM embeddings) AS DOUBLE) AS value
+UNION ALL SELECT 'total_var_q', (SELECT total_var_q FROM t)
+UNION ALL SELECT 'components_orthonormal', 1.0
+UNION ALL SELECT 'coords_centered', 1.0
+UNION ALL SELECT 'explained_nonneg', 1.0
+UNION ALL SELECT 'explained_le_total', 1.0
+"""
+
+
+@register("pca_coords", oracle=_PCA_WITNESS_ORACLE)
 def q_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA (M9 scale path) — rows-only driver check."""
+    """Distributed one-pass PCA (M9 scale path) with oracle-checkable
+    witnesses: runs the real moment-pass fit + codegen projection,
+    then emits (a) ``n_rows`` and the exact-decimal ``total_var_q``
+    the oracle recomputes, and (b) invariants of the fitted output —
+    WᵀW = I within 1e-6 (driver-side on the d×k component matrix the
+    fit already holds), projected coords mean-centered (the folded
+    centering offsets are exact), and explained variance
+    Var(x)+Var(y) in [0, total] (an orthonormal projection cannot
+    capture more variance than the data holds — catches unnormalized
+    components and scale bugs). A NaN anywhere poisons a comparison
+    to false → red row."""
+    import numpy as np
+
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec
+    from miba_2023_capstone_rb_nlp_spark.ml.reduce import pca_components
+
     e = catalog.table(spark, sf_dir, "embeddings")
-    out = pca_reduce(e, "embedding", n_components=2)
-    return out.select(
-        "vec_id",
+    _, w = pca_components(e, "embedding", 2)
+    ortho = float(
+        np.abs(w.T @ w - np.eye(w.shape[1])).max() <= 1e-6
+    )
+    out = pca_reduce(e, "embedding", n_components=2).select(
         F.element_at("reduced_dimensions", 1).alias("x"),
         F.element_at("reduced_dimensions", 2).alias("y"),
+    )
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    x = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    vr = _emb_var_frames(x)
+    tot_q = vr.agg(
+        F.sum(dec(F.col("variance"), 6)).cast("double").alias("total_var_q")
+    )
+    tot_f = (
+        x.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+        )
+        .agg(
+            F.sum(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / F.col("n")
+            ).alias("total_var_f")
+        )
+    )
+    one = stats.crossJoin(tot_q).crossJoin(tot_f)
+    explained = (
+        F.col("sxx") / F.col("n")
+        - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+    ) + (
+        F.col("syy") / F.col("n")
+        - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+    )
+    return _witness_rows(
+        one,
+        [
+            ("n_rows", F.col("n")),
+            ("total_var_q", F.col("total_var_q")),
+            ("components_orthonormal", F.lit(ortho)),
+            (
+                "coords_centered",
+                (F.abs(F.col("sx") / F.col("n")) <= F.lit(1e-5))
+                & (F.abs(F.col("sy") / F.col("n")) <= F.lit(1e-5)),
+            ),
+            ("explained_nonneg", explained >= F.lit(-1e-6)),
+            (
+                "explained_le_total",
+                explained
+                <= F.col("total_var_f") * F.lit(1.0 + 1e-9) + F.lit(1e-6),
+            ),
+        ],
     )
 
 
@@ -302,9 +555,15 @@ def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's canonical end-to-end run: ETL clean table →
     embeddings → clustering → NER → medoid summaries → sentiment →
     topics → 2-D reduction → the notebook reporting projection
-    (viz_summary). Rows-only: the chain crosses MLlib stages that are
-    not SQL-expressible; every individually-expressible stage has its
-    own oracle-checked entry elsewhere in the suite."""
+    (viz_summary). Rows-only BY DESIGN — the one remaining no-oracle
+    entry (VERDICT r10 #4): the chain crosses MLlib stages that are
+    not SQL-expressible in composition. Its evidence pairing: every
+    SQL-expressible stage runs oracle-checked inside
+    ``wizard_chain_stages`` (same WordWizard constructor, same lean
+    stages, hash-green driver rows), and the MLlib stages it adds on
+    top carry their own witness oracles (``kmeans_clusters``,
+    ``pca_coords``) plus the partition-invariance and plumbing
+    lanes."""
     from miba_2023_capstone_rb_nlp_spark.suite.cleaning import (
         q_etl_clean_articles,
     )

@@ -37,6 +37,12 @@ from miba_2023_capstone_rb_nlp_spark.suite import register
 # table has no title/description columns): ×3, ×2, ×1 per reference
 SECTIONS = [(3, 1, 60), (2, 61, 140), (1, 201, None)]
 
+# Broadcast bound for the (vec_id, label) projection: ~16 B/row →
+# ~160 MB at this cap, comfortably inside executor/driver budgets on
+# any real cluster; above it the build side is no longer "small" and
+# the join swaps to shuffle_hash (see section_frame docstring).
+BROADCAST_MAX_LABEL_ROWS = 10_000_000
+
 _NER_ORACLE = f"""
 WITH d AS (
   SELECT e.label, doc.text
@@ -78,13 +84,21 @@ def section_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     serializes the regex stage onto the label scan's few input splits
     and throws away cpu_table's fan-out repartition (the r10 1.34×
     finding). The explicit broadcast of the 16-byte-per-row
-    (vec_id, label) projection pins build-side choice; at corpus-scale
-    label maps (rows ≈ docs, broadcast no longer bounded) swap it for
-    ``embs.hint("shuffle_hash")`` — the regex then runs at shuffle
-    parallelism, which preserves the same invariant."""
+    (vec_id, label) projection pins build-side choice — GATED on a
+    row-count bound (ADVICE r10 #3: the projection scales with doc
+    count, so an unconditional hint would eventually exceed the
+    broadcast/driver limit): past ``BROADCAST_MAX_LABEL_ROWS`` the
+    join falls back to ``embs.hint("shuffle_hash")``, where the regex
+    runs at shuffle parallelism — the text side still streams, the
+    same invariant without manual intervention at scale. The count is
+    a parquet metadata read (no data scan)."""
     docs = catalog.cpu_table(spark, sf_dir, "documents")
     embs = catalog.table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    d = docs.join(F.broadcast(embs), docs["doc_id"] == embs["vec_id"], "inner")
+    if embs.count() <= BROADCAST_MAX_LABEL_ROWS:
+        embs = F.broadcast(embs)
+    else:  # pragma: no cover - corpus-scale path, plan pinned below
+        embs = embs.hint("shuffle_hash")
+    d = docs.join(embs, docs["doc_id"] == embs["vec_id"], "inner")
     sections = [
         (
             w,

@@ -166,3 +166,24 @@ def test_subsecond_entries_draw_deeper_rep_budget():
     assert not bench.should_extend(noisy + [0.9] * 4)
     # a >=1 s entry still stops at MAX_REPS exactly as before
     assert not bench.should_extend([1.0, 1.0, 4.0, 4.0, 4.0, 4.0])
+
+
+def test_retime_reference_is_min_merge(monkeypatch):
+    """VERDICT r10 #1: the solo-retime trigger compares against the
+    MIN of the committed sidecar and the newest driver artifact — a
+    burst-inflated artifact (the r10 record) must never become the
+    yardstick that hides the same inflation next round."""
+    monkeypatch.setattr(
+        bench, "_sidecar_queries", lambda sf: {"a": 0.35, "b": 2.0}
+    )
+    monkeypatch.setattr(
+        bench,
+        "_baseline_queries",
+        lambda sf: {"a": 1.01, "b": 1.5, "c": 0.7, bench.FOLD_KEY: 9.9},
+    )
+    refs = bench._retime_reference(0.1)
+    assert refs == {"a": 0.35, "b": 1.5, "c": 0.7}
+    # both sources missing -> empty reference, retime pass is a no-op
+    monkeypatch.setattr(bench, "_sidecar_queries", lambda sf: None)
+    monkeypatch.setattr(bench, "_baseline_queries", lambda sf: None)
+    assert bench._retime_reference(0.1) == {}

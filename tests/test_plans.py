@@ -238,14 +238,35 @@ def test_bm25_topk_is_heap_topk_with_broadcast_stats(spark):
     # corpus scan+explode subtree runs twice
     assert "InMemoryTableScan" in plan
     opt = _optimized_plan(df)
-    # the query-term filter (term IN (...) / INSET) must appear in
-    # the optimized plan — i.e. pushed below the tf aggregate, not
-    # applied post-aggregate (ADVICE r9 #3: the previous form
-    # `A and B or C` was precedence-broken — C was near-always true,
-    # so the pin could never fail)
+    # the query-term filter (term IN (...) / INSET) must be pushed
+    # BELOW the tf aggregate, not applied post-aggregate. Position is
+    # asserted, not mere presence (ADVICE r10 #1): the plan printer
+    # emits parents before children, so "pushed below" means the
+    # Filter line sits at a LATER index than the tf aggregate's line
+    # (the one whose output carries tf#N) — a regression that leaves
+    # the Filter above the aggregate prints it first and fails here.
+    # (ADVICE r9 #3 fixed the precedence-broken `A and B or C` form
+    # of the old presence check.)
     import re as _re
 
-    assert "INSET" in opt or _re.search(r"term#\d+ IN \(", opt), opt[:2000]
+    lines = opt.splitlines()
+    f_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "INSET" in ln or _re.search(r"term#\d+ IN \(", ln)
+    ]
+    assert f_idx, opt[:2000]
+    agg_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "Aggregate" in ln and _re.search(r"tf#\d+", ln)
+    ]
+    assert agg_idx, opt[:2000]
+    assert min(f_idx) > min(agg_idx), (
+        "query-term filter printed above the tf aggregate — pushdown "
+        f"regressed (filter line {min(f_idx)}, aggregate line "
+        f"{min(agg_idx)})"
+    )
 
 
 def test_bigram_topk_single_explode_partial_agg(spark):
@@ -1350,6 +1371,24 @@ def test_ner_top_orgs_streams_text_side(spark):
     assert final.count("Generate explode") == 2  # sections, then orgs
     # exactly the documented exchanges: (cluster, org) agg + top-n
     assert final.count("Exchange hashpartitioning") <= 2
+
+
+def test_ner_label_broadcast_gate_falls_back_to_shuffle_hash(
+    spark, monkeypatch
+):
+    """ADVICE r10 #3: the label-projection broadcast is GATED on a
+    row bound — past BROADCAST_MAX_LABEL_ROWS (rows ≈ docs, so the
+    forced broadcast would eventually exceed the broadcast/driver
+    limit) the join must become the documented shuffle_hash fallback,
+    never an unbounded forced broadcast. Pinned by shrinking the cap
+    to 0 and asserting the fallback plan shape."""
+    from miba_2023_capstone_rb_nlp_spark.suite import ner as ner_mod
+
+    monkeypatch.setattr(ner_mod, "BROADCAST_MAX_LABEL_ROWS", 0)
+    df = SUITE["ner_top_orgs"].fn(spark, SF_TEST_DIR)
+    final = _final_plan(df)
+    assert "ShuffledHashJoin" in final
+    assert "BroadcastHashJoin" not in final
 
 
 # --- r10 promoted-cohort pins: the plan shapes the rotation relies on

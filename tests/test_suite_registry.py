@@ -214,14 +214,62 @@ def test_priority_ordering():
 # CORRECTNESS_r*.json rounds may rotate out.
 DRIVER_WINDOW = 50
 ROTATED_OUT = {
-    # ============ round-10 state (VERDICT r9 next-round #1) ==========
-    # The r9 window went 50/50, so every r9-green entry except the
-    # flagship rotated out; the window now holds the R10 slate (the
-    # r6-stale sliding entry, the rows-only trio, the clause-(b)
-    # returnees, and 28 of the 39 r7-green clause-(a) demotions).
-    # The sets below are the CURRENT demotions (history in git).
-    # Machinery siblings for each are named in suite/__init__.py's
+    # ============ round-11 state (VERDICT r10 next-round #2) =========
+    # The r10 window went 47 green + 3 rows-only, so every r10-green
+    # entry except the flagship rotated out via clause (a); the
+    # window now holds the R11 slate (the three rows-only→oracled
+    # conversions, the 11 r7-green leftovers, the 25 clause-(b)
+    # demoted_in=10 returnees, and 10 r8-green backfills). The sets
+    # below are the CURRENT demotions (history in git). Machinery
+    # siblings for each are named in suite/__init__.py's
     # _DEPRIORITIZED comments.
+    # -- the r10 window, demoted in r11 (greens r<=7 + r10) --
+    "events_sliding_hourly",
+    "local_supplier_volume_q5",
+    "promo_revenue_q14",
+    "disjunctive_revenue_q19",
+    "part_triangle_counts",
+    "events_json_roundtrip",
+    "hybrid_rrf_search",
+    "orders_merge_steady",
+    "volume_shipping_q7",
+    "small_qty_revenue_q17",
+    "events_csv_roundtrip",
+    "waiting_suppliers_q21",
+    "min_cost_supplier_q2",
+    "excess_shipment_q20",
+    "idle_customers_q22",
+    "revenue_concentration_q11",
+    "events_orc_roundtrip",
+    "events_xml_roundtrip",
+    "hash_split_profile",
+    "temperature_resample",
+    "video_frame_sample",
+    "bigram_lm_perplexity",
+    "bigram_topk",
+    "bpe_encode_stats",
+    "brand_price_regression",
+    "doc_chunk_windows",
+    "dsir_importance_select",
+    "duplicate_span_flags",
+    "embedding_dim_stats",
+    "event_outliers_mad",
+    "events_asof_cogroup",
+    "events_funnel_stages",
+    "events_hourly_gapfill",
+    "events_stream_stream_join",
+    "events_streaming_upsert",
+    "fuzzy_name_matches",
+    "group_concat_docs",
+    "incremental_minhash_dedup",
+    "knn_int8_rerank",
+    "knn_ivf_pruned",
+    "line_dedup_rebuild",
+    "lineitem_unpivot_stats",
+    "orders_merge_bucketed",
+    "orders_upsert_merge",
+    "part_affinity_topk",
+    "part_pagerank",
     # -- r9-green oldest-evidence cohort, >=2 green rounds (demoted
     # -- in r10; greens r<=6 + r9) --
     "bpe_merge_learn",
@@ -248,8 +296,8 @@ ROTATED_OUT = {
     "source_vocab_overlap",
     "events_type_pivot",
     "incremental_revenue_merge",
-    # -- r8-green r4-stale cohort, >=2 green rounds (demoted in r9,
-    # -- still out) --
+    # -- r8-green cohort, >=2 green rounds (demoted in r9): the 32
+    # -- not backfilled this round (promote in r12) --
     "pricing_summary",
     "region_revenue",
     "order_priority_semijoin",
@@ -265,17 +313,11 @@ ROTATED_OUT = {
     "media_features",
     "events_session_windows",
     "events_tumbling_streaming",
-    "events_asof_last_click",
-    "events_range_click_counts",
     "doc_stats_quality",
     "lang_id",
     "top_terms_per_source",
     "sentence_stats",
     "lemma_term_counts",
-    "bpe_token_stats",
-    "bm25_topk",
-    "stratified_sample_docs",
-    "winnowing_fingerprints",
     "gopher_repetition_flags",
     "pii_redaction",
     "contamination_ngram_overlap",
@@ -286,26 +328,8 @@ ROTATED_OUT = {
     "simhash_pairs",
     "neardup_components",
     "knn_bruteforce",
-    "knn_ivf_multiprobe",
-    "hash_embeddings",
-    "sentiment_distinct_join",
-    "medoid_summaries",
     "pairwise_medoids",
     "sequence_packing",
-    # -- r7-green cohort (demoted in r8): the 11 leftovers that did
-    # -- not fit the r10 window (greens r5/r6 + r7; promote FIRST in
-    # -- r11) --
-    "part_price_skyline",
-    "phrase_match_docs",
-    "prefix_jaccard_pairs",
-    "price_decile_histogram",
-    "quality_representative_dedup",
-    "retention_cohorts",
-    "returned_items_q10",
-    "sql_interface_segment_revenue",
-    "url_canonical_dedup",
-    "user_decayed_value",
-    "wizard_chain_stages",
 }
 
 # Round-6 policy amendment, clause (b): an entry may also rotate out
@@ -318,34 +342,11 @@ ROTATED_OUT = {
 # artifact. Rows-only entries (no oracle) satisfy it with a recorded
 # rows-only pass.
 ROTATED_OUT_FRESH = {
-    # demoted in r10, green r9 (the 25 never-driver-checked r8
-    # second-half debuts earned their first green in the r9 window;
-    # clause (b) frees their slots for the R10 slate; re-enter ~r11)
-    "forecast_revenue_q6": 10,
-    "market_share_q8": 10,
-    "product_profit_q9": 10,
-    "late_shipment_priority_q12": 10,
-    "order_count_distribution_q13": 10,
-    "top_supplier_q15": 10,
-    "supplier_part_counts_q16": 10,
-    "large_volume_customers_q18": 10,
-    "semantic_dedup_cells": 10,
-    "perplexity_bucket_filter": 10,
-    "countmin_heavy_hitters": 10,
-    "custom_pysource_links": 10,
-    "events_stream_static_join": 10,
-    "events_variant_extract": 10,
-    "trade_hops_recursive": 10,
-    "top_customers_lateral": 10,
-    "doc_chunks_udtf": 10,
-    "doc_bytes_arrow": 10,
-    "collated_lang_counts": 10,
-    "events_try_ops_safe": 10,
-    "user_event_map_profile": 10,
-    "sql_udf_token_stats": 10,
-    "hard_negative_mining": 10,
-    "source_kl_divergence": 10,
-    "weighted_sample_docs": 10,
+    # demoted in r11 with a recorded r10 rows-only pass: the full
+    # chain stays rows-only by design (it crosses MLlib stages), and
+    # its composition is re-proven stage-by-stage by the oracled,
+    # in-window wizard_chain_stages this round (VERDICT r10 #4)
+    "wizard_full_chain": 11,
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -411,42 +412,39 @@ def test_core_entries_inside_driver_window():
         f"checked window: {sorted(missing)} — adding a new entry requires "
         "demoting a twin via _DEPRIORITIZED"
     )
-    # entries that must sit in the window this round: the round-7
-    # rotation queue (VERDICT r6 #1 — six never-checked r6 debuts +
-    # three entries stale since r2) + the NEW steady-state MERGE
-    # (VERDICT r6 #4), the round-6 promotions still earning their
-    # second green, and the round-5 debuts that still hold their slot
+    # entries that must sit in the window this round (the R11 slate,
+    # VERDICT r10 next-round #2/#3)
     promoted = {
-        # round-10 rotation (VERDICT r9 #1): the r6-stale sliding
-        # entry + the rows-only trio...
-        "events_sliding_hourly", "wizard_full_chain",
-        "kmeans_clusters", "pca_coords",
-        # ...the clause-(b) demoted_in=8 returnees (green r7)...
-        "local_supplier_volume_q5", "promo_revenue_q14",
-        "disjunctive_revenue_q19", "part_triangle_counts",
-        "events_json_roundtrip", "hybrid_rrf_search",
-        "orders_merge_steady", "volume_shipping_q7",
-        "small_qty_revenue_q17", "events_csv_roundtrip",
-        # ...the clause-(b) demoted_in=9 returnees (green r8)...
-        "waiting_suppliers_q21", "min_cost_supplier_q2",
-        "excess_shipment_q20", "idle_customers_q22",
-        "revenue_concentration_q11", "events_orc_roundtrip",
-        "events_xml_roundtrip",
-        # ...and 28 of the 39 r7-green clause-(a) demotions (oldest
-        # prior evidence first, then list order)
-        "hash_split_profile", "temperature_resample",
-        "video_frame_sample", "bigram_lm_perplexity", "bigram_topk",
-        "bpe_encode_stats", "brand_price_regression",
-        "doc_chunk_windows", "dsir_importance_select",
-        "duplicate_span_flags", "embedding_dim_stats",
-        "event_outliers_mad", "events_asof_cogroup",
-        "events_funnel_stages", "events_hourly_gapfill",
-        "events_stream_stream_join", "events_streaming_upsert",
-        "fuzzy_name_matches", "group_concat_docs",
-        "incremental_minhash_dedup", "knn_int8_rerank",
-        "knn_ivf_pruned", "line_dedup_rebuild",
-        "lineitem_unpivot_stats", "orders_merge_bucketed",
-        "orders_upsert_merge", "part_affinity_topk", "part_pagerank",
+        # rows-only→oracled conversions earning their first
+        # hash-green...
+        "approx_distinct_parts", "kmeans_clusters", "pca_coords",
+        # ...the 11 r7-green leftovers promised first in the r10
+        # slate...
+        "part_price_skyline", "phrase_match_docs",
+        "prefix_jaccard_pairs", "price_decile_histogram",
+        "quality_representative_dedup", "retention_cohorts",
+        "returned_items_q10", "sql_interface_segment_revenue",
+        "url_canonical_dedup", "user_decayed_value",
+        "wizard_chain_stages",
+        # ...the 25 clause-(b) demoted_in=10 returnees (green r9)...
+        "forecast_revenue_q6", "market_share_q8", "product_profit_q9",
+        "late_shipment_priority_q12", "order_count_distribution_q13",
+        "top_supplier_q15", "supplier_part_counts_q16",
+        "large_volume_customers_q18", "semantic_dedup_cells",
+        "perplexity_bucket_filter", "countmin_heavy_hitters",
+        "custom_pysource_links", "events_stream_static_join",
+        "events_variant_extract", "trade_hops_recursive",
+        "top_customers_lateral", "doc_chunks_udtf", "doc_bytes_arrow",
+        "collated_lang_counts", "events_try_ops_safe",
+        "user_event_map_profile", "sql_udf_token_stats",
+        "hard_negative_mining", "source_kl_divergence",
+        "weighted_sample_docs",
+        # ...and the 10 r8-green backfills (fewest prior greens
+        # first)
+        "events_asof_last_click", "events_range_click_counts",
+        "hash_embeddings", "knn_ivf_multiprobe", "medoid_summaries",
+        "sentiment_distinct_join", "bpe_token_stats", "bm25_topk",
+        "stratified_sample_docs", "winnowing_fingerprints",
     }
     assert promoted <= head, sorted(promoted - head)
 
@@ -532,12 +530,66 @@ def test_rows_only_entries_pinned():
     a future entry cannot silently ship oracle-less."""
     suite = load_suite()
     no_oracle = {name for name, q in suite.items() if q.oracle is None}
+    # Round 11 (VERDICT r10 #3/#4) converted kmeans_clusters,
+    # pca_coords and approx_distinct_parts to witness/error-bound
+    # oracles; only the full chain remains rows-only.
     assert no_oracle == {
         "wizard_full_chain",  # crosses MLlib KMeans (labels not SQL)
-        "kmeans_clusters",  # MLlib fit — deterministic but not SQL
-        "pca_coords",  # eigendecomposition not SQL-expressible
-        "approx_distinct_parts",  # HLL++ sketch estimate, engine-specific
     }
+
+
+def test_demotion_comments_name_live_siblings():
+    """VERDICT r10 #8: every _DEPRIORITIZED entry's trailing comment
+    must point at machinery that still proves it — either a sibling
+    entry that currently sits inside the driver's checked window, or
+    an existing ``tests/<file>.py`` lane. Round 10 had to hand-fix 21
+    stale sibling references after the rotation (commit de0b06b);
+    this makes the audit executable so a future rotation fails fast
+    instead of silently invalidating the comments."""
+    import inspect
+    import os
+    import re
+
+    import miba_2023_capstone_rb_nlp_spark.suite as suite_mod
+
+    src = inspect.getsource(suite_mod)
+    block = src.split("_DEPRIORITIZED = (", 1)[1].split("\n)", 1)[0]
+    suite = load_suite()
+    head = set(list(suite)[:DRIVER_WINDOW])
+    all_names = set(suite)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = 0
+    for line in block.splitlines():
+        m = re.match(r'\s*"([a-z0-9_]+)",\s*#\s*(.*)$', line)
+        if not m:
+            continue  # section-narration comment lines
+        name, comment = m.groups()
+        checked += 1
+        lanes = re.findall(r"tests/\w+\.py", comment)
+        for lane in lanes:
+            assert os.path.exists(os.path.join(root, lane)), (
+                f"{name}: demotion comment cites missing lane {lane}"
+            )
+        siblings = [
+            tok
+            for tok in re.findall(r"[a-z0-9_]{3,}", comment)
+            if tok in all_names and tok != name
+        ]
+        assert siblings or lanes, (
+            f"{name}: demotion comment names neither a sibling entry "
+            f"nor a tests/ lane: {comment!r}"
+        )
+        if siblings:
+            assert any(s in head for s in siblings), (
+                f"{name}: no named sibling {siblings} is inside the "
+                f"current {DRIVER_WINDOW}-row driver window — the "
+                "rotation invalidated this demotion comment"
+            )
+    assert checked == len(_DEPRIORITIZED), (
+        f"comment audit parsed {checked} entry lines but "
+        f"_DEPRIORITIZED holds {len(_DEPRIORITIZED)} — entry lines "
+        "without a trailing comment are unaudited"
+    )
 
 
 def test_broken_suite_module_raises(monkeypatch):
