@@ -68,6 +68,15 @@ ENTRIES = [
     "events_asof_cogroup",       # pandas cogroup as-of across hash buckets
     "events_sliding_hourly",     # Expand fan-out + exact-decimal window sums
     "hybrid_rrf_search",         # two rankers' ties + quantized RRF fusion
+    # r11: the rows-only→oracled witness conversions (VERDICT r10
+    # #3/#4). kmeans_clusters above already covers the fit; these two
+    # pin that the WITNESS rows themselves (quantized tss_q /
+    # variance decimals, slack-bounded boolean invariants, the HLL++
+    # 3×rsd band) survive any physical partitioning — float-moment
+    # partials and sketch merges reassociate differently at 3 vs 32
+    # partitions, and the quantization/slack must erase that.
+    "pca_coords",                # moment-matrix eigenfit + witness rows
+    "approx_distinct_parts",     # HLL++ register merge across partitions
 ]
 
 
