@@ -76,6 +76,61 @@ def detail_sidecar_path(sf_val) -> str:
     return os.path.join(_REPO_DIR, f"bench_detail_sf{sf_val}.json")
 
 
+def reference_path(sf_val) -> str:
+    """Per-sf RATCHET of per-entry historical bests: a committed
+    ``{entry: best_sec}`` map, min-updated after every completed run.
+    It exists because the detail sidecar records ONE run — a noisy run
+    (e.g. the driver's r10 artifact, recorded under a co-tenant burst)
+    overwrites a quiet one, and the retime trigger then compares
+    against inflated numbers and misses real inflation. The ratchet
+    can only tighten, so the most optimistic committed evidence is
+    never lost to a bad recording window.
+
+    Maintenance rule: when an entry's plan is DELIBERATELY made more
+    expensive (it computes more than it used to, as the r11 witness
+    conversions did), delete its key in the same commit — the ratchet
+    re-seeds from the next run; otherwise the retime pass burns budget
+    every run chasing a best the new code cannot reach."""
+    return os.path.join(_REPO_DIR, f"bench_reference_sf{sf_val}.json")
+
+
+def _reference_queries(sf_val) -> dict[str, float] | None:
+    try:
+        with open(reference_path(sf_val)) as f:
+            payload = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if not isinstance(payload, dict):
+        return None
+    clean = {
+        k: float(v)
+        for k, v in payload.items()
+        if isinstance(v, (int, float)) and not isinstance(v, bool)
+    }
+    return clean or None
+
+
+def update_reference(sf_val, timings: dict[str, float],
+                     live_entries) -> dict[str, float]:
+    """Ratchet the committed reference with this run's bests: per
+    entry min(existing, this run), seeding entries the file has never
+    seen. Keys whose entry left the registry are pruned (a renamed
+    entry must not pin a stale floor forever). Returns what was
+    written."""
+    ref = _reference_queries(sf_val) or {}
+    merged: dict[str, float] = {
+        k: v for k, v in ref.items() if k in live_entries
+    }
+    for k, v in timings.items():
+        if k == FOLD_KEY:
+            continue
+        merged[k] = round(min(merged[k], v), 3) if k in merged else round(v, 3)
+    with open(reference_path(sf_val), "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return merged
+
+
 def _sidecar_queries(sf_val) -> dict[str, float] | None:
     try:
         with open(detail_sidecar_path(sf_val)) as f:
@@ -210,12 +265,18 @@ RETIME_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_RETIME_BUDGET", "150"))
 
 def _retime_reference(sf_val) -> dict[str, float]:
     """Per-entry reference for the retime trigger: the MIN of the
-    committed detail sidecar and the newest driver artifact — the
-    most optimistic committed record, so a burst-inflated artifact
-    (r10) cannot hide inflation by becoming the yardstick. Retiming
-    a fast entry is cheap; missing an inflated one costs the round."""
+    committed historical ratchet (reference_path), the detail sidecar
+    and the newest driver artifact — the most optimistic committed
+    record, so a burst-inflated artifact (r10) cannot hide inflation
+    by becoming the yardstick, and a burst-inflated SIDECAR (the r10
+    driver run overwrote the quiet one) cannot either. Retiming a
+    fast entry is cheap; missing an inflated one costs the round."""
     refs: dict[str, float] = {}
-    for src in (_sidecar_queries(sf_val), _baseline_queries(sf_val)):
+    for src in (
+        _reference_queries(sf_val),  # the historical ratchet
+        _sidecar_queries(sf_val),
+        _baseline_queries(sf_val),
+    ):
         for k, v in (src or {}).items():
             if k == FOLD_KEY:
                 continue
@@ -529,6 +590,12 @@ def main() -> None:
             )
     except Exception as e:  # noqa: BLE001
         print(f"sidecar write failed: {e!r}", file=sys.stderr)
+    # ratchet the historical-best reference (can only tighten; prunes
+    # entries that left the registry) — diagnostics, never fatal
+    try:
+        update_reference(sf_val, timings, set(suite))
+    except Exception as e:  # noqa: BLE001
+        print(f"reference update failed: {e!r}", file=sys.stderr)
     # stop Spark BEFORE printing: the JSON line must be the absolute
     # last stdout so the driver's 2000-char tail window contains it
     spark.stop()

@@ -170,9 +170,15 @@ def test_subsecond_entries_draw_deeper_rep_budget():
 
 def test_retime_reference_is_min_merge(monkeypatch):
     """VERDICT r10 #1: the solo-retime trigger compares against the
-    MIN of the committed sidecar and the newest driver artifact — a
-    burst-inflated artifact (the r10 record) must never become the
-    yardstick that hides the same inflation next round."""
+    MIN of the historical ratchet, the committed sidecar and the
+    newest driver artifact — a burst-inflated artifact (the r10
+    record) must never become the yardstick that hides the same
+    inflation next round, and a burst-inflated SIDECAR (the r10
+    driver run overwrote the quiet one in the same commit as its
+    artifact) must not either: the ratchet outlives both."""
+    monkeypatch.setattr(
+        bench, "_reference_queries", lambda sf: {"b": 0.9, "d": 0.2}
+    )
     monkeypatch.setattr(
         bench, "_sidecar_queries", lambda sf: {"a": 0.35, "b": 2.0}
     )
@@ -182,8 +188,50 @@ def test_retime_reference_is_min_merge(monkeypatch):
         lambda sf: {"a": 1.01, "b": 1.5, "c": 0.7, bench.FOLD_KEY: 9.9},
     )
     refs = bench._retime_reference(0.1)
-    assert refs == {"a": 0.35, "b": 1.5, "c": 0.7}
-    # both sources missing -> empty reference, retime pass is a no-op
+    assert refs == {"a": 0.35, "b": 0.9, "c": 0.7, "d": 0.2}
+    # all sources missing -> empty reference, retime pass is a no-op
+    monkeypatch.setattr(bench, "_reference_queries", lambda sf: None)
     monkeypatch.setattr(bench, "_sidecar_queries", lambda sf: None)
     monkeypatch.setattr(bench, "_baseline_queries", lambda sf: None)
     assert bench._retime_reference(0.1) == {}
+
+
+def test_reference_ratchet_min_updates_seeds_and_prunes(
+    tmp_path, monkeypatch
+):
+    """The committed historical-best reference can only tighten: a
+    faster run lowers an entry's floor, a slower run leaves it alone,
+    an unseen entry seeds from its first run, and a key whose entry
+    left the registry is pruned so renamed entries can't pin stale
+    floors forever. The fold bucket never enters the file."""
+    monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
+    (tmp_path / "bench_reference_sf0.1.json").write_text(json.dumps(
+        {"a": 1.0, "b": 0.5, "gone": 9.9}
+    ))
+    written = bench.update_reference(
+        0.1,
+        {"a": 0.8, "b": 0.7, "new": 2.0, bench.FOLD_KEY: 50.0},
+        live_entries={"a", "b", "new"},
+    )
+    assert written == {"a": 0.8, "b": 0.5, "new": 2.0}
+    # the write round-trips through the reader used by the trigger
+    assert bench._reference_queries(0.1) == written
+    # a corrupt file must not kill the reference path
+    (tmp_path / "bench_reference_sf0.1.json").write_text("{not json")
+    assert bench._reference_queries(0.1) is None
+    # ...and update_reference reseeds over it from the run
+    reseeded = bench.update_reference(0.1, {"a": 1.2}, live_entries={"a"})
+    assert reseeded == {"a": 1.2}
+
+
+def test_committed_reference_file_matches_live_registry():
+    """The committed sf0.1 ratchet must track the registry exactly:
+    every key is a live entry (prune happened) and every oracled-or-
+    not suite entry has a floor (seed happened) — a drifted file
+    silently weakens the retime trigger for the missing entries."""
+    from miba_2023_capstone_rb_nlp_spark.suite import load_suite
+
+    ref = bench._reference_queries(0.1)
+    assert ref, "bench_reference_sf0.1.json missing or unreadable"
+    live = set(load_suite())
+    assert set(ref) == live
