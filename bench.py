@@ -131,6 +131,42 @@ def update_reference(sf_val, timings: dict[str, float],
     return merged
 
 
+def _proc_stat_snapshot() -> list[int] | None:
+    """Cumulative CPU jiffies from /proc/stat's aggregate line
+    (user nice system idle iowait irq softirq steal ...), or None
+    where the file doesn't exist (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+    except (OSError, ValueError):
+        return None
+
+
+def host_window_stats(start: list[int] | None,
+                      end: list[int] | None) -> dict:
+    """Host telemetry over a recording window, for the sidecar: every
+    round's noise adjudication (perf_ab_r9/r10/r11.md) had to infer
+    co-tenant load forensically from rep spreads; recording steal%
+    and idle% over the WHOLE run window makes it machine-readable —
+    a burst-inflated recording carries its own evidence. steal only
+    accrues while the guest wants CPU, so it understates contention
+    during idle stretches, but a loaded window still reads clearly
+    higher than a quiet one on the same suite."""
+    out: dict = {}
+    try:
+        out["loadavg_1m"] = round(os.getloadavg()[0], 2)
+        out["cpus"] = os.cpu_count()
+    except (OSError, AttributeError):
+        pass
+    if start and end and len(start) >= 8 and len(end) >= 8:
+        d = [e - s for s, e in zip(start, end)]
+        tot = sum(d)
+        if tot > 0:
+            out["steal_pct"] = round(100.0 * d[7] / tot, 2)
+            out["idle_pct"] = round(100.0 * d[3] / tot, 2)
+    return out
+
+
 def _sidecar_queries(sf_val) -> dict[str, float] | None:
     try:
         with open(detail_sidecar_path(sf_val)) as f:
@@ -193,12 +229,22 @@ REGRESSION_ABS_SEC = 0.5
 JUSTIFIED_REGRESSIONS: dict[str, str] = {
     # name -> one-line reason, e.g. "recall fix: scores real candidates"
     "pca_coords": (
-        "one-pass PCA rewrite (r4): per-fresh-plan overhead, not data "
-        "cost — profiled r5: fit 0.26s + transform exec 0.25s steady; "
-        "the remaining ~0.8s is Catalyst analysis + codegen of the "
-        "projection expression, re-paid per rep because each rep builds "
-        "a fresh plan, amortized to zero at real scale (the same "
-        "rewrite wins 6.4x inside wizard_full_chain)"
+        "witness-oracled since r11 (VERDICT r10 #4): the entry now "
+        "verifies its own output (reconstruction/orthonormality/"
+        "variance witnesses over the fitted result) — strictly more "
+        "computation than the old rows-only coordinate dump it is "
+        "being compared against; the fit/transform plan itself is "
+        "unchanged (also: one-pass PCA rewrite r4 — per-fresh-plan "
+        "Catalyst/codegen overhead dominates at this sf, amortized "
+        "to zero at real scale)"
+    ),
+    "kmeans_clusters": (
+        "witness-oracled since r11 (VERDICT r10 #4): the entry now "
+        "derives law-of-total-variance / size / exact-decimal tss "
+        "witnesses from the real assignment (one extra exploded "
+        "moment pass over the persisted labels) on top of the fit "
+        "the old rows-only dump timed — a deliberate ~0.8s cost for "
+        "its first value-level driver check"
     ),
     "top_terms_per_source": (
         "profiled r5 solo at ~1.0s steady (vs 0.53s r3 baseline): the "
@@ -405,6 +451,7 @@ def encode_line(
 
 
 def main() -> None:
+    _host_t0 = _proc_stat_snapshot()
     spark = get_spark(app_name="miba-bench")
     spark.sparkContext.setLogLevel("ERROR")
     suite = load_suite()
@@ -568,6 +615,9 @@ def main() -> None:
                     "total": round(sum(timings.values()), 2),
                     "reps_per_entry": max(1, REPS),
                     "noisy_threshold": NOISY_SPREAD,
+                    "host": host_window_stats(
+                        _host_t0, _proc_stat_snapshot()
+                    ),
                     "queries": details,
                 },
                 f,

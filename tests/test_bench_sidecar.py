@@ -224,6 +224,30 @@ def test_reference_ratchet_min_updates_seeds_and_prunes(
     assert reseeded == {"a": 1.2}
 
 
+def test_host_window_stats_from_proc_stat_deltas():
+    """The sidecar's host block derives steal/idle from cumulative
+    /proc/stat jiffies over the run window — a burst-inflated
+    recording then carries its own machine-readable evidence.
+    Missing or malformed snapshots degrade to loadavg-only, never an
+    exception (telemetry must not cost the run)."""
+    start = [100, 0, 50, 800, 0, 0, 0, 50]
+    end = [1100, 0, 150, 1300, 0, 0, 0, 450]
+    # deltas: user 1000, system 100, idle 500, steal 400 → total 2000
+    out = bench.host_window_stats(start, end)
+    assert out["steal_pct"] == 20.0
+    assert out["idle_pct"] == 25.0
+    assert out["cpus"] >= 1 and out["loadavg_1m"] >= 0
+    # degraded inputs: no crash, no steal keys
+    for bad in (None, [1, 2, 3]):
+        degraded = bench.host_window_stats(bad, end)
+        assert "steal_pct" not in degraded
+    # the live snapshot reader parses this host's real /proc/stat
+    snap = bench._proc_stat_snapshot()
+    assert snap is None or (len(snap) >= 8 and all(
+        isinstance(v, int) for v in snap
+    ))
+
+
 def test_committed_reference_file_matches_live_registry():
     """The committed sf0.1 ratchet must track the registry exactly:
     every key is a live entry (prune happened) and every oracled-or-
