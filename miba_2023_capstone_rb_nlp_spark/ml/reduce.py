@@ -116,6 +116,7 @@ def pca_reduce(
     n_components: int = 2,
     out_col: str = "reduced_dimensions",
     fit_df: DataFrame | None = None,
+    components: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Distributed PCA → array<double> coords (see module docstring
     for the one-pass design).
@@ -129,9 +130,19 @@ def pca_reduce(
     so the fit action scans the cache rather than recomputing every
     enrichment join stacked on top of it. The transform still applies
     to ``df``.
+
+    ``components``: optional precomputed ``(mean, W)`` from
+    ``pca_components`` — the fit/transform split for callers that
+    already ran (and perhaps inspected) the fit, so the moment pass
+    over the corpus is not paid a second time; takes precedence over
+    ``fit_df``.
     """
-    mean, w = pca_components(fit_df if fit_df is not None else df,
-                             vec_col, n_components)
+    mean, w = (
+        components
+        if components is not None
+        else pca_components(fit_df if fit_df is not None else df,
+                            vec_col, n_components)
+    )
     d, k = w.shape
     # Mean-centering folded into per-component constants:
     #   Σᵢ (vᵢ−mᵢ)·wᵢⱼ ≡ Σᵢ vᵢ·wᵢⱼ − Σᵢ mᵢ·wᵢⱼ

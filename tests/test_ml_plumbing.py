@@ -226,6 +226,34 @@ def test_weighted_agg_plan_unchanged_by_extractor(spark, section_df):
     assert model_plan.count("MapInPandas") == 1
 
 
+def test_pca_reduce_precomputed_components_match_refit(spark):
+    """The fit/transform split (r11): passing pca_components' output
+    back through ``components=`` must produce row-identical coords to
+    the internal refit — and spares the second moment pass the
+    witness entry used to pay (pinned plan-side in test_plans)."""
+    from miba_2023_capstone_rb_nlp_spark.ml.reduce import (
+        pca_components,
+        pca_reduce,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 4)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(base)],
+        "id bigint, v array<double>",
+    ).repartition(3)
+    comps = pca_components(df, "v", 2)
+    via_components = {
+        r["id"]: r["reduced_dimensions"]
+        for r in pca_reduce(df, "v", 2, components=comps).collect()
+    }
+    via_refit = {
+        r["id"]: r["reduced_dimensions"]
+        for r in pca_reduce(df, "v", 2, fit_df=df).collect()
+    }
+    assert via_components == via_refit
+
+
 def test_pca_reduce_math_properties(spark):
     """One-pass PCA invariants: components orthonormal, projected
     coords mean-centered (~0), and the first component carries at

@@ -1483,3 +1483,63 @@ def test_hybrid_rrf_fuses_k_row_lists(spark):
     assert final.count("TakeOrderedAndProject") >= 2
     assert "InMemoryTableScan" in final
     assert "CartesianProduct" not in final
+
+
+# --- r11 witness-conversion pins: the oracled kmeans/PCA/HLL entries
+# re-enter the driver window with their scale shapes pinned ----------
+
+
+def test_kmeans_witness_all_jvm_reads_only_the_cache(spark):
+    """The kmeans witness derivation is pure JVM (the local-fit
+    branch collects a bounded sample at BUILD time; the returned plan
+    has no Python crossing) and every one of its five aggregate
+    branches scans the PERSISTED assignment — never the parquet
+    directly. The cached child's plan is printed under each
+    InMemoryTableScan, so 'no direct re-read' asserts as scan-count
+    equality: every FileScan line in the executed plan belongs to an
+    InMemoryTableScan subtree."""
+    import re
+
+    df = SUITE["kmeans_clusters"].fn(spark, SF_TEST_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _executed_plan(df)
+    assert not re.search(r"EvalPython|InPandas|InArrow", plan)
+    n_cache = plan.count("InMemoryTableScan")
+    assert n_cache >= 4  # sizes/n/wss/tss branches + witness base
+    assert plan.count("FileScan") == n_cache
+
+
+def test_pca_witness_all_jvm_reads_only_the_cache(spark):
+    """pca_coords (r11): the projection and BOTH moment passes read
+    ONE persisted base — the pre-fix plan scanned the parquet three
+    times for one diagnostic row set, and the fit twice more (the
+    fit/transform split now reuses the computed components). Same
+    scan-count-equality assertion as the kmeans pin, plus the
+    projection staying codegen (no Python crossing at this width)."""
+    import re
+
+    df = SUITE["pca_coords"].fn(spark, SF_TEST_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _executed_plan(df)
+    assert not re.search(r"EvalPython|InPandas|InArrow", plan)
+    n_cache = plan.count("InMemoryTableScan")
+    assert n_cache >= 3  # projection stats + two moment branches
+    assert plan.count("FileScan") == n_cache
+
+
+def test_approx_distinct_single_pruned_scan(spark):
+    """approx_distinct_parts (r11 oracle conversion): the HLL++
+    estimate and its exact-distinct twin come out of ONE scan of
+    lineitem pruned to exactly (l_partkey, l_returnflag) — the
+    error-band witness must not cost a second pass, and the sketch
+    side must stay a partial aggregate (mergeable registers), which
+    is what makes it sane at 100 TB."""
+    df = SUITE["approx_distinct_parts"].fn(spark, SF_TEST_DIR)
+    final = _final_plan(df)
+    assert final.count("FileScan") == 1
+    sc = [ln for ln in final.splitlines() if "FileScan" in ln][0]
+    assert "l_partkey" in sc and "l_returnflag" in sc
+    import re
+
+    assert not re.search(r"l_(?!partkey|returnflag)[a-z]+", sc.split("[", 1)[1].split("]", 1)[0])
+    assert "partial_approx_count_distinct" in _executed_plan(df)
