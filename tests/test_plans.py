@@ -1543,3 +1543,29 @@ def test_approx_distinct_single_pruned_scan(spark):
 
     assert not re.search(r"l_(?!partkey|returnflag)[a-z]+", sc.split("[", 1)[1].split("]", 1)[0])
     assert "partial_approx_count_distinct" in _executed_plan(df)
+
+
+def test_wizard_witness_shapes(spark):
+    """wizard_full_chain (mid-r11, the LAST rows-only→oracled
+    conversion): the witness derivation must (a) scan the persisted
+    ≤k×n_med viz table and the persisted clean table — the final
+    section shows ≥4 InMemoryTableScans (three viz reads + the
+    corpus probe's clean read) so no witness branch re-runs the
+    chain; (b) keep the corpus-membership probe scale-correct: a
+    BroadcastHashJoin LeftSemi with BuildRight — the ≤10-row medoid
+    frame is the broadcast side and the corpus STREAMS (broadcasting
+    the corpus would cap the operator at driver memory at 100 TB);
+    (c) contain exactly ONE BroadcastNestedLoopJoin — the deliberate
+    1-row×1-row crossJoin of the two witness frames — and no
+    CartesianProduct anywhere."""
+    df = SUITE["wizard_full_chain"].fn(spark, SF_TEST_DIR)
+    assert _optimized_plan(df).count("LeftSemi") == 1
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert plan.count("CartesianProduct") == 0
+    assert final.count("BroadcastNestedLoopJoin") == 1
+    assert final.count("InMemoryTableScan") >= 4
+    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi and all(
+        "BroadcastHashJoin" in ln and "BuildRight" in ln for ln in semi
+    )
