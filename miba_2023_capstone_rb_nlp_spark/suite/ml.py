@@ -584,8 +584,9 @@ WITH clean AS (
 ),
 s AS (
   SELECT count(*) AS n,
-         sum(CAST(CAST(('0x' || substr(md5(paragraph), 1, 15)) AS BIGINT) % 3
-                  AS DOUBLE)) AS sent
+         COALESCE(sum(CAST(CAST(('0x' || substr(md5(paragraph), 1, 15))
+                                AS BIGINT) % 3
+                           AS DOUBLE)), 0.0) AS sent
   FROM clean
 )
 SELECT 'clusters_le_k' AS witness, 1.0 AS value
@@ -673,11 +674,16 @@ def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("sentiment").alias("sent"),
         F.count(F.lit(1)).alias("n_med"),
         F.min(
+            # finite = non-null AND not NaN AND not ±Inf (abs<inf is
+            # false for NaN too under Spark's NaN-is-largest ordering,
+            # but the explicit isnan keeps the intent readable)
             F.when(
                 F.col("x").isNotNull()
                 & F.col("y").isNotNull()
                 & ~F.isnan("x")
-                & ~F.isnan("y"),
+                & ~F.isnan("y")
+                & (F.abs("x") < F.lit(float("inf")))
+                & (F.abs("y") < F.lit(float("inf"))),
                 F.lit(1.0),
             ).otherwise(F.lit(0.0))
         ).alias("coords_ok"),
@@ -692,20 +698,30 @@ def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
         ).alias("tops_ok"),
     )
+    # coalesce every NULL-on-empty aggregate to its vacuous value (0
+    # totals, true invariants) so a 0-row clean table reads green on
+    # both sides instead of mismatching NULL vs the oracle's pinned
+    # constants — the oracle COALESCEs its sentiment sum to match
     head = per_cluster.agg(
-        F.sum("sz").cast("double").alias("total_size"),
+        F.coalesce(F.sum("sz").cast("double"), F.lit(0.0)).alias(
+            "total_size"
+        ),
         # round(), not the usual fixed() floor: the true value is an
         # exact INTEGER (class ids 0/1/2 summed over the corpus) and
         # size×mean reintroduces ≤1e-11 of error on EITHER side —
         # floor would snap integer−ε down a whole unit, while a
         # half-boundary (x.0005) that could split Spark/DuckDB
         # rounding cannot occur at integer±1e-11
-        F.round(F.sum(F.col("sz") * F.col("sent")), 3).alias("sent_sum_q"),
+        F.coalesce(
+            F.round(F.sum(F.col("sz") * F.col("sent")), 3), F.lit(0.0)
+        ).alias("sent_sum_q"),
         (F.count(F.lit(1)) <= F.lit(5)).alias("clusters_le_k"),
-        (F.max("n_med") <= F.lit(2)).alias("med_le_2"),
-        F.min("coords_ok").alias("coords_finite"),
-        F.min("ents_ok").alias("entities_le_5"),
-        F.min("tops_ok").alias("topics_ok"),
+        F.coalesce(F.max("n_med") <= F.lit(2), F.lit(True)).alias(
+            "med_le_2"
+        ),
+        F.coalesce(F.min("coords_ok"), F.lit(1.0)).alias("coords_finite"),
+        F.coalesce(F.min("ents_ok"), F.lit(1.0)).alias("entities_le_5"),
+        F.coalesce(F.min("tops_ok"), F.lit(1.0)).alias("topics_ok"),
     )
     # corpus membership: broadcast the ≤k×n_med medoid paragraphs and
     # STREAM the corpus (never the reverse — clean scales, medoids
@@ -723,7 +739,10 @@ def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp.withColumn("_hit", F.lit(0))
         .unionByName(hits)
         .agg(
-            (F.sum("_hit") * 2 == F.count(F.lit(1))).alias("in_corpus")
+            F.coalesce(
+                F.sum("_hit") * 2 == F.count(F.lit(1)),
+                F.lit(True),  # empty union (0 medoids) — vacuously in
+            ).alias("in_corpus")
         )
     )
     one = head.crossJoin(probe)

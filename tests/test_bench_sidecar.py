@@ -197,16 +197,20 @@ def test_retime_reference_is_min_merge(monkeypatch):
 
 
 def test_retime_reference_respects_justified_cost_changes(monkeypatch):
-    """A JUSTIFIED_REGRESSIONS entry had its plan DELIBERATELY made
-    more expensive (the r11 witness conversions) and its ratchet
-    reseeded from the new code — the min-merge must NOT resurrect the
-    cheaper old plan's sidecar/artifact timings as the yardstick, or
-    the solo-retime pass burns its budget on that entry every run
-    forever (observed: 3 wasted kmeans_clusters reps per r11 sweep).
-    The reseeded ratchet alone governs those entries; entries without
-    a ratchet key still fall back to the min-merge."""
+    """A RATCHET_RESEEDED entry had its plan DELIBERATELY made more
+    expensive (the r11 witness conversions) and its ratchet reseeded
+    from the new code — the min-merge must NOT resurrect the cheaper
+    old plan's sidecar/artifact timings as the yardstick, or the
+    solo-retime pass burns its budget on that entry every run forever
+    (observed: 3 wasted kmeans_clusters reps per r11 sweep). The
+    reseeded ratchet alone governs those entries. Scope matters: a
+    justified-but-plan-UNCHANGED entry (top_terms_per_source) and an
+    entry missing a ratchet key keep the protective min-merge — their
+    old bests are still reachable by the current code, so dropping
+    the sidecar/artifact legs would let a burst-inflated ratchet
+    hide real inflation."""
     monkeypatch.setattr(
-        bench, "JUSTIFIED_REGRESSIONS", {"wit": "reseeded", "nofloor": "x"}
+        bench, "RATCHET_RESEEDED", {"wit", "nofloor"}
     )
     monkeypatch.setattr(
         bench, "_reference_queries", lambda sf: {"wit": 6.9, "plain": 1.0}
@@ -218,12 +222,22 @@ def test_retime_reference_respects_justified_cost_changes(monkeypatch):
     )
     monkeypatch.setattr(bench, "_baseline_queries", lambda sf: {"wit": 4.3})
     refs = bench._retime_reference(0.1)
-    # justified + ratcheted: the old-plan 3.3/4.3 records are ignored
+    # reseeded + ratcheted: the old-plan 3.3/4.3 records are ignored
     assert refs["wit"] == 6.9
-    # unjustified entries keep the protective min-merge
+    # plan-unchanged entries keep the protective min-merge
     assert refs["plain"] == 0.8
-    # justified but never reseeded: min-merge still applies
+    # marked reseeded but no ratchet key yet: min-merge still applies
     assert refs["nofloor"] == 0.5
+
+
+def test_ratchet_reseeded_entries_are_justified_and_live():
+    """RATCHET_RESEEDED is a subset of JUSTIFIED_REGRESSIONS (a
+    reseed without a written justification is a silent floor raise)
+    and every member is a live registry entry."""
+    from miba_2023_capstone_rb_nlp_spark.suite import load_suite
+
+    assert bench.RATCHET_RESEEDED <= set(bench.JUSTIFIED_REGRESSIONS)
+    assert bench.RATCHET_RESEEDED <= set(load_suite())
 
 
 def test_reference_ratchet_min_updates_seeds_and_prunes(
