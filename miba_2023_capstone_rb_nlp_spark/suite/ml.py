@@ -655,6 +655,16 @@ def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation and the corpus probe into one union frame.
     out = persist_tracked(wiz.viz_summary().repartition(1))
     out.count()
+    return wizard_chain_witnesses(out, clean)
+
+
+def wizard_chain_witnesses(out: DataFrame, clean: DataFrame) -> DataFrame:
+    """(viz table, clean table) → the 8 (witness, value) rows the
+    oracle checks. Factored out of the entry so the sensitivity lane
+    (tests/test_ml_plumbing.py) can feed it CORRUPTED viz tables and
+    assert each invariant actually flips — the 'a silent value bug
+    flips a witness' claim is itself tested, not just the happy
+    path."""
     # adjacent-pair slice: scores must be non-increasing down the
     # rank-sorted top-5 (rounding is monotone, so the viz round(…,3)
     # preserves the c-TF-IDF rank order)

@@ -552,3 +552,139 @@ def test_kmeans_fit_placement_adaptive(spark):
         tuple(sorted(i for i in m if m[i] == c)) for c in set(m.values())
     )
     assert groups(got) == groups(got_m)
+
+
+# --- wizard witness sensitivity (mid-r11) ---------------------------
+# The witness conversion's claim is "a silent value bug in ANY stage
+# flips a witness to 0.0". The driver/parity lanes only ever see the
+# happy path, so the claim itself is pinned here: feed the factored
+# witness derivation CORRUPTED viz tables and assert each invariant
+# actually flips (and ONLY the targeted one, so a flip localizes the
+# bug), plus the totals track their inputs and the empty-input case
+# is vacuously green on both sides (matching the oracle's COALESCEs).
+
+_VIZ_SCHEMA = (
+    "cluster int, size bigint, x double, y double, sentiment double, "
+    "entities array<string>, "
+    "topics array<struct<word string, score double>>, paragraph string"
+)
+
+
+def _viz_rows():
+    """2 clusters, sizes 3+2=5, sentiments 1.0/2.0 → weighted sum 7."""
+    t = [("alpha", 0.9), ("beta", 0.5)]
+    return [
+        (0, 3, 0.1, -0.2, 1.0, ["OrgA"], t, "p one"),
+        (0, 3, 0.3, 0.4, 1.0, ["OrgA"], t, "p two"),
+        (1, 2, -1.0, 2.0, 2.0, None, None, "p three"),
+    ]
+
+
+def _clean_df(spark, paragraphs=("p one", "p two", "p three", "p x")):
+    return spark.createDataFrame(
+        [(p,) for p in paragraphs], "paragraph string"
+    )
+
+
+def _witnesses(spark, rows, paragraphs=("p one", "p two", "p three", "p x")):
+    from miba_2023_capstone_rb_nlp_spark.suite.ml import (
+        wizard_chain_witnesses,
+    )
+
+    out = spark.createDataFrame(rows, _VIZ_SCHEMA)
+    got = wizard_chain_witnesses(out, _clean_df(spark, paragraphs)).collect()
+    return {r["witness"]: r["value"] for r in got}
+
+
+def test_wizard_witnesses_happy_path(spark):
+    w = _witnesses(spark, _viz_rows())
+    assert w == {
+        "clusters_le_k": 1.0,
+        "coords_finite": 1.0,
+        "entities_le_5": 1.0,
+        "medoid_paragraphs_in_corpus": 1.0,
+        "medoids_per_cluster_le_2": 1.0,
+        "sentiment_sum_q": 7.0,  # 3*1.0 + 2*2.0
+        "topics_top5_sorted": 1.0,
+        "total_size": 5.0,  # 3 + 2, sizes counted once per cluster
+    }
+
+
+@pytest.mark.parametrize(
+    "mutate,flipped",
+    [
+        # x → +Inf: the review-fix case round()/isnan alone missed
+        (lambda r: r.__setitem__(0, r[0][:2] + (float("inf"),) + r[0][3:]),
+         "coords_finite"),
+        # y → NaN
+        (lambda r: r.__setitem__(0, r[0][:3] + (float("nan"),) + r[0][4:]),
+         "coords_finite"),
+        # 6 entities on one row
+        (lambda r: r.__setitem__(
+            0, r[0][:5] + (["a", "b", "c", "d", "e", "f"],) + r[0][6:]),
+         "entities_le_5"),
+        # topic scores out of rank order
+        (lambda r: r.__setitem__(
+            0, r[0][:6] + ([("w1", 0.1), ("w2", 0.9)],) + r[0][7:]),
+         "topics_top5_sorted"),
+        # 6 topics
+        (lambda r: r.__setitem__(
+            0, r[0][:6] + ([("w", 0.9 - 0.1 * i) for i in range(6)],)
+            + r[0][7:]),
+         "topics_top5_sorted"),
+        # a paragraph not present in the corpus
+        (lambda r: r.__setitem__(0, r[0][:7] + ("FORGED",)),
+         "medoid_paragraphs_in_corpus"),
+        # third medoid row in cluster 0
+        (lambda r: r.append((0, 3, 0.5, 0.5, 1.0, ["OrgA"],
+                             [("alpha", 0.9)], "p x")),
+         "medoids_per_cluster_le_2"),
+    ],
+)
+def test_wizard_witnesses_flip_on_corruption(spark, mutate, flipped):
+    rows = _viz_rows()
+    mutate(rows)
+    w = _witnesses(spark, rows)
+    assert w[flipped] == 0.0, f"{flipped} did not flip"
+    # the flip localizes: every OTHER boolean witness stays green
+    for name, v in w.items():
+        if name in (flipped, "sentiment_sum_q", "total_size"):
+            continue
+        assert v == 1.0, f"{name} flipped collaterally ({v})"
+
+
+def test_wizard_witnesses_flip_on_sixth_cluster(spark):
+    rows = _viz_rows() + [
+        (c, 1, 0.0, 0.0, 0.0, None, None, "p x") for c in (2, 3, 4, 5)
+    ]
+    w = _witnesses(spark, rows)
+    assert w["clusters_le_k"] == 0.0
+    # totals track the corrupted input, localizing the damage
+    assert w["total_size"] == 9.0  # 3 + 2 + 4×1
+
+
+def test_wizard_witnesses_track_totals(spark):
+    # shrink cluster 1's recorded size: total_size and the weighted
+    # sentiment both move — a wrong window count cannot hide
+    rows = _viz_rows()
+    rows[2] = (1, 1, -1.0, 2.0, 2.0, None, None, "p three")
+    w = _witnesses(spark, rows)
+    assert w["total_size"] == 4.0
+    assert w["sentiment_sum_q"] == 5.0  # 3*1.0 + 1*2.0
+
+
+def test_wizard_witnesses_vacuous_on_empty(spark):
+    # 0-row viz + 0-row clean: totals 0.0, every invariant vacuously
+    # true — mirrors the oracle's COALESCE(…, 0.0) so both sides stay
+    # green instead of mismatching NULL vs pinned constants
+    w = _witnesses(spark, [], paragraphs=())
+    assert w == {
+        "clusters_le_k": 1.0,
+        "coords_finite": 1.0,
+        "entities_le_5": 1.0,
+        "medoid_paragraphs_in_corpus": 1.0,
+        "medoids_per_cluster_le_2": 1.0,
+        "sentiment_sum_q": 0.0,
+        "topics_top5_sorted": 1.0,
+        "total_size": 0.0,
+    }
