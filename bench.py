@@ -276,10 +276,20 @@ JUSTIFIED_REGRESSIONS: dict[str, str] = {
 # unchanged entry (top_terms_per_source) keeps the protective
 # min-merge, because for it an old sidecar/artifact best is still a
 # best the CURRENT code can reach.
-RATCHET_RESEEDED: set = {
-    "kmeans_clusters",
-    "pca_coords",
-    "wizard_full_chain",
+#
+# ADVICE r11 #3 hazard, closed: until the reseeded floor tightens
+# below a burst-inflated reseed value, inflation on these entries
+# would be invisible to the retime pass — so the reseed-time floor is
+# RECORDED HERE per sf (r11 quiet-host values, commit 3032bcd's
+# sweep), and the yardstick is min(live ratchet, recorded floor): a
+# regenerated-or-looser ratchet file can never raise the bar above
+# what the reseed commit itself measured. _retime_reference warns
+# when the live ratchet is looser than the record (the file was
+# rebuilt without this history).
+RATCHET_RESEEDED: dict[str, dict[float, float]] = {
+    "kmeans_clusters": {0.1: 1.922, 0.01: 1.74},
+    "pca_coords": {0.1: 1.342, 0.01: 1.09},
+    "wizard_full_chain": {0.1: 5.515, 0.01: 5.825},
 }
 
 
@@ -360,9 +370,12 @@ def _retime_reference(sf_val) -> dict[str, float]:
     reseeded ratchet alone is the yardstick; a justified-but-
     unchanged-plan entry keeps the min-merge, since its old bests
     are still reachable."""
+    # capture the ratchet ONCE and reuse it for the reseed override
+    # (ADVICE r11 #4: re-reading the file inside the loop)
+    ratchet = _reference_queries(sf_val) or {}
     refs: dict[str, float] = {}
     for src in (
-        _reference_queries(sf_val),  # the historical ratchet
+        ratchet,  # the historical ratchet
         _sidecar_queries(sf_val),
         _baseline_queries(sf_val),
     ):
@@ -370,10 +383,22 @@ def _retime_reference(sf_val) -> dict[str, float]:
             if k == FOLD_KEY:
                 continue
             refs[k] = min(refs[k], v) if k in refs else v
-    ratchet = _reference_queries(sf_val) or {}
-    for k in RATCHET_RESEEDED:
-        if k in refs and k in ratchet:
-            refs[k] = ratchet[k]
+    for k, recorded_by_sf in RATCHET_RESEEDED.items():
+        if k not in refs:
+            continue
+        live = ratchet.get(k)
+        recorded = recorded_by_sf.get(sf_val)
+        candidates = [v for v in (live, recorded) if v is not None]
+        if not candidates:
+            continue  # no post-reseed evidence at this sf; keep min-merge
+        refs[k] = min(candidates)
+        if live is not None and recorded is not None and live > recorded:
+            print(
+                f"ratchet for reseeded entry {k!r} ({live}s) is looser "
+                f"than its recorded reseed floor ({recorded}s) — the "
+                "ratchet file lost history; using the recorded floor",
+                file=sys.stderr,
+            )
     return refs
 
 # Adaptive reps (VERDICT r7 #6): an entry whose post-warmup spread
@@ -459,22 +484,30 @@ def quiet_spread_of(rs: list[float]) -> float | None:
 
 
 def encode_line(
-    timings: dict[str, float], sf_val: float | str, n_noisy: int = 0
+    timings: dict[str, float],
+    sf_val: float | str,
+    n_noisy: int = 0,
+    retimes: dict[str, dict] | None = None,
 ) -> str:
     def dump(qs: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "suite_total_runtime",
-                "value": round(sum(timings.values()), 2),
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in sorted(qs.items())},
-                "sf": sf_val,
-                # entries whose rep spread exceeded NOISY_SPREAD —
-                # per-entry spreads live in the detail sidecar
-                "noisy": n_noisy,
-            },
-            separators=(",", ":"),
-        )
+        payload = {
+            "metric": "suite_total_runtime",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in sorted(qs.items())},
+            "sf": sf_val,
+            # entries whose rep spread exceeded NOISY_SPREAD —
+            # per-entry spreads live in the detail sidecar
+            "noisy": n_noisy,
+        }
+        if retimes:
+            # VERDICT r11 #7: entries still >RETIME_RATIO over their
+            # committed floor AFTER the solo retime carry their retime
+            # rep list (and the floor) into the driver tail, so a
+            # future judge can adjudicate host noise from the
+            # artifact alone instead of needing the sidecar
+            payload["retimes"] = retimes
+        return json.dumps(payload, separators=(",", ":"))
 
     assert FOLD_KEY not in timings, f"registry entry shadows {FOLD_KEY!r}"
     qs = dict(timings)
@@ -643,8 +676,23 @@ def main() -> None:
             ),
             file=sys.stderr,
         )
+    # entries STILL inflated after their solo retime (VERDICT r11 #7):
+    # their quiet-rep evidence goes into the tail artifact itself
+    still_inflated = {
+        name: {
+            "reps": [
+                round(r, 2)
+                for r in details[name]["reps"][-details[name]["retimed"]:]
+            ],
+            "ref": round(refs[name], 2),
+        }
+        for name in inflated
+        if details[name].get("retimed")
+        and refs.get(name)
+        and timings[name] >= refs[name] * RETIME_RATIO
+    }
     n_noisy = sum(1 for d in details.values() if d["noisy"])
-    line = encode_line(timings, sf_val, n_noisy)
+    line = encode_line(timings, sf_val, n_noisy, retimes=still_inflated or None)
     # The regression table is diagnostics; NOTHING may stand between a
     # finished suite run and the artifact line — a malformed baseline
     # file must not cost the run (the driver only records stdout).

@@ -563,6 +563,15 @@ def q_wizard_chain_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- full WordWizard chain (flagship fluent API, MVP.ipynb cell-8) --
+# Chain configuration (ADVICE r11 #1): ONE source of truth for the
+# values the entry's chain call, the witness battery and the oracle's
+# witness rows all share — previously k=5 / n_med=2 were repeated
+# literally at all three sites, so a chain-config change that missed
+# one would turn the fail-safe witnesses permanently red.
+WIZARD_CHAIN_K = 5  # cluster_embeddings(k=...)
+WIZARD_CHAIN_N_MED = 2  # medoid rows surfaced per cluster
+
+
 def _wizard_witness_oracle() -> str:
     """Witness oracle for the FULL chain (the last rows-only→oracled
     conversion, extending VERDICT r10 #4's recipe): the KMeans labels
@@ -591,9 +600,10 @@ s AS (
 )
 SELECT 'clusters_le_k' AS witness, 1.0 AS value
 UNION ALL SELECT 'coords_finite', 1.0
+UNION ALL SELECT 'enrichment_present', 1.0
 UNION ALL SELECT 'entities_le_5', 1.0
 UNION ALL SELECT 'medoid_paragraphs_in_corpus', 1.0
-UNION ALL SELECT 'medoids_per_cluster_le_2', 1.0
+UNION ALL SELECT 'medoids_per_cluster_le_{WIZARD_CHAIN_N_MED}', 1.0
 UNION ALL SELECT 'sentiment_sum_q', (SELECT round(sent, 3) FROM s)
 UNION ALL SELECT 'topics_top5_sorted', 1.0
 UNION ALL SELECT 'total_size', (SELECT CAST(n AS DOUBLE) FROM s)
@@ -635,7 +645,7 @@ def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     wiz = (
         WordWizard(clean, interest="paragraph")
         .create_sentence_embeddings()
-        .cluster_embeddings(k=5)
+        .cluster_embeddings(k=WIZARD_CHAIN_K, n_med=WIZARD_CHAIN_N_MED)
         .entitiy_recognition()
         .summarize_medoids()
         .find_sentiment()
@@ -659,8 +669,9 @@ def q_wizard_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def wizard_chain_witnesses(out: DataFrame, clean: DataFrame) -> DataFrame:
-    """(viz table, clean table) → the 8 (witness, value) rows the
-    oracle checks. Factored out of the entry so the sensitivity lane
+    """(viz table, clean table) → the 9 (witness, value) rows the
+    oracle checks (thresholds from WIZARD_CHAIN_K / WIZARD_CHAIN_N_MED
+    — the same constants the chain call site uses, ADVICE r11 #1). Factored out of the entry so the sensitivity lane
     (tests/test_ml_plumbing.py) can feed it CORRUPTED viz tables and
     assert each invariant actually flips — the 'a silent value bug
     flips a witness' claim is itself tested, not just the happy
@@ -707,6 +718,22 @@ def wizard_chain_witnesses(out: DataFrame, clean: DataFrame) -> DataFrame:
             .when((F.size("topics") <= 5) & topics_sorted, F.lit(1.0))
             .otherwise(F.lit(0.0))
         ).alias("tops_ok"),
+        # NULL rows are vacuously fine for the bound checks above (a
+        # cluster with no org matches legitimately carries NULL
+        # entities), so enrichment PRESENCE is pinned separately:
+        # per-cluster flags feeding the existential witness below
+        # (ADVICE r11 #2 — a regression nulling a whole enrichment
+        # column must flip a witness, not pass vacuously)
+        F.max(
+            F.when(F.col("entities").isNotNull(), F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("ents_present"),
+        F.max(
+            F.when(F.col("topics").isNotNull(), F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("tops_present"),
     )
     # coalesce every NULL-on-empty aggregate to its vacuous value (0
     # totals, true invariants) so a 0-row clean table reads green on
@@ -725,13 +752,22 @@ def wizard_chain_witnesses(out: DataFrame, clean: DataFrame) -> DataFrame:
         F.coalesce(
             F.round(F.sum(F.col("sz") * F.col("sent")), 3), F.lit(0.0)
         ).alias("sent_sum_q"),
-        (F.count(F.lit(1)) <= F.lit(5)).alias("clusters_le_k"),
-        F.coalesce(F.max("n_med") <= F.lit(2), F.lit(True)).alias(
-            "med_le_2"
-        ),
+        (F.count(F.lit(1)) <= F.lit(WIZARD_CHAIN_K)).alias("clusters_le_k"),
+        F.coalesce(
+            F.max("n_med") <= F.lit(WIZARD_CHAIN_N_MED), F.lit(True)
+        ).alias("med_le_2"),
         F.coalesce(F.min("coords_ok"), F.lit(1.0)).alias("coords_finite"),
         F.coalesce(F.min("ents_ok"), F.lit(1.0)).alias("entities_le_5"),
         F.coalesce(F.min("tops_ok"), F.lit(1.0)).alias("topics_ok"),
+        # existential, not universal: ≥1 cluster carries non-NULL
+        # entities AND ≥1 carries non-NULL topics (vacuously true
+        # only on an EMPTY viz table) — scale-robust (a single
+        # org-free cluster stays green) yet red when a chain
+        # regression nulls an enrichment column corpus-wide
+        F.coalesce(
+            (F.max("ents_present") + F.max("tops_present")) == F.lit(2.0),
+            F.lit(True),
+        ).alias("enrichment_present"),
     )
     # corpus membership: broadcast the ≤k×n_med medoid paragraphs and
     # STREAM the corpus (never the reverse — clean scales, medoids
@@ -761,9 +797,13 @@ def wizard_chain_witnesses(out: DataFrame, clean: DataFrame) -> DataFrame:
         [
             ("clusters_le_k", F.col("clusters_le_k")),
             ("coords_finite", F.col("coords_finite")),
+            ("enrichment_present", F.col("enrichment_present")),
             ("entities_le_5", F.col("entities_le_5")),
             ("medoid_paragraphs_in_corpus", F.col("in_corpus")),
-            ("medoids_per_cluster_le_2", F.col("med_le_2")),
+            (
+                f"medoids_per_cluster_le_{WIZARD_CHAIN_N_MED}",
+                F.col("med_le_2"),
+            ),
             ("sentiment_sum_q", F.col("sent_sum_q")),
             ("topics_top5_sorted", F.col("topics_ok")),
             ("total_size", F.col("total_size")),

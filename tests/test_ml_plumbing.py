@@ -601,6 +601,7 @@ def test_wizard_witnesses_happy_path(spark):
     assert w == {
         "clusters_le_k": 1.0,
         "coords_finite": 1.0,
+        "enrichment_present": 1.0,
         "entities_le_5": 1.0,
         "medoid_paragraphs_in_corpus": 1.0,
         "medoids_per_cluster_le_2": 1.0,
@@ -639,6 +640,17 @@ def test_wizard_witnesses_happy_path(spark):
         (lambda r: r.append((0, 3, 0.5, 0.5, 1.0, ["OrgA"],
                              [("alpha", 0.9)], "p x")),
          "medoids_per_cluster_le_2"),
+        # ADVICE r11 #2: a regression nulling the entities column
+        # CORPUS-WIDE previously passed every witness vacuously — the
+        # existential presence witness flips while entities_le_5
+        # stays (correctly) vacuous-green
+        (lambda r: [r.__setitem__(i, r[i][:5] + (None,) + r[i][6:])
+                    for i in range(len(r))],
+         "enrichment_present"),
+        # same for a corpus-wide NULL topics column
+        (lambda r: [r.__setitem__(i, r[i][:6] + (None,) + r[i][7:])
+                    for i in range(len(r))],
+         "enrichment_present"),
     ],
 )
 def test_wizard_witnesses_flip_on_corruption(spark, mutate, flipped):
@@ -681,6 +693,7 @@ def test_wizard_witnesses_vacuous_on_empty(spark):
     assert w == {
         "clusters_le_k": 1.0,
         "coords_finite": 1.0,
+        "enrichment_present": 1.0,
         "entities_le_5": 1.0,
         "medoid_paragraphs_in_corpus": 1.0,
         "medoids_per_cluster_le_2": 1.0,

