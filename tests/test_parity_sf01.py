@@ -4,13 +4,14 @@ flukes that only appear with more rows near floor boundaries (the
 failure class the fixed-point recipe is designed to exclude).
 
 Slow (~3-12 min on local[32]); opt in with SPARK_GRAFT_SF01_PARITY=1.
-Last full run: round 11, **153/153 oracles green in 295 s** on the
-round's final tree (a first 153/153 sweep passed in 290 s the same
-session, before the witness-hardening fixes) — the first sweeps with
-EVERY registry entry oracled (the r11 witness conversions raised the
-count 149 → 152: kmeans_clusters, pca_coords, approx_distinct_parts;
+Last full run: round 12, **153/153 oracles green in 340 s** on the
+post-rotation tree (r12 window reorder + wizard enrichment-presence
+witness + conf-driven ner broadcast gate). (Round 11: 153/153 in
+295 s on the round's final tree — the first sweeps with EVERY
+registry entry oracled; the r11 witness conversions raised the count
+149 → 152 (kmeans_clusters, pca_coords, approx_distinct_parts) and
 the wizard_full_chain witness oracle landed mid-round and made it
-153, emptying the rows-only set). (Earlier
+153, emptying the rows-only set. Earlier
 full runs: 152/152 in 674 s earlier in round 11 on a persistently
 loaded host; 149/149 in 282 s in round 10; 149/149 in 386 s in round
 9; 147/147 in 371 s in round 8; 136/136 in 269 s in round 7; 111/111
