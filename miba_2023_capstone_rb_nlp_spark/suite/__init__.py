@@ -208,6 +208,18 @@ _DEPRIORITIZED = (
     # (3) the 16 oldest of the 24-entry r<=6+r9 cohort. After this
     # round no oracled entry's newest driver evidence predates r9.
     #
+    # R13 ROTATION SLATE (plan, per the standing policy): demote the
+    # whole r12 window except the flagship via clause (a) — every
+    # member will then hold >=3 greens. Promote, oldest evidence
+    # first: (1) the 8 r<=6+r9-cohort leftovers below
+    # (salted_agg_priority_revenue … incremental_revenue_merge, last
+    # green r9 — 4 rounds stale by r13); (2) 41 of the 46-entry
+    # r10-window cohort (last green r10), list order. The 5 r10
+    # leftovers, the three clause-(b) witness conversions
+    # (kmeans_clusters / pca_coords / approx_distinct_parts, green
+    # r11, owed their 2nd green within ~2 rounds of their r12
+    # demotion) and the r11-green returnees follow in r14.
+    #
     # -- clause (b), demoted in r12 (first hash-green r11; witness/
     # -- error-bound machinery re-proven by in-window siblings) --
     "kmeans_clusters",  # kmeans fit + witness battery ⊂ wizard_full_chain cluster stage (in-window) + tests/test_ml_plumbing.py
