@@ -351,6 +351,11 @@ RETIME_REPS = 3
 # the marginal dollar always go to the worst offender.
 RETIME_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_RETIME_BUDGET", "300"))
 
+# Most still-inflated entries whose retime reps ride the stdout tail
+# line (the full lists always land in the sidecar): 6 × ~65 chars
+# stays well inside LINE_BUDGET with everything else folded.
+RETIMES_TAIL_MAX = 6
+
 
 def _retime_reference(sf_val) -> dict[str, float]:
     """Per-entry reference for the retime trigger: the MIN of the
@@ -677,7 +682,23 @@ def main() -> None:
             file=sys.stderr,
         )
     # entries STILL inflated after their solo retime (VERDICT r11 #7):
-    # their quiet-rep evidence goes into the tail artifact itself
+    # their quiet-rep evidence goes into the tail artifact itself.
+    # Capped at the WORST offenders by ratio: a fleet-wide burst can
+    # leave dozens of sub-second entries inflated, and an unbounded
+    # retimes dict (~65 chars each) would outgrow LINE_BUDGET even
+    # after every query folds — corrupting the tail JSON is worse
+    # than omitting the mildest offenders (all reps stay in the
+    # sidecar regardless).
+    still_names = sorted(
+        (
+            name
+            for name in inflated
+            if details[name].get("retimed")
+            and refs.get(name)
+            and timings[name] >= refs[name] * RETIME_RATIO
+        ),
+        key=lambda n: -(timings[n] / refs[n]),
+    )
     still_inflated = {
         name: {
             "reps": [
@@ -686,11 +707,10 @@ def main() -> None:
             ],
             "ref": round(refs[name], 2),
         }
-        for name in inflated
-        if details[name].get("retimed")
-        and refs.get(name)
-        and timings[name] >= refs[name] * RETIME_RATIO
+        for name in still_names[:RETIMES_TAIL_MAX]
     }
+    if len(still_names) > RETIMES_TAIL_MAX:
+        still_inflated["_more"] = len(still_names) - RETIMES_TAIL_MAX
     n_noisy = sum(1 for d in details.values() if d["noisy"])
     line = encode_line(timings, sf_val, n_noisy, retimes=still_inflated or None)
     # The regression table is diagnostics; NOTHING may stand between a

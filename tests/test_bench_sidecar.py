@@ -345,3 +345,25 @@ def test_committed_reference_file_matches_live_registry():
     assert ref, "bench_reference_sf0.1.json missing or unreadable"
     live = set(load_suite())
     assert set(ref) == live
+
+
+def test_encode_line_retimes_survive_folding_budget():
+    """The retimes payload must never push the tail line past the
+    driver's window: with a registry-sized timings dict and a capped
+    retimes dict, the line fits LINE_BUDGET after folding."""
+    import json
+
+    timings = {f"entry_{i:03d}_with_a_long_name": 1.234 for i in range(153)}
+    retimes = {
+        f"entry_{i:03d}_with_a_long_name": {
+            "reps": [9.99, 9.98, 9.97],
+            "ref": 1.23,
+        }
+        for i in range(6)
+    }
+    retimes["_more"] = 19
+    line = bench.encode_line(timings, 0.1, 5, retimes)
+    assert len(line) <= bench.LINE_BUDGET
+    payload = json.loads(line)
+    assert payload["retimes"]["_more"] == 19
+    assert len(payload["retimes"]) == 7
