@@ -286,6 +286,12 @@ JUSTIFIED_REGRESSIONS: dict[str, str] = {
 # what the reseed commit itself measured. _retime_reference warns
 # when the live ratchet is looser than the record (the file was
 # rebuilt without this history).
+#
+# Maintenance rule (mirrors reference_path's): a FUTURE justified
+# reseed of one of these entries must update its recorded floors in
+# the SAME commit — otherwise min(live, recorded) pins the old,
+# no-longer-reachable floor and every sweep burns retime reps on it
+# while mis-warning "lost history".
 RATCHET_RESEEDED: dict[str, dict[float, float]] = {
     "kmeans_clusters": {0.1: 1.922, 0.01: 1.74},
     "pca_coords": {0.1: 1.342, 0.01: 1.09},
@@ -699,6 +705,13 @@ def main() -> None:
         ),
         key=lambda n: -(timings[n] / refs[n]),
     )
+    # entries the budget-exhaustion break skipped are ALSO still
+    # inflated (they never got their retime reps) — they must count
+    # in the tail's _more, or a fleet-wide burst under-reports in
+    # exactly the scenario this field exists for
+    n_budget_skipped = sum(
+        1 for name in inflated if not details[name].get("retimed")
+    )
     still_inflated = {
         name: {
             "reps": [
@@ -709,8 +722,9 @@ def main() -> None:
         }
         for name in still_names[:RETIMES_TAIL_MAX]
     }
-    if len(still_names) > RETIMES_TAIL_MAX:
-        still_inflated["_more"] = len(still_names) - RETIMES_TAIL_MAX
+    n_more = len(still_names) - len(still_inflated) + n_budget_skipped
+    if n_more:
+        still_inflated["_more"] = n_more
     n_noisy = sum(1 for d in details.values() if d["noisy"])
     line = encode_line(timings, sf_val, n_noisy, retimes=still_inflated or None)
     # The regression table is diagnostics; NOTHING may stand between a

@@ -57,7 +57,13 @@ def _parse_conf_bytes(raw: str) -> int:
     only the gate's precision."""
     s = raw.strip().lower().removesuffix("b")
     mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+    for suffix, m in (
+        ("k", 1 << 10),
+        ("m", 1 << 20),
+        ("g", 1 << 30),
+        ("t", 1 << 40),
+        ("p", 1 << 50),
+    ):
         if s.endswith(suffix):
             s, mult = s[: -len(suffix)], m
             break

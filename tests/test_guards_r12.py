@@ -24,6 +24,8 @@ from miba_2023_capstone_rb_nlp_spark.suite.ner import (
         ("10m", 10 << 20),
         ("10MB", 10 << 20),
         ("1g", 1 << 30),
+        ("1t", 1 << 40),  # Spark's JavaUtils accepts t/tb and p/pb too
+        ("2pb", 2 << 50),
         ("512k", 512 << 10),
         ("  2K ", 2 << 10),  # whitespace + case
         ("1.5m", int(1.5 * (1 << 20))),  # fractional sizes

@@ -99,10 +99,21 @@ def _rows_at_partitions(spark, name, n: str | None):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+# default-partition baselines, shared between the 3-partition and the
+# second-prime tests so the costliest entries (the full wizard chain)
+# run their baseline ONCE per session
+_BASELINES: dict[str, list] = {}
+
+
+def _baseline(spark, name):
+    if name not in _BASELINES:
+        _BASELINES[name] = _rows_at_partitions(spark, name, None)
+    return _BASELINES[name]
+
+
 @pytest.mark.parametrize("name", ENTRIES)
 def test_result_invariant_under_partitioning(spark, name):
-    baseline = _rows_at_partitions(spark, name, None)
-    assert _rows_at_partitions(spark, name, "3") == baseline
+    assert _rows_at_partitions(spark, name, "3") == _baseline(spark, name)
 
 
 # VERDICT r11 #8: the witness-oracled conversions get a SECOND prime
@@ -115,5 +126,4 @@ WITNESS_ENTRIES = ["kmeans_clusters", "pca_coords", "wizard_full_chain"]
 
 @pytest.mark.parametrize("name", WITNESS_ENTRIES)
 def test_witness_entries_invariant_at_second_prime(spark, name):
-    baseline = _rows_at_partitions(spark, name, None)
-    assert _rows_at_partitions(spark, name, "7") == baseline
+    assert _rows_at_partitions(spark, name, "7") == _baseline(spark, name)
