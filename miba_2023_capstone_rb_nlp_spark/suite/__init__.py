@@ -191,218 +191,218 @@ def register(name: str, oracle: str | None = None):
 #       more slots than the >=2-green population can free. A
 #       (b)-demoted entry re-enters the window within ~2 rounds.
 _DEPRIORITIZED = (
-    # ================= ROUND-12 ROTATION (VERDICT r11 next-round
-    # #1/#2) =================
-    # The r11 window went 50/50 hash-green (sixth consecutive fully-
-    # green round, first with zero rows-only rows), so the whole r11
-    # window except the flagship rotates out — via clause (a) for the
-    # 46 entries holding >=2 greens (11 r7-leftovers and 10 backfills
-    # on their 3rd+/5th green, 25 returnees on their 2nd), and via
-    # clause (b) demoted_in=12 for the three witness/error-bound
-    # conversions whose FIRST hash-green was r11 (kmeans_clusters,
-    # pca_coords, approx_distinct_parts). Promoted, exactly per the
-    # r12 slate recorded last round: (1) wizard_full_chain FIRST —
-    # its witness oracle (commit 5757eb4, mid-r11) has never been
-    # driver-checked, the only oracled entry with zero hash-green
-    # rows; (2) the 32-entry r8-green cohort (4 rounds stale by r12);
-    # (3) the 16 oldest of the 24-entry r<=6+r9 cohort. After this
-    # round no oracled entry's newest driver evidence predates r9.
+    # ================= ROUND-13 ROTATION (VERDICT r12 next-round
+    # #1) =================
+    # The r12 window went 50/50 hash-green (seventh consecutive
+    # fully-green round), so the whole r12 window except the flagship
+    # rotates out — via clause (a) for the 48 entries now holding >=3
+    # hash-greens, and via clause (b) demoted_in=13 for
+    # wizard_full_chain, whose FIRST driver hash-green (its mid-r11
+    # witness oracle) was r12. Promoted, exactly per the r13 slate
+    # recorded last round: (1) the 8 r<=6+r9-cohort leftovers (last
+    # green r9 — 4 rounds stale, the registry's oldest evidence);
+    # (2) the first 41 of the 46-entry r10-window cohort, list order.
+    # After this round no oracled entry's newest driver evidence
+    # predates r10.
     #
-    # R13 ROTATION SLATE (plan, per the standing policy): demote the
-    # whole r12 window except the flagship via clause (a) — every
-    # member will then hold >=3 greens. Promote, oldest evidence
-    # first: (1) the 8 r<=6+r9-cohort leftovers below
-    # (salted_agg_priority_revenue … incremental_revenue_merge, last
-    # green r9 — 4 rounds stale by r13); (2) 41 of the 46-entry
-    # r10-window cohort (last green r10), list order. The 5 r10
-    # leftovers, the three clause-(b) witness conversions
-    # (kmeans_clusters / pca_coords / approx_distinct_parts, green
-    # r11, owed their 2nd green within ~2 rounds of their r12
-    # demotion) and the r11-green returnees follow in r14.
+    # R14 ROTATION SLATE (plan, per the standing policy): demote the
+    # whole r13 window except the flagship via clause (a). Promote,
+    # oldest evidence first: (1) the 5 r10-cohort leftovers below
+    # (lineitem_unpivot_stats, orders_merge_bucketed,
+    # orders_upsert_merge, part_affinity_topk, part_pagerank — last
+    # green r10); (2) the three clause-(b) witness conversions
+    # kmeans_clusters / pca_coords / approx_distinct_parts (single
+    # r11 green each, owed their 2nd green within ~2 rounds of their
+    # r12 demotion — they MUST return in r14); (3) 41 of the 46
+    # r11-green returnees demoted in r12, list order. The 5 returnee
+    # leftovers, wizard_full_chain (clause (b) demoted in r13, single
+    # r12 green) and the r12-green cohort follow in r15.
     #
-    # -- clause (b), demoted in r12 (first hash-green r11; witness/
-    # -- error-bound machinery re-proven by in-window siblings) --
-    "kmeans_clusters",  # kmeans fit + witness battery ⊂ wizard_full_chain cluster stage (in-window) + tests/test_ml_plumbing.py
-    "pca_coords",  # PCA moments + witness battery ⊂ wizard_full_chain reduce stage (in-window) + tests/test_ml_plumbing.py
+    # -- clause (b), demoted in r13 (first driver hash-green r12;
+    # -- witness battery and stage kernels re-proven by tests/ lanes) --
+    "wizard_full_chain",  # composed-chain witness battery mutation-tested by tests/test_ml_plumbing.py; stage plans pinned by tests/test_plans.py + tests/test_partition_invariance.py
+    # -- clause (b), demoted in r12 (first hash-green r11; return in
+    # -- r14 for their 2nd green) --
+    "kmeans_clusters",  # kmeans fit + witness battery pinned by tests/test_ml_plumbing.py + tests/test_plans.py
+    "pca_coords",  # PCA moment pass + witness battery pinned by tests/test_ml_plumbing.py + tests/test_plans.py
     "approx_distinct_parts",  # HLL error-bound twin-agg pinned by tests/test_plans.py + tests/test_partition_invariance.py
+    # -- clause (a), demoted in r13: the 32-entry r8-cohort (greens
+    # -- r1-r4/r8 + r12) --
+    "pricing_summary",  # dec-sum kernel ⊂ promo_revenue_q14 (in-window)
+    "region_revenue",  # star join ⊂ local_supplier_volume_q5 (in-window)
+    "order_priority_semijoin",  # EXISTS semi/anti ⊂ waiting_suppliers_q21 (in-window)
+    "nation_set_ops",  # EXCEPT/anti kernel ⊂ line_dedup_rebuild LeftAnti (in-window)
+    "order_window_enrich",  # window frames ⊂ events_hourly_gapfill running frame (in-window) + tests/test_partition_invariance.py
+    "argmax_per_flag",  # struct-extremum ⊂ min_cost_supplier_q2 scalar-subquery argmin (in-window)
+    "order_rollup_revenue",  # ROLLUP Expand ⊂ events_type_pivot pivot Expand (in-window)
+    "salted_join_nation_customers",  # salt invariance ⊂ salted_agg_priority_revenue (in-window) + tests/test_skew.py
+    "price_quantiles",  # quantile-sketch fences ⊂ event_outliers_mad (in-window)
+    "etl_clean_articles",  # cleaning chain pinned by tests/test_plans.py + tests/test_wizard.py
+    "explode_paragraphs",  # posexplode spans ⊂ doc_chunk_windows token spans (in-window)
+    "ner_top_orgs",  # weighted top-n per group ⊂ bigram_topk posting top-k (in-window) + tests/test_guards_r12.py
+    "media_features",  # Arrow binary crossing ⊂ video_frame_sample (in-window) + tests/test_multimodal.py
+    "events_session_windows",  # per-user session seqs ⊂ events_funnel_stages (in-window)
+    "events_tumbling_streaming",  # tumbling buckets ⊂ events_tumbling_hourly (in-window) + tests/test_streaming.py
+    "doc_stats_quality",  # map-only doc feature pass ⊂ dsir_importance_select (in-window)
+    "lang_id",  # n-gram LM scoring ⊂ bigram_lm_perplexity (in-window)
+    "top_terms_per_source",  # postings top-k ⊂ bigram_topk (in-window)
+    "sentence_stats",  # split spans + per-doc stats ⊂ doc_chunk_windows (in-window)
+    "lemma_term_counts",  # normalize-explode-count ⊂ bigram_topk token counts (in-window)
+    "corpus_prep_chain",  # chain kernels pinned by tests/test_curation_kernels.py
+    "exact_dedup",  # md5-key groupBy ⊂ hash_split_profile keyed hashing (in-window)
+    "ngram_jaccard_pairs",  # gram equi-join + count filter ⊂ fuzzy_name_matches (in-window)
+    "minhash_lsh_pairs",  # banded self-join ⊂ incremental_minhash_dedup (in-window) + tests/test_lsh_recall.py
+    "simhash_pairs",  # hamming band join ⊂ incremental_minhash_dedup banded self-join (in-window)
+    "neardup_components",  # iterative checkpointed rounds ⊂ part_triangle_counts (in-window)
+    "knn_bruteforce",  # exact cosine kernel ⊂ embedding_neardup_pairs (in-window); rerank ⊂ knn_int8_rerank (in-window)
+    "gopher_repetition_flags",  # rolling n-gram flags ⊂ duplicate_span_flags rolling-hash spans (in-window)
+    "pii_redaction",  # map-only doc scan ⊂ duplicate_span_flags (in-window)
+    "contamination_ngram_overlap",  # broadcast n-gram overlap ⊂ source_vocab_overlap (in-window)
+    "pairwise_medoids",  # pairwise cosine folds ⊂ embedding_neardup_pairs (in-window)
+    "sequence_packing",  # token spans ⊂ doc_chunk_windows (in-window); running frame ⊂ events_hourly_gapfill (in-window)
+    # -- clause (a), demoted in r13: the 16-entry r<=6+r9-cohort
+    # -- first half (greens r5/r6/r9 + r12) --
+    "bpe_merge_learn",  # BPE tokenize ⊂ bpe_encode_stats (in-window) + tests/test_curation_kernels.py
+    "shipping_priority_q3",  # multi-predicate join agg ⊂ disjunctive_revenue_q19 (in-window)
+    "event_transition_matrix",  # per-user ordered seqs ⊂ events_funnel_stages (in-window)
+    "events_value_ttest",  # moment pass ⊂ brand_price_regression (in-window)
+    "events_cusum_changepoint",  # running deviation scan ⊂ events_hourly_gapfill running frame (in-window) + tests/test_plans.py
+    "ctfidf_topics_per_lang",  # grouped ratio-of-sums ⊂ revenue_concentration_q11 (in-window)
+    "dedup_canonical_corpus",  # checkpointed star rounds ⊂ part_triangle_counts iterative rounds (in-window)
+    "events_stateful_running",  # micro-batch state ⊂ events_stream_stream_join (in-window) + tests/test_streaming.py
+    "events_stream_dedup",  # watermarked micro-batch dedup ⊂ events_stream_stream_join (in-window) + tests/test_streaming.py
+    "hyperplane_lsh_pairs",  # banded self-join ⊂ incremental_minhash_dedup (in-window) + tests/test_lsh_recall.py
+    "data_quality_report",  # grouped rates ⊂ temperature_resample keyed rates (in-window)
+    "weekly_active_users",  # bucket arithmetic ⊂ events_sliding_hourly sliding buckets (in-window)
+    "customers_without_orders",  # outer-join histogram ⊂ idle_customers_q22 (in-window)
+    "top_orders_per_customer",  # heap top-k group-limit ⊂ bigram_topk (in-window)
+    "order_cube_revenue",  # CUBE Expand ⊂ events_type_pivot pivot Expand (in-window)
+    "customer_order_frames",  # running window frames ⊂ events_hourly_gapfill forward-fill frame (in-window)
     # -- clause (a), demoted in r12: the 11 r7-leftovers (greens
-    # -- r5/r6/r7 + r11) --
-    "part_price_skyline",  # dominance extremum ⊂ argmax_per_flag struct-max (in-window)
-    "phrase_match_docs",  # broadcast n-gram postings ⊂ contamination_ngram_overlap (in-window)
-    "prefix_jaccard_pairs",  # set-sim filter join ⊂ ngram_jaccard_pairs gram equi-join (in-window)
-    "price_decile_histogram",  # width-bucket kernel ⊂ price_quantiles (in-window)
-    "quality_representative_dedup",  # struct-max argmax ⊂ argmax_per_flag (in-window)
-    "retention_cohorts",  # per-user seqs ⊂ events_session_windows (in-window)
-    "returned_items_q10",  # heap top-k ⊂ shipping_priority_q3 (in-window)
-    "sql_interface_segment_revenue",  # SQL-string surface pinned by tests/test_plans.py; kernel ⊂ pricing_summary (in-window)
-    "url_canonical_dedup",  # canonical-key dedup ⊂ exact_dedup md5 groupBy (in-window)
-    "user_decayed_value",  # running scans ⊂ customer_order_frames (in-window)
-    "wizard_chain_stages",  # stage-by-stage oracles ⊂ wizard_full_chain composition (in-window)
+    # -- r5-r7 + r11) --
+    "part_price_skyline",  # dominance extremum ⊂ min_cost_supplier_q2 scalar-extremum (in-window)
+    "phrase_match_docs",  # broadcast n-gram postings ⊂ bigram_topk postings (in-window)
+    "prefix_jaccard_pairs",  # set-sim prefix filter ⊂ fuzzy_name_matches q-gram count filter (in-window)
+    "price_decile_histogram",  # width-bucket kernel ⊂ events_hourly_gapfill bucket arithmetic (in-window)
+    "quality_representative_dedup",  # struct-max argmax ⊂ min_cost_supplier_q2 struct-extremum (in-window)
+    "retention_cohorts",  # per-user seqs ⊂ events_funnel_stages (in-window)
+    "returned_items_q10",  # heap top-k ⊂ bigram_topk (in-window)
+    "sql_interface_segment_revenue",  # SQL-string surface + agg kernel pinned by tests/test_plans.py
+    "url_canonical_dedup",  # canonical-key dedup ⊂ hash_split_profile keyed md5 hashing (in-window)
+    "user_decayed_value",  # running scans ⊂ events_hourly_gapfill running frame (in-window) + tests/test_plans.py
+    "wizard_chain_stages",  # stage-by-stage oracles pinned by tests/test_ml_plumbing.py + tests/test_wizard.py
     # -- clause (a), demoted in r12: the 25 returnees (greens r9 +
     # -- r11) --
-    "forecast_revenue_q6",  # dec-sum kernel ⊂ pricing_summary (in-window)
-    "market_share_q8",  # star join ⊂ region_revenue (in-window)
-    "product_profit_q9",  # multi-join agg ⊂ region_revenue star shape (in-window)
-    "late_shipment_priority_q12",  # case-sum kernel ⊂ pricing_summary (in-window)
-    "order_count_distribution_q13",  # outer-join histogram ⊂ customers_without_orders (in-window)
-    "top_supplier_q15",  # scalar-threshold argmax ⊂ argmax_per_flag (in-window)
-    "supplier_part_counts_q16",  # anti-join + distinct agg ⊂ customers_without_orders + nation_set_ops (in-window)
-    "large_volume_customers_q18",  # agg-subquery semi ⊂ order_priority_semijoin (in-window)
-    "semantic_dedup_cells",  # cosine folds ⊂ knn_bruteforce; LeftAnti ⊂ nation_set_ops (in-window)
-    "perplexity_bucket_filter",  # n-gram LM scoring ⊂ lang_id (in-window)
-    "countmin_heavy_hitters",  # hashed-bucket partial aggs ⊂ exact_dedup md5 groupBy (in-window)
+    "forecast_revenue_q6",  # dec-sum kernel ⊂ promo_revenue_q14 (in-window)
+    "market_share_q8",  # star join ⊂ volume_shipping_q7 (in-window)
+    "product_profit_q9",  # multi-join agg ⊂ local_supplier_volume_q5 star join (in-window)
+    "late_shipment_priority_q12",  # case-sum kernel ⊂ promo_revenue_q14 conditional dec-sum (in-window)
+    "order_count_distribution_q13",  # outer-join histogram ⊂ idle_customers_q22 (in-window)
+    "top_supplier_q15",  # scalar-threshold argmax ⊂ min_cost_supplier_q2 (in-window)
+    "supplier_part_counts_q16",  # anti-join + distinct-count ⊂ excess_shipment_q20 (in-window)
+    "large_volume_customers_q18",  # agg-subquery semi ⊂ small_qty_revenue_q17 (in-window)
+    "semantic_dedup_cells",  # cosine folds ⊂ embedding_neardup_pairs (in-window); LeftAnti ⊂ line_dedup_rebuild (in-window)
+    "perplexity_bucket_filter",  # n-gram LM scoring ⊂ bigram_lm_perplexity (in-window)
+    "countmin_heavy_hitters",  # hashed-bucket partial aggs ⊂ hash_split_profile (in-window)
     "custom_pysource_links",  # Python Data Source read pinned by tests/test_sources.py
-    "events_stream_static_join",  # micro-batch join ⊂ events_stateful_running (in-window) + tests/test_streaming.py
+    "events_stream_static_join",  # micro-batch join ⊂ events_stream_stream_join (in-window) + tests/test_streaming.py
     "events_variant_extract",  # VARIANT paths pinned by tests/test_plans.py + tests/test_partition_invariance.py
-    "trade_hops_recursive",  # iterative rounds ⊂ neardup_components min-label loop (in-window)
-    "top_customers_lateral",  # LATERAL group-limit ⊂ top_orders_per_customer (in-window)
-    "doc_chunks_udtf",  # UDTF spans ⊂ explode_paragraphs posexplode (in-window) + tests/test_plans.py
-    "doc_bytes_arrow",  # Arrow binary crossing ⊂ media_features mapInPandas (in-window)
-    "collated_lang_counts",  # collation norms ⊂ lemma_term_counts normalization (in-window)
+    "trade_hops_recursive",  # iterative rounds ⊂ part_triangle_counts graph rounds (in-window)
+    "top_customers_lateral",  # LATERAL group-limit ⊂ bigram_topk heap top-k (in-window) + tests/test_plans.py
+    "doc_chunks_udtf",  # UDTF spans ⊂ doc_chunk_windows token spans (in-window) + tests/test_plans.py
+    "doc_bytes_arrow",  # Arrow binary crossing ⊂ video_frame_sample (in-window)
+    "collated_lang_counts",  # collation norms pinned by tests/test_partition_invariance.py
     "events_try_ops_safe",  # try_* surface pinned by tests/test_partition_invariance.py
     "user_event_map_profile",  # MapType kernels pinned by tests/test_plans.py
-    "sql_udf_token_stats",  # SQL UDF pinned by tests/test_plans.py; token stats ⊂ doc_stats_quality (in-window)
-    "hard_negative_mining",  # rank-band mining ⊂ knn_bruteforce exact ranks (in-window)
-    "source_kl_divergence",  # distribution pass ⊂ events_value_ttest moments (in-window)
-    "weighted_sample_docs",  # weighted heap top-k ⊂ top_orders_per_customer group-limit (in-window) + tests/test_plans.py
+    "sql_udf_token_stats",  # SQL UDF surface + token stats pinned by tests/test_plans.py
+    "hard_negative_mining",  # rank-band mining ⊂ knn_int8_rerank exact-rerank windows (in-window)
+    "source_kl_divergence",  # distribution moment pass ⊂ brand_price_regression (in-window)
+    "weighted_sample_docs",  # weighted heap top-k ⊂ bigram_topk (in-window) + tests/test_plans.py
     # -- clause (a), demoted in r12: the 10 backfills (greens r1-r4 +
     # -- r8 + r11) --
-    "events_asof_last_click",  # as-of kernel ⊂ event_transition_matrix per-user seqs (in-window) + tests/test_plans.py
-    "events_range_click_counts",  # range-bucket arithmetic ⊂ weekly_active_users (in-window)
-    "hash_embeddings",  # hashed embed stage ⊂ wizard_full_chain embeddings (in-window)
-    "knn_ivf_multiprobe",  # exact-rerank kernel ⊂ knn_bruteforce (in-window) + tests/test_knn_guard.py
-    "medoid_summaries",  # medoid+summary stages ⊂ wizard_full_chain (in-window)
-    "sentiment_distinct_join",  # distinct→infer→join rewrite ⊂ wizard_full_chain sentiment stage (in-window)
-    "bpe_token_stats",  # BPE tokenize ⊂ bpe_merge_learn (in-window)
-    "bm25_topk",  # postings top-k ⊂ top_terms_per_source (in-window)
-    "stratified_sample_docs",  # per-stratum rates ⊂ data_quality_report grouped rates (in-window) + tests/test_partition_invariance.py
-    "winnowing_fingerprints",  # rolling-hash shingles ⊂ minhash_lsh_pairs (in-window) + tests/test_spans.py
-    # -- clause (a), demoted in r11: the r10 window (greens r<=7 +
-    # -- r10), siblings refreshed to the r12 window --
-    "events_sliding_hourly",  # sliding buckets ⊂ weekly_active_users bucket arithmetic (in-window)
-    "local_supplier_volume_q5",  # star join ⊂ region_revenue (in-window)
-    "promo_revenue_q14",  # dec-sum kernel ⊂ pricing_summary (in-window)
-    "disjunctive_revenue_q19",  # multi-predicate join agg ⊂ shipping_priority_q3 (in-window)
-    "part_triangle_counts",  # iterative graph rounds ⊂ neardup_components (in-window)
-    "events_json_roundtrip",  # connector round-trip pinned by tests/test_roundtrip_formats.py
-    "hybrid_rrf_search",  # fused rank lists ⊂ top_terms_per_source postings top-k (in-window)
-    "orders_merge_steady",  # MERGE shape pinned by tests/test_plans.py MERGE pins
-    "volume_shipping_q7",  # star join ⊂ region_revenue (in-window)
-    "small_qty_revenue_q17",  # agg-subquery semi ⊂ order_priority_semijoin (in-window)
-    "events_csv_roundtrip",  # connector round-trip pinned by tests/test_roundtrip_formats.py
-    "waiting_suppliers_q21",  # EXISTS semi/anti ⊂ order_priority_semijoin + customers_without_orders (in-window)
-    "min_cost_supplier_q2",  # scalar-subquery argmin ⊂ argmax_per_flag struct-extremum (in-window)
-    "excess_shipment_q20",  # distinct-count semi ⊂ order_priority_semijoin (in-window)
-    "idle_customers_q22",  # outer-join histogram ⊂ customers_without_orders (in-window)
-    "revenue_concentration_q11",  # grouped ratio threshold ⊂ ctfidf_topics_per_lang ratio-of-sums (in-window)
-    "events_orc_roundtrip",  # connector round-trip pinned by tests/test_roundtrip_formats.py
-    "events_xml_roundtrip",  # connector round-trip pinned by tests/test_roundtrip_formats.py
-    "hash_split_profile",  # keyed-hash rates ⊂ exact_dedup md5 keys (in-window) + tests/test_plans.py
-    "temperature_resample",  # keyed sampling pinned by tests/test_plans.py; rates ⊂ data_quality_report (in-window)
-    "video_frame_sample",  # binary crossing ⊂ media_features (in-window) + tests/test_multimodal.py
-    "bigram_lm_perplexity",  # n-gram LM scoring ⊂ lang_id (in-window)
-    "bigram_topk",  # posting top-k ⊂ top_terms_per_source (in-window)
-    "bpe_encode_stats",  # BPE tokenize ⊂ bpe_merge_learn (in-window)
-    "brand_price_regression",  # moment-pass expressions ⊂ events_value_ttest (in-window)
-    "doc_chunk_windows",  # token spans ⊂ sequence_packing (in-window)
-    "dsir_importance_select",  # n-gram importance scoring ⊂ lang_id (in-window)
-    "duplicate_span_flags",  # rolling-hash spans ⊂ minhash_lsh_pairs shingles (in-window) + tests/test_spans.py
-    "embedding_dim_stats",  # vector moments ⊂ knn_bruteforce vector kernels (in-window)
-    "event_outliers_mad",  # quantile fences ⊂ price_quantiles (in-window)
-    "events_asof_cogroup",  # cogroup as-of ⊂ event_transition_matrix per-user seqs (in-window) + tests/test_plans.py
-    "events_funnel_stages",  # per-user seqs ⊂ event_transition_matrix (in-window)
-    "events_hourly_gapfill",  # bucket arithmetic ⊂ weekly_active_users (in-window)
-    "events_stream_stream_join",  # micro-batch join ⊂ events_stateful_running (in-window) + tests/test_streaming.py
-    "events_streaming_upsert",  # micro-batch sink ⊂ events_stateful_running (in-window) + tests/test_plans.py MERGE pins
-    "fuzzy_name_matches",  # q-gram count filter ⊂ ngram_jaccard_pairs (in-window)
-    "group_concat_docs",  # group doc assembly ⊂ ctfidf_topics_per_lang concat (in-window)
-    "incremental_minhash_dedup",  # banded self-join ⊂ minhash_lsh_pairs (in-window)
-    "knn_int8_rerank",  # exact-rerank windows ⊂ knn_bruteforce (in-window)
-    "knn_ivf_pruned",  # exact-rerank kernel ⊂ knn_bruteforce (in-window); pruning pinned by tests/test_plans.py
-    "line_dedup_rebuild",  # LeftAnti rebuild ⊂ nation_set_ops EXCEPT/anti kernel (in-window)
+    "events_asof_last_click",  # as-of kernel ⊂ events_asof_cogroup (in-window) + tests/test_plans.py
+    "events_range_click_counts",  # range-bucket arithmetic ⊂ events_hourly_gapfill (in-window)
+    "hash_embeddings",  # vector kernels ⊂ embedding_dim_stats (in-window)
+    "knn_ivf_multiprobe",  # cell probe + exact rerank ⊂ knn_ivf_pruned + knn_int8_rerank (in-window) + tests/test_knn_guard.py
+    "medoid_summaries",  # medoid + summary stages pinned by tests/test_ml_plumbing.py
+    "sentiment_distinct_join",  # distinct→infer→join rewrite pinned by tests/test_ml_plumbing.py + tests/test_plans.py
+    "bpe_token_stats",  # BPE tokenize ⊂ bpe_encode_stats (in-window) + tests/test_curation_kernels.py
+    "bm25_topk",  # postings top-k ⊂ bigram_topk (in-window)
+    "stratified_sample_docs",  # per-stratum rates ⊂ temperature_resample keyed sampling (in-window) + tests/test_partition_invariance.py
+    "winnowing_fingerprints",  # rolling-hash shingles ⊂ duplicate_span_flags (in-window) + tests/test_spans.py
+    # -- clause (a), demoted in r11: the 5 r10-cohort leftovers
+    # -- (greens r<=7 + r10; promote in r14) --
     "lineitem_unpivot_stats",  # Expand shape pinned by tests/test_plans.py
     "orders_merge_bucketed",  # bucketed SMJ pinned by tests/test_bucketing.py + tests/test_plans.py
     "orders_upsert_merge",  # MERGE upsert pinned by tests/test_plans.py
-    "part_affinity_topk",  # heap top-k ⊂ top_orders_per_customer group-limit (in-window)
-    "part_pagerank",  # checkpointed rounds ⊂ dedup_canonical_corpus star rounds (in-window)
-    # -- clause (a), demoted in r10: the 8 of the r<=6+r9 cohort not
-    # -- promoted this round (promote in r13) --
-    "salted_agg_priority_revenue",  # salt invariance ⊂ salted_join_nation_customers (in-window) + tests/test_skew.py
-    "events_tumbling_hourly",  # tumbling buckets ⊂ events_tumbling_streaming (in-window)
-    "events_json_value_counts",  # schema-on-read JSON paths pinned by tests/test_plans.py
-    "knn_ivf_cells",  # cell-rank kernel ⊂ knn_bruteforce (in-window)
-    "embedding_neardup_pairs",  # exact-cos oracle ⊂ knn_bruteforce exact cosine (in-window)
-    "source_vocab_overlap",  # token-set overlap ⊂ ngram_jaccard_pairs (in-window)
-    "events_type_pivot",  # pivot Expand pinned by tests/test_plans.py
-    "incremental_revenue_merge",  # foreachBatch MERGE pinned by tests/test_plans.py
+    "part_affinity_topk",  # heap top-k ⊂ bigram_topk (in-window)
+    "part_pagerank",  # checkpointed rounds ⊂ part_triangle_counts iterative graph rounds (in-window)
 )
 
 # Entries promoted to the registry head (after the flagship): these
 # must land inside the driver's 50-row checked window regardless of
-# module registration order. Round 12 (VERDICT r11 next-round #1/#2):
-# the flagship + wizard_full_chain FIRST (its mid-r11 witness oracle
-# owes its first driver hash-green) + the 32-entry r8-green cohort
-# (stalest driver evidence in the registry, 4 rounds by r12) + the 16
-# oldest of the r<=6+r9 cohort = exactly the 50-slot window. After
-# this round no oracled entry's newest driver evidence predates r9.
+# module registration order. Round 13 (VERDICT r12 next-round #1):
+# the flagship + the 8 r<=6+r9-cohort leftovers (the registry's
+# stalest driver evidence, last green r9 — 4 rounds by r13) + the
+# first 41 of the 46-entry r10-window cohort (last green r10), list
+# order = exactly the 50-slot window. After this round no oracled
+# entry's newest driver evidence predates r10.
 _PRIORITIZED = (
     "cluster_viz_summary",  # flagship: entry() runs this
-    # -- the last rows-only→witness-oracled conversion (commit
-    # -- 5757eb4, mid-r11): the only oracled entry with ZERO driver
-    # -- hash-green rows; promotes first per the r12 slate --
-    "wizard_full_chain",
-    # -- the 32-entry r8-green cohort (demoted in r9; last driver
-    # -- evidence r8, the registry's stalest) --
-    "pricing_summary",
-    "region_revenue",
-    "order_priority_semijoin",
-    "nation_set_ops",
-    "order_window_enrich",
-    "argmax_per_flag",
-    "order_rollup_revenue",
-    "salted_join_nation_customers",
-    "price_quantiles",
-    "etl_clean_articles",
-    "explode_paragraphs",
-    "ner_top_orgs",
-    "media_features",
-    "events_session_windows",
-    "events_tumbling_streaming",
-    "doc_stats_quality",
-    "lang_id",
-    "top_terms_per_source",
-    "sentence_stats",
-    "lemma_term_counts",
-    "corpus_prep_chain",
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "neardup_components",
-    "knn_bruteforce",
-    "gopher_repetition_flags",
-    "pii_redaction",
-    "contamination_ngram_overlap",
-    "pairwise_medoids",
-    "sequence_packing",
-    # -- the 16 oldest of the r<=6+r9 cohort (demoted in r10; last
-    # -- driver evidence r9) --
-    "bpe_merge_learn",
-    "shipping_priority_q3",
-    "event_transition_matrix",
-    "events_value_ttest",
-    "events_cusum_changepoint",
-    "ctfidf_topics_per_lang",
-    "dedup_canonical_corpus",
-    "events_stateful_running",
-    "events_stream_dedup",
-    "hyperplane_lsh_pairs",
-    "data_quality_report",
-    "weekly_active_users",
-    "customers_without_orders",
-    "top_orders_per_customer",
-    "order_cube_revenue",
-    "customer_order_frames",
+    # -- the 8 r<=6+r9-cohort leftovers (demoted in r10; last driver
+    # -- evidence r9, the registry's stalest — promote FIRST) --
+    "salted_agg_priority_revenue",
+    "events_tumbling_hourly",
+    "events_json_value_counts",
+    "knn_ivf_cells",
+    "embedding_neardup_pairs",
+    "source_vocab_overlap",
+    "events_type_pivot",
+    "incremental_revenue_merge",
+    # -- the first 41 of the 46-entry r10-window cohort (demoted in
+    # -- r11; last driver evidence r10), list order; the 5 leftovers
+    # -- follow in r14 --
+    "events_sliding_hourly",
+    "local_supplier_volume_q5",
+    "promo_revenue_q14",
+    "disjunctive_revenue_q19",
+    "part_triangle_counts",
+    "events_json_roundtrip",
+    "hybrid_rrf_search",
+    "orders_merge_steady",
+    "volume_shipping_q7",
+    "small_qty_revenue_q17",
+    "events_csv_roundtrip",
+    "waiting_suppliers_q21",
+    "min_cost_supplier_q2",
+    "excess_shipment_q20",
+    "idle_customers_q22",
+    "revenue_concentration_q11",
+    "events_orc_roundtrip",
+    "events_xml_roundtrip",
+    "hash_split_profile",
+    "temperature_resample",
+    "video_frame_sample",
+    "bigram_lm_perplexity",
+    "bigram_topk",
+    "bpe_encode_stats",
+    "brand_price_regression",
+    "doc_chunk_windows",
+    "dsir_importance_select",
+    "duplicate_span_flags",
+    "embedding_dim_stats",
+    "event_outliers_mad",
+    "events_asof_cogroup",
+    "events_funnel_stages",
+    "events_hourly_gapfill",
+    "events_stream_stream_join",
+    "events_streaming_upsert",
+    "fuzzy_name_matches",
+    "group_concat_docs",
+    "incremental_minhash_dedup",
+    "knn_int8_rerank",
+    "knn_ivf_pruned",
+    "line_dedup_rebuild",
 )
 
 _MODULES = (

@@ -22,6 +22,8 @@ top-n window over k×orgs rows. The regex runs pre-shuffle.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,9 +54,16 @@ LABEL_ROW_BYTES = 16
 
 def _parse_conf_bytes(raw: str) -> int:
     """Spark size-conf string → bytes ("10485760", "10MB", "1g",
-    "-1"). Unparseable values fall back to the 10 MB built-in default
-    rather than raising — a mis-set conf shouldn't kill the query,
-    only the gate's precision."""
+    "-1"), matching JavaUtils.byteStringAs: an INTEGER count plus an
+    optional unit suffix. Fractional sizes ("1.5m") are rejected
+    exactly as the session itself would refuse them — accepting a
+    value the session would error on would gate the broadcast off a
+    conf that cannot exist (ADVICE r12). Unparseable values fall back
+    to the 10 MB built-in default rather than raising — a mis-set
+    conf shouldn't kill the query, only the gate's precision — and
+    the fallback is announced on stderr (ADVICE r12): a silently
+    defaulted budget would force broadcasts sized to a threshold the
+    operator never set."""
     s = raw.strip().lower().removesuffix("b")
     mult = 1
     for suffix, m in (
@@ -68,8 +77,14 @@ def _parse_conf_bytes(raw: str) -> int:
             s, mult = s[: -len(suffix)], m
             break
     try:
-        return int(float(s) * mult)
+        return int(s, 10) * mult
     except ValueError:
+        print(
+            "ner broadcast gate: unparseable "
+            f"spark.sql.autoBroadcastJoinThreshold {raw!r}; falling "
+            "back to the 10 MB built-in default",
+            file=sys.stderr,
+        )
         return 10 << 20
 
 

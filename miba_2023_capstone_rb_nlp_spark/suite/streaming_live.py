@@ -25,6 +25,14 @@ from miba_2023_capstone_rb_nlp_spark.suite.events import _TUMBLING_ORACLE
 
 _TABLE = "events_tumbling_stream_result"
 
+# State-store partition count at first stream start (see
+# _state_partitions). Module-level so the partition-invariance lane
+# can run the same stream at a prime count and assert identical
+# results — the determinism axis for stateful streaming is the STATE
+# partitioning, not the session shuffle conf (which _state_partitions
+# deliberately overrides).
+STATE_PARTITIONS = 8
+
 
 class _state_partitions:
     """Scope spark.sql.shuffle.partitions around a stream start: the
@@ -42,8 +50,9 @@ class _state_partitions:
     per-partition state outgrows executor memory (bounded heap,
     incremental snapshots) — the corpus-scale swap, not a local win."""
 
-    def __init__(self, spark: SparkSession, n: int = 8):
-        self.spark, self.n = spark, str(n)
+    def __init__(self, spark: SparkSession, n: int | None = None):
+        self.spark = spark
+        self.n = str(n if n is not None else STATE_PARTITIONS)
 
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")

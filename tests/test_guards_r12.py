@@ -28,7 +28,6 @@ from miba_2023_capstone_rb_nlp_spark.suite.ner import (
         ("2pb", 2 << 50),
         ("512k", 512 << 10),
         ("  2K ", 2 << 10),  # whitespace + case
-        ("1.5m", int(1.5 * (1 << 20))),  # fractional sizes
         ("-1", -1),  # auto-broadcast disabled
         ("0", 0),
     ],
@@ -37,11 +36,28 @@ def test_parse_conf_bytes_forms(raw, expected):
     assert _parse_conf_bytes(raw) == expected
 
 
-def test_parse_conf_bytes_garbage_falls_back_to_default():
+def test_parse_conf_bytes_garbage_falls_back_to_default(capsys):
     # a mis-set conf must degrade the GATE's precision, not kill the
-    # query: unparseable → the 10 MB built-in default
+    # query: unparseable → the 10 MB built-in default, announced on
+    # stderr so the operator can see their conf was ignored
+    # (ADVICE r12)
     assert _parse_conf_bytes("lots") == 10 << 20
     assert _parse_conf_bytes("") == 10 << 20
+    # fractional sizes are unparseable the same way Spark's
+    # JavaUtils.byteStringAs rejects them — the gate must not accept
+    # a value the session itself would have refused (ADVICE r12)
+    assert _parse_conf_bytes("1.5m") == 10 << 20
+    err = capsys.readouterr().err
+    assert err.count("unparseable") == 3
+    assert "1.5m" in err
+
+
+def test_parse_conf_bytes_valid_forms_stay_silent(capsys):
+    # the fallback warning must fire ONLY on the fallback — a warning
+    # on every parse would be noise that trains operators to ignore it
+    assert _parse_conf_bytes("10MB") == 10 << 20
+    assert _parse_conf_bytes("-1") == -1
+    assert capsys.readouterr().err == ""
 
 
 def test_gate_constants_sane():

@@ -127,3 +127,30 @@ WITNESS_ENTRIES = ["kmeans_clusters", "pca_coords", "wizard_full_chain"]
 @pytest.mark.parametrize("name", WITNESS_ENTRIES)
 def test_witness_entries_invariant_at_second_prime(spark, name):
     assert _rows_at_partitions(spark, name, "7") == _baseline(spark, name)
+
+
+# r13 (VERDICT r12 optional #8): the three streaming entries
+# re-greened in r12 get the second-prime treatment on the axis that
+# matters for STATEFUL streaming — the state-store partition count,
+# fixed at first stream start. The session shuffle conf is
+# deliberately overridden inside these entries (_state_partitions),
+# so varying IT would be vacuous; varying STATE_PARTITIONS re-buckets
+# the dedup/window/running state itself. 7 vs the production 8 lands
+# keys in different state stores across micro-batches; watermark
+# eviction and state merges must not leak into the results.
+STREAMING_ENTRIES = [
+    "events_tumbling_streaming",  # complete-mode windowed counts
+    "events_stream_dedup",        # watermarked dropDuplicates state
+    "events_stateful_running",    # applyInPandasWithState per-key state
+]
+
+
+@pytest.mark.parametrize("name", STREAMING_ENTRIES)
+def test_streaming_invariant_at_second_prime_state_count(
+    spark, name, monkeypatch
+):
+    from miba_2023_capstone_rb_nlp_spark.suite import streaming_live
+
+    base = _baseline(spark, name)  # runs at the production count (8)
+    monkeypatch.setattr(streaming_live, "STATE_PARTITIONS", 7)
+    assert _rows_at_partitions(spark, name, None) == base

@@ -214,14 +214,65 @@ def test_priority_ordering():
 # CORRECTNESS_r*.json rounds may rotate out.
 DRIVER_WINDOW = 50
 ROTATED_OUT = {
-    # ============ round-12 state (VERDICT r11 next-round #1/#2) ======
-    # The r11 window went 50/50 hash-green (first round with zero
-    # rows-only rows), so every r11-green entry except the flagship
-    # rotated out; the window now holds the R12 slate
-    # (wizard_full_chain first, the 32-entry r8-green cohort, and the
-    # 16 oldest of the r<=6+r9 cohort). The sets below are the
-    # CURRENT demotions (history in git). Machinery siblings for each
-    # are named in suite/__init__.py's _DEPRIORITIZED comments.
+    # ============ round-13 state (VERDICT r12 next-round #1) ======
+    # The r12 window went 50/50 hash-green (seventh consecutive
+    # fully-green round), so every r12-green entry except the
+    # flagship rotated out; the window now holds the R13 slate (the 8
+    # r<=6+r9-cohort leftovers first — the registry's stalest driver
+    # evidence — then the first 41 of the r10-window cohort). The
+    # sets below are the CURRENT demotions (history in git).
+    # Machinery siblings for each are named in suite/__init__.py's
+    # _DEPRIORITIZED comments.
+    # -- the r12 window, demoted in r13 (>=3 greens each: the r8
+    # -- cohort r1-r4/r8+r12, the r<=6+r9 first half r5/r6/r9+r12) --
+    "pricing_summary",
+    "region_revenue",
+    "order_priority_semijoin",
+    "nation_set_ops",
+    "order_window_enrich",
+    "argmax_per_flag",
+    "order_rollup_revenue",
+    "salted_join_nation_customers",
+    "price_quantiles",
+    "etl_clean_articles",
+    "explode_paragraphs",
+    "ner_top_orgs",
+    "media_features",
+    "events_session_windows",
+    "events_tumbling_streaming",
+    "doc_stats_quality",
+    "lang_id",
+    "top_terms_per_source",
+    "sentence_stats",
+    "lemma_term_counts",
+    "corpus_prep_chain",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "neardup_components",
+    "knn_bruteforce",
+    "gopher_repetition_flags",
+    "pii_redaction",
+    "contamination_ngram_overlap",
+    "pairwise_medoids",
+    "sequence_packing",
+    "bpe_merge_learn",
+    "shipping_priority_q3",
+    "event_transition_matrix",
+    "events_value_ttest",
+    "events_cusum_changepoint",
+    "ctfidf_topics_per_lang",
+    "dedup_canonical_corpus",
+    "events_stateful_running",
+    "events_stream_dedup",
+    "hyperplane_lsh_pairs",
+    "data_quality_report",
+    "weekly_active_users",
+    "customers_without_orders",
+    "top_orders_per_customer",
+    "order_cube_revenue",
+    "customer_order_frames",
     # -- the r11 window, demoted in r12 (>=2 greens each: leftovers
     # -- r5-r7+r11, returnees r9+r11, backfills r1-r4+r8+r11) --
     "part_price_skyline",
@@ -270,63 +321,13 @@ ROTATED_OUT = {
     "bm25_topk",
     "stratified_sample_docs",
     "winnowing_fingerprints",
-    # -- the r10 window, demoted in r11 (greens r<=7 + r10) --
-    "events_sliding_hourly",
-    "local_supplier_volume_q5",
-    "promo_revenue_q14",
-    "disjunctive_revenue_q19",
-    "part_triangle_counts",
-    "events_json_roundtrip",
-    "hybrid_rrf_search",
-    "orders_merge_steady",
-    "volume_shipping_q7",
-    "small_qty_revenue_q17",
-    "events_csv_roundtrip",
-    "waiting_suppliers_q21",
-    "min_cost_supplier_q2",
-    "excess_shipment_q20",
-    "idle_customers_q22",
-    "revenue_concentration_q11",
-    "events_orc_roundtrip",
-    "events_xml_roundtrip",
-    "hash_split_profile",
-    "temperature_resample",
-    "video_frame_sample",
-    "bigram_lm_perplexity",
-    "bigram_topk",
-    "bpe_encode_stats",
-    "brand_price_regression",
-    "doc_chunk_windows",
-    "dsir_importance_select",
-    "duplicate_span_flags",
-    "embedding_dim_stats",
-    "event_outliers_mad",
-    "events_asof_cogroup",
-    "events_funnel_stages",
-    "events_hourly_gapfill",
-    "events_stream_stream_join",
-    "events_streaming_upsert",
-    "fuzzy_name_matches",
-    "group_concat_docs",
-    "incremental_minhash_dedup",
-    "knn_int8_rerank",
-    "knn_ivf_pruned",
-    "line_dedup_rebuild",
+    # -- the 5 r10-cohort leftovers, demoted in r11 (greens r<=7 +
+    # -- r10; promote in r14) --
     "lineitem_unpivot_stats",
     "orders_merge_bucketed",
     "orders_upsert_merge",
     "part_affinity_topk",
     "part_pagerank",
-    # -- r<=6+r9 cohort, demoted in r10: the 8 not promoted this
-    # -- round (promote in r13) --
-    "salted_agg_priority_revenue",
-    "events_tumbling_hourly",
-    "events_json_value_counts",
-    "knn_ivf_cells",
-    "embedding_neardup_pairs",
-    "source_vocab_overlap",
-    "events_type_pivot",
-    "incremental_revenue_merge",
 }
 
 # Round-6 policy amendment, clause (b): an entry may also rotate out
@@ -350,6 +351,14 @@ ROTATED_OUT_FRESH = {
     "kmeans_clusters": 12,
     "pca_coords": 12,
     "approx_distinct_parts": 12,
+    # wizard_full_chain's witness oracle (commit 5757eb4, mid-r11)
+    # earned its FIRST driver hash-green in r12 — one green round, so
+    # clause (a) cannot demote it; clause (b) can (green in the round
+    # immediately before its r13 demotion). Its witness battery stays
+    # mutation-tested in tests/test_ml_plumbing.py and its stage
+    # plans pinned in tests/test_plans.py. It returns in r15 with the
+    # r12-green cohort.
+    "wizard_full_chain": 13,
 }
 CORE_ENTRIES = {
     "cluster_viz_summary",
@@ -415,35 +424,37 @@ def test_core_entries_inside_driver_window():
         f"checked window: {sorted(missing)} — adding a new entry requires "
         "demoting a twin via _DEPRIORITIZED"
     )
-    # entries that must sit in the window this round (the R12 slate,
-    # VERDICT r11 next-round #1/#2)
+    # entries that must sit in the window this round (the R13 slate,
+    # VERDICT r12 next-round #1)
     promoted = {
-        # the last rows-only→witness-oracled conversion, owed its
-        # first driver hash-green (promotes FIRST)...
-        "wizard_full_chain",
-        # ...the 32-entry r8-green cohort (stalest driver
-        # evidence)...
-        "pricing_summary", "region_revenue", "order_priority_semijoin",
-        "nation_set_ops", "order_window_enrich", "argmax_per_flag",
-        "order_rollup_revenue", "salted_join_nation_customers",
-        "price_quantiles", "etl_clean_articles", "explode_paragraphs",
-        "ner_top_orgs", "media_features", "events_session_windows",
-        "events_tumbling_streaming", "doc_stats_quality", "lang_id",
-        "top_terms_per_source", "sentence_stats", "lemma_term_counts",
-        "corpus_prep_chain", "exact_dedup", "ngram_jaccard_pairs",
-        "minhash_lsh_pairs", "simhash_pairs", "neardup_components",
-        "knn_bruteforce", "gopher_repetition_flags", "pii_redaction",
-        "contamination_ngram_overlap", "pairwise_medoids",
-        "sequence_packing",
-        # ...and the 16 oldest of the r<=6+r9 cohort
-        "bpe_merge_learn", "shipping_priority_q3",
-        "event_transition_matrix", "events_value_ttest",
-        "events_cusum_changepoint", "ctfidf_topics_per_lang",
-        "dedup_canonical_corpus", "events_stateful_running",
-        "events_stream_dedup", "hyperplane_lsh_pairs",
-        "data_quality_report", "weekly_active_users",
-        "customers_without_orders", "top_orders_per_customer",
-        "order_cube_revenue", "customer_order_frames",
+        # the 8 r<=6+r9-cohort leftovers — the registry's stalest
+        # driver evidence (last green r9), promoted FIRST...
+        "salted_agg_priority_revenue", "events_tumbling_hourly",
+        "events_json_value_counts", "knn_ivf_cells",
+        "embedding_neardup_pairs", "source_vocab_overlap",
+        "events_type_pivot", "incremental_revenue_merge",
+        # ...and the first 41 of the 46-entry r10-window cohort
+        # (last green r10), list order
+        "events_sliding_hourly", "local_supplier_volume_q5",
+        "promo_revenue_q14", "disjunctive_revenue_q19",
+        "part_triangle_counts", "events_json_roundtrip",
+        "hybrid_rrf_search", "orders_merge_steady",
+        "volume_shipping_q7", "small_qty_revenue_q17",
+        "events_csv_roundtrip", "waiting_suppliers_q21",
+        "min_cost_supplier_q2", "excess_shipment_q20",
+        "idle_customers_q22", "revenue_concentration_q11",
+        "events_orc_roundtrip", "events_xml_roundtrip",
+        "hash_split_profile", "temperature_resample",
+        "video_frame_sample", "bigram_lm_perplexity", "bigram_topk",
+        "bpe_encode_stats", "brand_price_regression",
+        "doc_chunk_windows", "dsir_importance_select",
+        "duplicate_span_flags", "embedding_dim_stats",
+        "event_outliers_mad", "events_asof_cogroup",
+        "events_funnel_stages", "events_hourly_gapfill",
+        "events_stream_stream_join", "events_streaming_upsert",
+        "fuzzy_name_matches", "group_concat_docs",
+        "incremental_minhash_dedup", "knn_int8_rerank",
+        "knn_ivf_pruned", "line_dedup_rebuild",
     }
     assert promoted <= head, sorted(promoted - head)
 
