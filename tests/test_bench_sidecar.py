@@ -280,6 +280,23 @@ def test_ratchet_reseeded_entries_are_justified_and_live():
     for floors in bench.RATCHET_RESEEDED.values():
         for sf, v in floors.items():
             assert isinstance(sf, float) and v > 0
+    # reseed provenance (r13): every reseeded entry records the
+    # commit whose sweep set its floors
+    assert set(bench.RATCHET_RESEED_COMMITS) == set(bench.RATCHET_RESEEDED)
+
+
+def test_reseed_floor_verification_carries_committed_evidence():
+    """A RESEED_FLOOR_VERIFIED entry silences the reseed watch, so
+    the claim must be auditable: the entry must be a reseeded one,
+    and the named evidence file must exist in the repo."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, evidence in bench.RESEED_FLOOR_VERIFIED.items():
+        assert name in bench.RATCHET_RESEEDED, name
+        assert os.path.exists(os.path.join(root, evidence)), (
+            f"{name}: evidence file {evidence} not committed"
+        )
 
 
 def test_reference_ratchet_min_updates_seeds_and_prunes(
