@@ -4,9 +4,11 @@ flukes that only appear with more rows near floor boundaries (the
 failure class the fixed-point recipe is designed to exclude).
 
 Slow (~3-12 min on local[32]); opt in with SPARK_GRAFT_SF01_PARITY=1.
-Last full run: round 12, **153/153 oracles green in 340 s** on the
-post-rotation tree (r12 window reorder + wizard enrichment-presence
-witness + conf-driven ner broadcast gate). (Round 11: 153/153 in
+Last full run: round 13, **153/153 oracles green in 336 s** on the
+post-rotation tree (r13 window reorder + streaming state-partition
+invariance lane + strict ner conf-byte parser). (Round 12: 153/153
+in 340 s after the r12 rotation, wizard enrichment-presence witness
+and conf-driven ner broadcast gate; round 11: 153/153 in
 295 s on the round's final tree — the first sweeps with EVERY
 registry entry oracled; the r11 witness conversions raised the count
 149 → 152 (kmeans_clusters, pca_coords, approx_distinct_parts) and
