@@ -312,23 +312,26 @@ RATCHET_RESEED_COMMITS: dict[str, str] = {
 # recorded floor before the watch warns (see check_reseed_watch).
 RESEED_WATCH_RUNS = int(os.environ.get("SPARK_GRAFT_RESEED_WATCH_RUNS", "3"))
 
-# Entries whose reseed floor was re-verified on a quiet host AFTER
-# the reseed (entry → where the evidence lives). A verified floor
+# Reseed floors re-verified on a quiet host AFTER the reseed,
+# PER SCALE FACTOR (entry → {sf: evidence file}). A verified floor
 # that simply sits at the entry's true cost will never be beaten by
 # the ratchet — warning about it every run would train the operator
-# to ignore the watch, so verification silences it. Adding an entry
-# here REQUIRES the named evidence — quiet-host reps (solo or
-# in-sweep) plus a provenance adjudication — recorded in a committed
-# perf_ab file.
-RESEED_FLOOR_VERIFIED: dict[str, str] = {
-    # r13: both floors were recorded by the 0.01 %-steal 3032bcd
-    # sweep (the quietest window in repo history, all-time bests
-    # suite-wide) — a floor set on the quietest record cannot be
-    # burst-inflated. Solo fresh-JVM reps (perf_ab_r13.md) confirm
+# to ignore the watch, so verification silences it AT THAT SF ONLY:
+# floors are recorded per sf and verified per sf (an sf0.1
+# adjudication says nothing about the sf0.01 floor, which stays
+# under watch). Adding an entry REQUIRES the named evidence —
+# quiet-host reps (solo or in-sweep) plus a provenance adjudication —
+# recorded in a committed perf_ab file.
+RESEED_FLOOR_VERIFIED: dict[str, dict[float, str]] = {
+    # r13, sf0.1 only: both floors were recorded by the 0.01 %-steal
+    # 3032bcd sweep (the quietest window in repo history, all-time
+    # bests suite-wide) — a floor set on the quietest record cannot
+    # be burst-inflated. Solo fresh-JVM reps (perf_ab_r13.md) confirm
     # both plans are JIT-warmup-dominated, so only an equally quiet
-    # in-sweep window can beat them; the ratchet keeps trying.
-    "kmeans_clusters": "perf_ab_r13.md",
-    "wizard_full_chain": "perf_ab_r13.md",
+    # in-sweep window can beat them; the ratchet keeps trying. The
+    # sf0.01 floors are NOT verified and stay under watch.
+    "kmeans_clusters": {0.1: "perf_ab_r13.md"},
+    "wizard_full_chain": {0.1: "perf_ab_r13.md"},
 }
 
 
@@ -349,31 +352,41 @@ def check_reseed_watch(sf_val, merged_ratchet: dict[str, float]) -> dict[str, in
     counter (the min() yardstick now self-corrects), and an entry in
     RESEED_FLOOR_VERIFIED is exempt — its floor was re-measured quiet
     and simply IS the entry's cost. State lives in a committed per-sf
-    sidecar so the count survives across rounds and hosts."""
+    sidecar so the count survives across rounds and hosts; each count
+    is stamped with the floor it counted against, so a future
+    justified reseed (which CHANGES the recorded floor) resets the
+    count instead of inheriting the old floor's failures and warning
+    spuriously about a one-run-old floor."""
     path = reseed_watch_path(sf_val)
     try:
         with open(path) as f:
-            counts = {k: int(v) for k, v in json.load(f).items()}
-    except (OSError, ValueError, TypeError, AttributeError):
-        counts = {}
-    out: dict[str, int] = {}
+            state = {
+                k: {"n": int(v["n"]), "floor": float(v["floor"])}
+                for k, v in json.load(f).items()
+            }
+    except (OSError, ValueError, TypeError, AttributeError, KeyError):
+        state = {}
+    out: dict[str, dict] = {}
     for k, by_sf in RATCHET_RESEEDED.items():
         recorded = by_sf.get(sf_val)
-        if recorded is None or k in RESEED_FLOOR_VERIFIED:
+        if recorded is None or sf_val in RESEED_FLOOR_VERIFIED.get(k, {}):
             continue
         live = merged_ratchet.get(k)
         if live is not None and live < recorded:
             continue  # ratchet tightened below the record: watch over
-        out[k] = counts.get(k, 0) + 1
-        if out[k] >= RESEED_WATCH_RUNS:
+        prev = state.get(k)
+        n = prev["n"] if prev and prev["floor"] == recorded else 0
+        out[k] = {"n": n + 1, "floor": recorded}
+        if out[k]["n"] >= RESEED_WATCH_RUNS:
             print(
                 f"reseed floor for {k!r} ({recorded}s at sf={sf_val}, "
                 f"commit {RATCHET_RESEED_COMMITS.get(k, 'unrecorded')}) "
-                f"has not been beaten in {out[k]} completed runs — if "
-                "the reseed sweep itself ran under load, inflation "
-                "below that floor is invisible to the retime pass; "
-                "re-verify with interleaved solo reps on a quiet host "
-                "and record the adjudication in RESEED_FLOOR_VERIFIED",
+                f"has not been beaten in {out[k]['n']} completed runs "
+                "— if the reseed sweep itself ran under load, "
+                "inflation below that floor is invisible to the "
+                "retime pass; re-verify with interleaved solo reps on "
+                "a quiet host and record the adjudication in "
+                "RESEED_FLOOR_VERIFIED",
                 file=sys.stderr,
             )
     try:
@@ -499,6 +512,19 @@ def _retime_reference(sf_val) -> dict[str, float]:
     return refs
 
 
+def retime_inflated(t: float, ref: float | None) -> bool:
+    """THE inflation definition — both legs, shared by the retime
+    trigger and the still-inflated tail so they cannot drift apart
+    again (ADVICE r12 #1 was exactly that drift: the tail kept a
+    ratio-only copy after the trigger gained the absolute leg)."""
+    return (
+        ref is not None
+        and ref > 0
+        and t >= ref * RETIME_RATIO
+        and t - ref >= RETIME_ABS_SEC
+    )
+
+
 def select_still_inflated(
     inflated: list[str],
     timings: dict[str, float],
@@ -506,20 +532,14 @@ def select_still_inflated(
     details: dict[str, dict],
 ) -> list[str]:
     """Entries still inflated AFTER their solo retime, by the SAME
-    two-leg definition as the retime trigger itself — ratio AND
-    absolute excess (ADVICE r12 #1: a ratio-only leg let a sub-second
-    entry whose absolute excess had already shrunk below
-    RETIME_ABS_SEC occupy one of the RETIMES_TAIL_MAX capped tail
-    slots ahead of a larger-absolute offender). Worst ratio first,
-    matching the retime pass's own ordering."""
+    predicate as the retime trigger (retime_inflated). Worst ratio
+    first, matching the retime pass's own ordering."""
     return sorted(
         (
             name
             for name in inflated
             if details[name].get("retimed")
-            and refs.get(name)
-            and timings[name] >= refs[name] * RETIME_RATIO
-            and timings[name] - refs[name] >= RETIME_ABS_SEC
+            and retime_inflated(timings[name], refs.get(name))
         ),
         key=lambda n: -(timings[n] / refs[n]),
     )
@@ -749,10 +769,7 @@ def main() -> None:
         (
             name
             for name, t in timings.items()
-            if name in refs
-            and refs[name] > 0
-            and t >= refs[name] * RETIME_RATIO
-            and t - refs[name] >= RETIME_ABS_SEC
+            if retime_inflated(t, refs.get(name))
         ),
         key=lambda n: -(timings[n] / refs[n]),
     )

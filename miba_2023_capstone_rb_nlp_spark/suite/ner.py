@@ -22,6 +22,7 @@ top-n window over k×orgs rows. The regex runs pre-shuffle.
 
 from __future__ import annotations
 
+import re as _re
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,16 +77,19 @@ def _parse_conf_bytes(raw: str) -> int:
         if s.endswith(suffix):
             s, mult = s[: -len(suffix)], m
             break
-    try:
+    # digits-only like JavaUtils' ([0-9]+)([a-z]+)? — a bare int()
+    # would also admit '+10m', '1_0m' and inner whitespace, all of
+    # which the session itself rejects. Leading '-' is allowed only
+    # because Spark special-cases a negative threshold as "disabled".
+    if _re.fullmatch(r"-?[0-9]+", s):
         return int(s, 10) * mult
-    except ValueError:
-        print(
-            "ner broadcast gate: unparseable "
-            f"spark.sql.autoBroadcastJoinThreshold {raw!r}; falling "
-            "back to the 10 MB built-in default",
-            file=sys.stderr,
-        )
-        return 10 << 20
+    print(
+        "ner broadcast gate: unparseable "
+        f"spark.sql.autoBroadcastJoinThreshold {raw!r}; falling "
+        "back to the 10 MB built-in default",
+        file=sys.stderr,
+    )
+    return 10 << 20
 
 
 def _label_broadcast_limit_rows(spark: SparkSession) -> int:

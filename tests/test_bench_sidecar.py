@@ -292,11 +292,15 @@ def test_reseed_floor_verification_carries_committed_evidence():
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for name, evidence in bench.RESEED_FLOOR_VERIFIED.items():
+    for name, by_sf in bench.RESEED_FLOOR_VERIFIED.items():
         assert name in bench.RATCHET_RESEEDED, name
-        assert os.path.exists(os.path.join(root, evidence)), (
-            f"{name}: evidence file {evidence} not committed"
-        )
+        assert by_sf, f"{name}: verified with no sf"
+        for sf, evidence in by_sf.items():
+            # can only verify an sf that actually has a recorded floor
+            assert sf in bench.RATCHET_RESEEDED[name], (name, sf)
+            assert os.path.exists(os.path.join(root, evidence)), (
+                f"{name}@sf{sf}: evidence file {evidence} not committed"
+            )
 
 
 def test_reference_ratchet_min_updates_seeds_and_prunes(

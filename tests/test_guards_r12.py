@@ -47,8 +47,14 @@ def test_parse_conf_bytes_garbage_falls_back_to_default(capsys):
     # JavaUtils.byteStringAs rejects them — the gate must not accept
     # a value the session itself would have refused (ADVICE r12)
     assert _parse_conf_bytes("1.5m") == 10 << 20
+    # ...and so are Python-int()-isms JavaUtils' ([0-9]+)([a-z]+)?
+    # pattern rejects: digit separators, an explicit '+', and inner
+    # whitespace between count and unit (r13 review finding)
+    assert _parse_conf_bytes("1_0m") == 10 << 20
+    assert _parse_conf_bytes("+10m") == 10 << 20
+    assert _parse_conf_bytes(" 10 m") == 10 << 20
     err = capsys.readouterr().err
-    assert err.count("unparseable") == 3
+    assert err.count("unparseable") == 6
     assert "1.5m" in err
 
 

@@ -77,6 +77,10 @@ def test_retime_reference_reads_ratchet_file_once(monkeypatch):
     )
 
 
+def _watch(name, n, floor):
+    return {name: {"n": n, "floor": floor}}
+
+
 def test_reseed_watch_counts_warns_and_clears(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
     monkeypatch.setattr(
@@ -87,16 +91,17 @@ def test_reseed_watch_counts_warns_and_clears(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(bench, "RESEED_WATCH_RUNS", 3)
     # runs 1-2: live ratchet never beats the recorded floor -> count
     # rises silently; no sf-0.1 floor for "nofloor" -> never tracked
-    assert bench.check_reseed_watch(0.1, {"wit": 5.0}) == {"wit": 1}
-    assert bench.check_reseed_watch(0.1, {"wit": 5.2}) == {"wit": 2}
+    assert bench.check_reseed_watch(0.1, {"wit": 5.0}) == _watch("wit", 1, 5.0)
+    assert bench.check_reseed_watch(0.1, {"wit": 5.2}) == _watch("wit", 2, 5.0)
     assert "reseed floor" not in capsys.readouterr().err
     # run 3: threshold reached -> warn, naming the recorded commit
-    assert bench.check_reseed_watch(0.1, {"wit": 5.0}) == {"wit": 3}
+    assert bench.check_reseed_watch(0.1, {"wit": 5.0}) == _watch("wit", 3, 5.0)
     err = capsys.readouterr().err
     assert "reseed floor for 'wit'" in err and "abc1234" in err
-    # state persisted in the committed sidecar
+    # state persisted in the committed sidecar, stamped with the
+    # floor it counted against
     with open(bench.reseed_watch_path(0.1)) as f:
-        assert json.load(f) == {"wit": 3}
+        assert json.load(f) == _watch("wit", 3, 5.0)
     # a run that BEATS the floor clears the watch: the ratchet now
     # supersedes the record and the min() yardstick self-corrects
     assert bench.check_reseed_watch(0.1, {"wit": 4.8}) == {}
@@ -104,27 +109,58 @@ def test_reseed_watch_counts_warns_and_clears(tmp_path, monkeypatch, capsys):
         assert json.load(f) == {}
 
 
-def test_reseed_watch_verified_floor_is_exempt(tmp_path, monkeypatch, capsys):
-    """A floor re-verified quiet simply IS the entry's cost — warning
-    about it every run would train the operator to ignore the watch."""
+def test_reseed_watch_resets_on_justified_refloor(tmp_path, monkeypatch, capsys):
+    """A future justified reseed CHANGES the recorded floor; the old
+    floor's accumulated failures must not carry over, or the watch
+    warns about a floor that is one run old (r13 review finding)."""
     monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
     monkeypatch.setattr(bench, "RATCHET_RESEEDED", {"wit": {0.1: 5.0}})
+    monkeypatch.setattr(bench, "RESEED_FLOOR_VERIFIED", {})
+    monkeypatch.setattr(bench, "RESEED_WATCH_RUNS", 3)
+    assert bench.check_reseed_watch(0.1, {"wit": 5.0}) == _watch("wit", 1, 5.0)
+    assert bench.check_reseed_watch(0.1, {"wit": 5.0}) == _watch("wit", 2, 5.0)
+    # the justified reseed raises the floor to 7.0 in the same commit
+    monkeypatch.setattr(bench, "RATCHET_RESEEDED", {"wit": {0.1: 7.0}})
+    # next run counts from 1 against the NEW floor — no spurious warn
+    assert bench.check_reseed_watch(0.1, {"wit": 7.0}) == _watch("wit", 1, 7.0)
+    assert "reseed floor" not in capsys.readouterr().err
+
+
+def test_reseed_watch_verified_floor_is_exempt_per_sf(
+    tmp_path, monkeypatch, capsys
+):
+    """A floor re-verified quiet simply IS the entry's cost — warning
+    about it every run would train the operator to ignore the watch.
+    Verification is PER SF: an sf0.1 adjudication says nothing about
+    the sf0.01 floor, which stays under watch (r13 review finding)."""
+    monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
     monkeypatch.setattr(
-        bench, "RESEED_FLOOR_VERIFIED", {"wit": "perf_ab_r13.md"}
+        bench, "RATCHET_RESEEDED", {"wit": {0.1: 5.0, 0.01: 1.0}}
+    )
+    monkeypatch.setattr(
+        bench, "RESEED_FLOOR_VERIFIED", {"wit": {0.1: "perf_ab_r13.md"}}
     )
     monkeypatch.setattr(bench, "RESEED_WATCH_RUNS", 1)
+    # verified at sf0.1 -> exempt there
     assert bench.check_reseed_watch(0.1, {"wit": 5.0}) == {}
     assert "reseed floor" not in capsys.readouterr().err
+    # NOT verified at sf0.01 -> still watched and warns at threshold
+    assert bench.check_reseed_watch(0.01, {"wit": 1.0}) == _watch("wit", 1, 1.0)
+    assert "reseed floor for 'wit'" in capsys.readouterr().err
 
 
 def test_reseed_watch_survives_corrupt_state(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
     monkeypatch.setattr(bench, "RATCHET_RESEEDED", {"wit": {0.1: 5.0}})
     monkeypatch.setattr(bench, "RESEED_FLOOR_VERIFIED", {})
-    with open(bench.reseed_watch_path(0.1), "w") as f:
-        f.write("[not, a, dict")
-    # corrupt state resets the count rather than killing the run
-    assert bench.check_reseed_watch(0.1, {"wit": 5.0}) == {"wit": 1}
+    for corrupt in ("[not, a, dict", '{"wit": 3}'):  # legacy int form too
+        with open(bench.reseed_watch_path(0.1), "w") as f:
+            f.write(corrupt)
+        # corrupt/legacy state resets the count rather than killing
+        # the run
+        assert bench.check_reseed_watch(0.1, {"wit": 5.0}) == _watch(
+            "wit", 1, 5.0
+        )
 
 
 def test_retimes_tail_cap_roundtrips_through_artifact_parse():
