@@ -4,7 +4,19 @@
 ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
 
 Each query is forced to full materialization via the noop sink (no
-driver collect — measures the distributed plan, not toPandas)."""
+driver collect — measures the distributed plan, not toPandas).
+
+CROSS-ROUND TOTALS ARE NOT A REGRESSION SIGNAL (measured rule,
+perf_ab_r13.md seven-sweep table): with the registry order swapped
+in/out across seven same-day sf0.1 sweeps, ORDER moved the total
+<=1.5 s while the HOST WINDOW moved it 10-25 s (same-order spans of
+140.5-164.3 s within one day; quiet plateau 143-145 s vs the prior
+day's 136.7 s vs the all-time 0.01 %-steal 119.98 s record). A
+round-over-round total delta is therefore window noise until proven
+otherwise. Regression adjudication uses (a) the per-entry ratchet
+(bench_reference_sf*.json, floors only tighten), and (b) same-day
+matched-pair sweeps on comparable steal_pct windows — never another
+day's total."""
 
 from __future__ import annotations
 
@@ -339,7 +351,7 @@ def reseed_watch_path(sf_val) -> str:
     return os.path.join(_REPO_DIR, f"bench_reseed_watch_sf{sf_val}.json")
 
 
-def check_reseed_watch(sf_val, merged_ratchet: dict[str, float]) -> dict[str, int]:
+def check_reseed_watch(sf_val, merged_ratchet: dict[str, float]) -> dict[str, dict]:
     """The residual RATCHET_RESEEDED blind spot, made visible
     (VERDICT r12 #6): a reseed floor recorded under load stays the
     retime yardstick until the live ratchet tightens BELOW it — and
@@ -358,14 +370,25 @@ def check_reseed_watch(sf_val, merged_ratchet: dict[str, float]) -> dict[str, in
     count instead of inheriting the old floor's failures and warning
     spuriously about a one-run-old floor."""
     path = reseed_watch_path(sf_val)
+    # salvage per entry: one malformed record must not reset every
+    # healthy entry's accumulated count (a blanket except here would
+    # silently restart ALL watches on a single corrupt row)
+    state: dict[str, dict] = {}
     try:
         with open(path) as f:
-            state = {
-                k: {"n": int(v["n"]), "floor": float(v["floor"])}
-                for k, v in json.load(f).items()
-            }
-    except (OSError, ValueError, TypeError, AttributeError, KeyError):
-        state = {}
+            raw = json.load(f)
+    except (OSError, ValueError):
+        raw = {}
+    if isinstance(raw, dict):
+        for k, v in raw.items():
+            try:
+                state[k] = {"n": int(v["n"]), "floor": float(v["floor"])}
+            except (ValueError, TypeError, KeyError):
+                print(
+                    f"reseed watch: discarding malformed record for "
+                    f"{k!r}: {v!r}",
+                    file=sys.stderr,
+                )
     out: dict[str, dict] = {}
     for k, by_sf in RATCHET_RESEEDED.items():
         recorded = by_sf.get(sf_val)
@@ -891,11 +914,18 @@ def main() -> None:
         print(f"sidecar write failed: {e!r}", file=sys.stderr)
     # ratchet the historical-best reference (can only tighten; prunes
     # entries that left the registry) — diagnostics, never fatal
+    merged = None
     try:
         merged = update_reference(sf_val, timings, set(suite))
-        check_reseed_watch(sf_val, merged)
     except Exception as e:  # noqa: BLE001
         print(f"reference update failed: {e!r}", file=sys.stderr)
+    # separate try: a watch failure must not print the misleading
+    # "reference update failed" after the reference was written fine
+    try:
+        if merged is not None:
+            check_reseed_watch(sf_val, merged)
+    except Exception as e:  # noqa: BLE001
+        print(f"reseed watch failed: {e!r}", file=sys.stderr)
     # stop Spark BEFORE printing: the JSON line must be the absolute
     # last stdout so the driver's 2000-char tail window contains it
     spark.stop()

@@ -191,218 +191,224 @@ def register(name: str, oracle: str | None = None):
 #       more slots than the >=2-green population can free. A
 #       (b)-demoted entry re-enters the window within ~2 rounds.
 _DEPRIORITIZED = (
-    # ================= ROUND-13 ROTATION (VERDICT r12 next-round
+    # ================= ROUND-14 ROTATION (VERDICT r13 next-round
     # #1) =================
-    # The r12 window went 50/50 hash-green (seventh consecutive
-    # fully-green round), so the whole r12 window except the flagship
-    # rotates out — via clause (a) for the 48 entries now holding >=3
-    # hash-greens, and via clause (b) demoted_in=13 for
-    # wizard_full_chain, whose FIRST driver hash-green (its mid-r11
-    # witness oracle) was r12. Promoted, exactly per the r13 slate
-    # recorded last round: (1) the 8 r<=6+r9-cohort leftovers (last
-    # green r9 — 4 rounds stale, the registry's oldest evidence);
-    # (2) the first 41 of the 46-entry r10-window cohort, list order.
-    # After this round no oracled entry's newest driver evidence
-    # predates r10.
-    #
-    # R14 ROTATION SLATE (plan, per the standing policy): demote the
-    # whole r13 window except the flagship via clause (a). Promote,
-    # oldest evidence first: (1) the 5 r10-cohort leftovers below
-    # (lineitem_unpivot_stats, orders_merge_bucketed,
-    # orders_upsert_merge, part_affinity_topk, part_pagerank — last
-    # green r10); (2) the three clause-(b) witness conversions
+    # The r13 window went 50/50 hash-green (eighth consecutive
+    # fully-green round), so the whole r13 window except the flagship
+    # rotates out via clause (a) — every demoted entry now holds >=2
+    # hash-greens (the 8 r9-cohort returnees r9+r13, the 41
+    # r10-cohort returnees r10+r13). Promoted, exactly per the r14
+    # slate recorded last round, oldest evidence first: (1) the 5
+    # r10-cohort leftovers (last green r10 — the registry's only
+    # pre-r11 evidence); (2) the clause-(b) witness trio
     # kmeans_clusters / pca_coords / approx_distinct_parts (single
-    # r11 green each, owed their 2nd green within ~2 rounds of their
-    # r12 demotion — they MUST return in r14); (3) 41 of the 46
-    # r11-green returnees demoted in r12, list order. The 5 returnee
-    # leftovers, wizard_full_chain (clause (b) demoted in r13, single
-    # r12 green) and the r12-green cohort follow in r15.
+    # r11 green each, demoted r12 — owed their 2nd solo green, and
+    # this is the round); (3) the first 41 of the 46-entry
+    # r12-demoted cohort (last green r11), list order. After this
+    # round no oracled entry's newest driver evidence predates r11.
+    #
+    # R15 ROTATION SLATE (plan, per the standing policy): demote the
+    # whole r14 window except the flagship via clause (a) — by then
+    # the 5 leftovers hold greens r10+r14, the witness trio r11+r14,
+    # the 41 returnees >=3 greens. Promote, oldest evidence first:
+    # (1) wizard_full_chain (clause (b), demoted_in=13, single r12
+    # green — owed its 2nd solo green within ~2 rounds of the
+    # demotion; it MUST return in r15); (2) the 5 r12-demoted
+    # backfill leftovers below (sentiment_distinct_join,
+    # bpe_token_stats, bm25_topk, stratified_sample_docs,
+    # winnowing_fingerprints — last green r11); (3) the first 43 of
+    # the 48-entry r13-demoted cohort (last green r12), list order.
+    # The 5 r13-cohort leftovers follow in r16.
     #
     # -- clause (b), demoted in r13 (first driver hash-green r12;
-    # -- witness battery and stage kernels re-proven by tests/ lanes) --
+    # -- returns in r15 at the head of the slate) --
     "wizard_full_chain",  # composed-chain witness battery mutation-tested by tests/test_ml_plumbing.py; stage plans pinned by tests/test_plans.py + tests/test_partition_invariance.py
-    # -- clause (b), demoted in r12 (first hash-green r11; return in
-    # -- r14 for their 2nd green) --
-    "kmeans_clusters",  # kmeans fit + witness battery pinned by tests/test_ml_plumbing.py + tests/test_plans.py
-    "pca_coords",  # PCA moment pass + witness battery pinned by tests/test_ml_plumbing.py + tests/test_plans.py
-    "approx_distinct_parts",  # HLL error-bound twin-agg pinned by tests/test_plans.py + tests/test_partition_invariance.py
+    # -- clause (a), demoted in r14: the 8 r9-cohort returnees
+    # -- (greens r9 + r13) --
+    "salted_agg_priority_revenue",  # salt-key invariance pinned by tests/test_skew.py
+    "events_tumbling_hourly",  # tumbling bucket arithmetic ⊂ events_range_click_counts (in-window)
+    "events_json_value_counts",  # JSON path extraction ⊂ events_variant_extract (in-window)
+    "knn_ivf_cells",  # IVF cell assign + probe ⊂ knn_ivf_multiprobe (in-window)
+    "embedding_neardup_pairs",  # pairwise cosine folds ⊂ semantic_dedup_cells (in-window)
+    "source_vocab_overlap",  # broadcast vocab/n-gram overlap ⊂ phrase_match_docs (in-window)
+    "events_type_pivot",  # pivot Expand ⊂ lineitem_unpivot_stats Expand (in-window)
+    "incremental_revenue_merge",  # incremental MERGE ⊂ orders_upsert_merge (in-window)
+    # -- clause (a), demoted in r14: the 41 r10-cohort returnees
+    # -- (greens r10 + r13) --
+    "events_sliding_hourly",  # sliding buckets ⊂ events_range_click_counts range buckets (in-window)
+    "local_supplier_volume_q5",  # star join agg ⊂ market_share_q8 (in-window)
+    "promo_revenue_q14",  # conditional dec-sum ⊂ late_shipment_priority_q12 case-sum (in-window)
+    "disjunctive_revenue_q19",  # multi-predicate join agg ⊂ product_profit_q9 (in-window)
+    "part_triangle_counts",  # iterative checkpointed graph rounds ⊂ part_pagerank (in-window)
+    "events_json_roundtrip",  # JSON sink/source round-trip pinned by tests/test_roundtrip_formats.py
+    "hybrid_rrf_search",  # rank-fusion windows ⊂ hard_negative_mining rank-band windows (in-window)
+    "orders_merge_steady",  # steady-state MERGE ⊂ orders_upsert_merge (in-window)
+    "volume_shipping_q7",  # multi-join year agg ⊂ market_share_q8 (in-window)
+    "small_qty_revenue_q17",  # agg-subquery join ⊂ large_volume_customers_q18 (in-window)
+    "events_csv_roundtrip",  # CSV sink/source round-trip pinned by tests/test_roundtrip_formats.py
+    "waiting_suppliers_q21",  # EXISTS/NOT-EXISTS semi-anti ⊂ supplier_part_counts_q16 anti-join (in-window)
+    "min_cost_supplier_q2",  # scalar-subquery argmin ⊂ top_supplier_q15 scalar-threshold argmax (in-window)
+    "excess_shipment_q20",  # nested semi-join chain ⊂ large_volume_customers_q18 agg-subquery semi (in-window)
+    "idle_customers_q22",  # anti-join histogram ⊂ order_count_distribution_q13 outer-join histogram (in-window)
+    "revenue_concentration_q11",  # global-sum scalar threshold ⊂ top_supplier_q15 (in-window)
+    "events_orc_roundtrip",  # ORC sink/source round-trip pinned by tests/test_roundtrip_formats.py
+    "events_xml_roundtrip",  # XML sink/source round-trip pinned by tests/test_roundtrip_formats.py
+    "hash_split_profile",  # keyed md5 hashing ⊂ url_canonical_dedup canonical-key dedup (in-window)
+    "temperature_resample",  # keyed sampling rates ⊂ weighted_sample_docs (in-window)
+    "video_frame_sample",  # Arrow binary crossing ⊂ doc_bytes_arrow (in-window) + tests/test_multimodal.py
+    "bigram_lm_perplexity",  # n-gram LM scoring ⊂ perplexity_bucket_filter (in-window)
+    "bigram_topk",  # postings ⊂ phrase_match_docs; heap top-k ⊂ part_affinity_topk (both in-window)
+    "bpe_encode_stats",  # BPE tokenize kernels pinned by tests/test_curation_kernels.py
+    "brand_price_regression",  # OLS moment pass ⊂ source_kl_divergence distribution moments (in-window)
+    "doc_chunk_windows",  # token spans ⊂ doc_chunks_udtf (in-window)
+    "dsir_importance_select",  # importance-weighted select ⊂ weighted_sample_docs (in-window)
+    "duplicate_span_flags",  # rolling-hash spans pinned by tests/test_spans.py
+    "embedding_dim_stats",  # vector kernels ⊂ hash_embeddings (in-window)
+    "event_outliers_mad",  # median/MAD sketch fences pinned by tests/test_plans.py
+    "events_asof_cogroup",  # as-of kernel ⊂ events_asof_last_click (in-window) + tests/test_plans.py
+    "events_funnel_stages",  # per-user ordered seqs ⊂ retention_cohorts (in-window)
+    "events_hourly_gapfill",  # running/gapfill frames ⊂ user_decayed_value running scans (in-window)
+    "events_stream_stream_join",  # micro-batch join ⊂ events_stream_static_join (in-window) + tests/test_streaming.py
+    "events_streaming_upsert",  # per-batch MERGE ⊂ orders_upsert_merge (in-window) + tests/test_streaming.py + tests/test_partition_invariance.py
+    "fuzzy_name_matches",  # q-gram count filter ⊂ prefix_jaccard_pairs prefix filter (in-window)
+    "group_concat_docs",  # single-object-agg exchange pinned by tests/test_plans.py + tests/test_partition_invariance.py
+    "incremental_minhash_dedup",  # banded self-join recall pinned by tests/test_lsh_recall.py
+    "knn_int8_rerank",  # exact rerank windows ⊂ knn_ivf_multiprobe (in-window) + tests/test_knn_guard.py
+    "knn_ivf_pruned",  # partition-pruned IVF scan ⊂ knn_ivf_multiprobe cell probe (in-window) + tests/test_knn_guard.py
+    "line_dedup_rebuild",  # LeftAnti rebuild ⊂ semantic_dedup_cells (in-window)
     # -- clause (a), demoted in r13: the 32-entry r8-cohort (greens
-    # -- r1-r4/r8 + r12) --
-    "pricing_summary",  # dec-sum kernel ⊂ promo_revenue_q14 (in-window)
-    "region_revenue",  # star join ⊂ local_supplier_volume_q5 (in-window)
-    "order_priority_semijoin",  # EXISTS semi/anti ⊂ waiting_suppliers_q21 (in-window)
-    "nation_set_ops",  # EXCEPT/anti kernel ⊂ line_dedup_rebuild LeftAnti (in-window)
-    "order_window_enrich",  # window frames ⊂ events_hourly_gapfill running frame (in-window) + tests/test_partition_invariance.py
-    "argmax_per_flag",  # struct-extremum ⊂ min_cost_supplier_q2 scalar-subquery argmin (in-window)
-    "order_rollup_revenue",  # ROLLUP Expand ⊂ events_type_pivot pivot Expand (in-window)
-    "salted_join_nation_customers",  # salt invariance ⊂ salted_agg_priority_revenue (in-window) + tests/test_skew.py
-    "price_quantiles",  # quantile-sketch fences ⊂ event_outliers_mad (in-window)
+    # -- r1-r4/r8 + r12); first 32 of the r15 promotion cohort --
+    "pricing_summary",  # dec-sum kernel ⊂ forecast_revenue_q6 (in-window)
+    "region_revenue",  # star join ⊂ market_share_q8 (in-window)
+    "order_priority_semijoin",  # EXISTS semi ⊂ large_volume_customers_q18 agg-subquery semi (in-window)
+    "nation_set_ops",  # EXCEPT/anti kernel ⊂ supplier_part_counts_q16 anti-join (in-window)
+    "order_window_enrich",  # window frames ⊂ user_decayed_value running frames (in-window) + tests/test_partition_invariance.py
+    "argmax_per_flag",  # struct-extremum ⊂ quality_representative_dedup struct-max (in-window)
+    "order_rollup_revenue",  # ROLLUP Expand ⊂ lineitem_unpivot_stats Expand (in-window)
+    "salted_join_nation_customers",  # salt invariance pinned by tests/test_skew.py
+    "price_quantiles",  # mergeable-sketch agg ⊂ approx_distinct_parts (in-window)
     "etl_clean_articles",  # cleaning chain pinned by tests/test_plans.py + tests/test_wizard.py
-    "explode_paragraphs",  # posexplode spans ⊂ doc_chunk_windows token spans (in-window)
-    "ner_top_orgs",  # weighted top-n per group ⊂ bigram_topk posting top-k (in-window) + tests/test_guards_r12.py
-    "media_features",  # Arrow binary crossing ⊂ video_frame_sample (in-window) + tests/test_multimodal.py
-    "events_session_windows",  # per-user session seqs ⊂ events_funnel_stages (in-window)
-    "events_tumbling_streaming",  # tumbling buckets ⊂ events_tumbling_hourly (in-window) + tests/test_streaming.py
-    "doc_stats_quality",  # map-only doc feature pass ⊂ dsir_importance_select (in-window)
-    "lang_id",  # n-gram LM scoring ⊂ bigram_lm_perplexity (in-window)
-    "top_terms_per_source",  # postings top-k ⊂ bigram_topk (in-window)
-    "sentence_stats",  # split spans + per-doc stats ⊂ doc_chunk_windows (in-window)
-    "lemma_term_counts",  # normalize-explode-count ⊂ bigram_topk token counts (in-window)
+    "explode_paragraphs",  # posexplode spans ⊂ doc_chunks_udtf UDTF spans (in-window)
+    "ner_top_orgs",  # weighted top-n per group ⊂ weighted_sample_docs weighted heap top-k (in-window) + tests/test_guards_r12.py
+    "media_features",  # Arrow binary crossing ⊂ doc_bytes_arrow (in-window) + tests/test_multimodal.py
+    "events_session_windows",  # per-user session seqs ⊂ retention_cohorts (in-window)
+    "events_tumbling_streaming",  # micro-batch tumbling ⊂ events_stream_static_join (in-window) + tests/test_streaming.py
+    "doc_stats_quality",  # map-only doc feature pass ⊂ perplexity_bucket_filter (in-window)
+    "lang_id",  # n-gram LM scoring ⊂ perplexity_bucket_filter (in-window)
+    "top_terms_per_source",  # postings top-k ⊂ part_affinity_topk heap top-k (in-window)
+    "sentence_stats",  # split spans ⊂ doc_chunks_udtf (in-window)
+    "lemma_term_counts",  # normalize-explode-count ⊂ sql_udf_token_stats token counts (in-window)
     "corpus_prep_chain",  # chain kernels pinned by tests/test_curation_kernels.py
-    "exact_dedup",  # md5-key groupBy ⊂ hash_split_profile keyed hashing (in-window)
-    "ngram_jaccard_pairs",  # gram equi-join + count filter ⊂ fuzzy_name_matches (in-window)
-    "minhash_lsh_pairs",  # banded self-join ⊂ incremental_minhash_dedup (in-window) + tests/test_lsh_recall.py
-    "simhash_pairs",  # hamming band join ⊂ incremental_minhash_dedup banded self-join (in-window)
-    "neardup_components",  # iterative checkpointed rounds ⊂ part_triangle_counts (in-window)
-    "knn_bruteforce",  # exact cosine kernel ⊂ embedding_neardup_pairs (in-window); rerank ⊂ knn_int8_rerank (in-window)
-    "gopher_repetition_flags",  # rolling n-gram flags ⊂ duplicate_span_flags rolling-hash spans (in-window)
-    "pii_redaction",  # map-only doc scan ⊂ duplicate_span_flags (in-window)
-    "contamination_ngram_overlap",  # broadcast n-gram overlap ⊂ source_vocab_overlap (in-window)
-    "pairwise_medoids",  # pairwise cosine folds ⊂ embedding_neardup_pairs (in-window)
-    "sequence_packing",  # token spans ⊂ doc_chunk_windows (in-window); running frame ⊂ events_hourly_gapfill (in-window)
+    "exact_dedup",  # md5-key groupBy ⊂ url_canonical_dedup canonical-key dedup (in-window)
+    "ngram_jaccard_pairs",  # gram equi-join + count filter ⊂ prefix_jaccard_pairs (in-window)
+    "minhash_lsh_pairs",  # banded self-join recall pinned by tests/test_lsh_recall.py
+    "simhash_pairs",  # hamming banding exchange reuse pinned by tests/test_plans.py
+    "neardup_components",  # iterative checkpointed rounds ⊂ part_pagerank (in-window)
+    "knn_bruteforce",  # exact cosine + rerank ⊂ knn_ivf_multiprobe (in-window) + tests/test_knn_guard.py
+    "gopher_repetition_flags",  # sorted-run mode scan pinned by tests/test_curation_kernels.py
+    "pii_redaction",  # map-only doc regex scan ⊂ perplexity_bucket_filter map-only scan (in-window)
+    "contamination_ngram_overlap",  # broadcast n-gram overlap ⊂ phrase_match_docs broadcast postings (in-window)
+    "pairwise_medoids",  # pairwise cosine folds ⊂ semantic_dedup_cells (in-window) + tests/test_ml_plumbing.py
+    "sequence_packing",  # token spans ⊂ doc_chunks_udtf; running frame ⊂ user_decayed_value (both in-window)
     # -- clause (a), demoted in r13: the 16-entry r<=6+r9-cohort
-    # -- first half (greens r5/r6/r9 + r12) --
-    "bpe_merge_learn",  # BPE tokenize ⊂ bpe_encode_stats (in-window) + tests/test_curation_kernels.py
-    "shipping_priority_q3",  # multi-predicate join agg ⊂ disjunctive_revenue_q19 (in-window)
-    "event_transition_matrix",  # per-user ordered seqs ⊂ events_funnel_stages (in-window)
-    "events_value_ttest",  # moment pass ⊂ brand_price_regression (in-window)
-    "events_cusum_changepoint",  # running deviation scan ⊂ events_hourly_gapfill running frame (in-window) + tests/test_plans.py
-    "ctfidf_topics_per_lang",  # grouped ratio-of-sums ⊂ revenue_concentration_q11 (in-window)
-    "dedup_canonical_corpus",  # checkpointed star rounds ⊂ part_triangle_counts iterative rounds (in-window)
-    "events_stateful_running",  # micro-batch state ⊂ events_stream_stream_join (in-window) + tests/test_streaming.py
-    "events_stream_dedup",  # watermarked micro-batch dedup ⊂ events_stream_stream_join (in-window) + tests/test_streaming.py
-    "hyperplane_lsh_pairs",  # banded self-join ⊂ incremental_minhash_dedup (in-window) + tests/test_lsh_recall.py
-    "data_quality_report",  # grouped rates ⊂ temperature_resample keyed rates (in-window)
-    "weekly_active_users",  # bucket arithmetic ⊂ events_sliding_hourly sliding buckets (in-window)
-    "customers_without_orders",  # outer-join histogram ⊂ idle_customers_q22 (in-window)
-    "top_orders_per_customer",  # heap top-k group-limit ⊂ bigram_topk (in-window)
-    "order_cube_revenue",  # CUBE Expand ⊂ events_type_pivot pivot Expand (in-window)
-    "customer_order_frames",  # running window frames ⊂ events_hourly_gapfill forward-fill frame (in-window)
-    # -- clause (a), demoted in r12: the 11 r7-leftovers (greens
-    # -- r5-r7 + r11) --
-    "part_price_skyline",  # dominance extremum ⊂ min_cost_supplier_q2 scalar-extremum (in-window)
-    "phrase_match_docs",  # broadcast n-gram postings ⊂ bigram_topk postings (in-window)
-    "prefix_jaccard_pairs",  # set-sim prefix filter ⊂ fuzzy_name_matches q-gram count filter (in-window)
-    "price_decile_histogram",  # width-bucket kernel ⊂ events_hourly_gapfill bucket arithmetic (in-window)
-    "quality_representative_dedup",  # struct-max argmax ⊂ min_cost_supplier_q2 struct-extremum (in-window)
-    "retention_cohorts",  # per-user seqs ⊂ events_funnel_stages (in-window)
-    "returned_items_q10",  # heap top-k ⊂ bigram_topk (in-window)
-    "sql_interface_segment_revenue",  # SQL-string surface + agg kernel pinned by tests/test_plans.py
-    "url_canonical_dedup",  # canonical-key dedup ⊂ hash_split_profile keyed md5 hashing (in-window)
-    "user_decayed_value",  # running scans ⊂ events_hourly_gapfill running frame (in-window) + tests/test_plans.py
-    "wizard_chain_stages",  # stage-by-stage oracles pinned by tests/test_ml_plumbing.py + tests/test_wizard.py
-    # -- clause (a), demoted in r12: the 25 returnees (greens r9 +
-    # -- r11) --
-    "forecast_revenue_q6",  # dec-sum kernel ⊂ promo_revenue_q14 (in-window)
-    "market_share_q8",  # star join ⊂ volume_shipping_q7 (in-window)
-    "product_profit_q9",  # multi-join agg ⊂ local_supplier_volume_q5 star join (in-window)
-    "late_shipment_priority_q12",  # case-sum kernel ⊂ promo_revenue_q14 conditional dec-sum (in-window)
-    "order_count_distribution_q13",  # outer-join histogram ⊂ idle_customers_q22 (in-window)
-    "top_supplier_q15",  # scalar-threshold argmax ⊂ min_cost_supplier_q2 (in-window)
-    "supplier_part_counts_q16",  # anti-join + distinct-count ⊂ excess_shipment_q20 (in-window)
-    "large_volume_customers_q18",  # agg-subquery semi ⊂ small_qty_revenue_q17 (in-window)
-    "semantic_dedup_cells",  # cosine folds ⊂ embedding_neardup_pairs (in-window); LeftAnti ⊂ line_dedup_rebuild (in-window)
-    "perplexity_bucket_filter",  # n-gram LM scoring ⊂ bigram_lm_perplexity (in-window)
-    "countmin_heavy_hitters",  # hashed-bucket partial aggs ⊂ hash_split_profile (in-window)
-    "custom_pysource_links",  # Python Data Source read pinned by tests/test_sources.py
-    "events_stream_static_join",  # micro-batch join ⊂ events_stream_stream_join (in-window) + tests/test_streaming.py
-    "events_variant_extract",  # VARIANT paths pinned by tests/test_plans.py + tests/test_partition_invariance.py
-    "trade_hops_recursive",  # iterative rounds ⊂ part_triangle_counts graph rounds (in-window)
-    "top_customers_lateral",  # LATERAL group-limit ⊂ bigram_topk heap top-k (in-window) + tests/test_plans.py
-    "doc_chunks_udtf",  # UDTF spans ⊂ doc_chunk_windows token spans (in-window) + tests/test_plans.py
-    "doc_bytes_arrow",  # Arrow binary crossing ⊂ video_frame_sample (in-window)
-    "collated_lang_counts",  # collation norms pinned by tests/test_partition_invariance.py
-    "events_try_ops_safe",  # try_* surface pinned by tests/test_partition_invariance.py
-    "user_event_map_profile",  # MapType kernels pinned by tests/test_plans.py
-    "sql_udf_token_stats",  # SQL UDF surface + token stats pinned by tests/test_plans.py
-    "hard_negative_mining",  # rank-band mining ⊂ knn_int8_rerank exact-rerank windows (in-window)
-    "source_kl_divergence",  # distribution moment pass ⊂ brand_price_regression (in-window)
-    "weighted_sample_docs",  # weighted heap top-k ⊂ bigram_topk (in-window) + tests/test_plans.py
-    # -- clause (a), demoted in r12: the 10 backfills (greens r1-r4 +
-    # -- r8 + r11) --
-    "events_asof_last_click",  # as-of kernel ⊂ events_asof_cogroup (in-window) + tests/test_plans.py
-    "events_range_click_counts",  # range-bucket arithmetic ⊂ events_hourly_gapfill (in-window)
-    "hash_embeddings",  # vector kernels ⊂ embedding_dim_stats (in-window)
-    "knn_ivf_multiprobe",  # cell probe + exact rerank ⊂ knn_ivf_pruned + knn_int8_rerank (in-window) + tests/test_knn_guard.py
-    "medoid_summaries",  # medoid + summary stages pinned by tests/test_ml_plumbing.py
+    # -- first half (greens r5/r6/r9 + r12); r15 cohort tail — the
+    # -- last 5 follow in r16 --
+    "bpe_merge_learn",  # BPE tokenize kernels pinned by tests/test_curation_kernels.py
+    "shipping_priority_q3",  # multi-predicate join agg ⊂ product_profit_q9 (in-window)
+    "event_transition_matrix",  # per-user ordered seqs ⊂ retention_cohorts (in-window)
+    "events_value_ttest",  # moment pass ⊂ source_kl_divergence (in-window)
+    "events_cusum_changepoint",  # running deviation scan ⊂ user_decayed_value running scans (in-window) + tests/test_plans.py
+    "ctfidf_topics_per_lang",  # grouped ratio-of-sums ⊂ market_share_q8 share-of-total (in-window)
+    "dedup_canonical_corpus",  # checkpointed star rounds ⊂ part_pagerank iterative rounds (in-window)
+    "events_stateful_running",  # micro-batch state ⊂ events_stream_static_join (in-window) + tests/test_streaming.py
+    "events_stream_dedup",  # watermarked micro-batch dedup ⊂ events_stream_static_join (in-window) + tests/test_streaming.py
+    "hyperplane_lsh_pairs",  # banded self-join recall pinned by tests/test_lsh_recall.py
+    "data_quality_report",  # grouped rates ⊂ late_shipment_priority_q12 conditional case-sum rates (in-window)
+    "weekly_active_users",  # bucket arithmetic ⊂ events_range_click_counts (in-window)
+    "customers_without_orders",  # outer-join histogram ⊂ order_count_distribution_q13 (in-window)
+    "top_orders_per_customer",  # heap top-k group-limit ⊂ top_customers_lateral LATERAL group-limit (in-window)
+    "order_cube_revenue",  # CUBE Expand ⊂ lineitem_unpivot_stats Expand (in-window)
+    "customer_order_frames",  # running window frames ⊂ user_decayed_value (in-window)
+    # -- clause (a), demoted in r12: the 5 backfill leftovers (greens
+    # -- r1-r4 + r8 + r11; promote in r15, right after
+    # -- wizard_full_chain) --
     "sentiment_distinct_join",  # distinct→infer→join rewrite pinned by tests/test_ml_plumbing.py + tests/test_plans.py
-    "bpe_token_stats",  # BPE tokenize ⊂ bpe_encode_stats (in-window) + tests/test_curation_kernels.py
-    "bm25_topk",  # postings top-k ⊂ bigram_topk (in-window)
-    "stratified_sample_docs",  # per-stratum rates ⊂ temperature_resample keyed sampling (in-window) + tests/test_partition_invariance.py
-    "winnowing_fingerprints",  # rolling-hash shingles ⊂ duplicate_span_flags (in-window) + tests/test_spans.py
-    # -- clause (a), demoted in r11: the 5 r10-cohort leftovers
-    # -- (greens r<=7 + r10; promote in r14) --
-    "lineitem_unpivot_stats",  # Expand shape pinned by tests/test_plans.py
-    "orders_merge_bucketed",  # bucketed SMJ pinned by tests/test_bucketing.py + tests/test_plans.py
-    "orders_upsert_merge",  # MERGE upsert pinned by tests/test_plans.py
-    "part_affinity_topk",  # heap top-k ⊂ bigram_topk (in-window)
-    "part_pagerank",  # checkpointed rounds ⊂ part_triangle_counts iterative graph rounds (in-window)
+    "bpe_token_stats",  # BPE tokenize kernels pinned by tests/test_curation_kernels.py
+    "bm25_topk",  # postings ⊂ phrase_match_docs; heap top-k ⊂ part_affinity_topk (both in-window)
+    "stratified_sample_docs",  # per-stratum keyed sampling ⊂ weighted_sample_docs (in-window) + tests/test_partition_invariance.py
+    "winnowing_fingerprints",  # rolling-hash shingles pinned by tests/test_spans.py
 )
 
 # Entries promoted to the registry head (after the flagship): these
 # must land inside the driver's 50-row checked window regardless of
-# module registration order. Round 13 (VERDICT r12 next-round #1):
-# the flagship + the 8 r<=6+r9-cohort leftovers (the registry's
-# stalest driver evidence, last green r9 — 4 rounds by r13) + the
-# first 41 of the 46-entry r10-window cohort (last green r10), list
-# order = exactly the 50-slot window. After this round no oracled
-# entry's newest driver evidence predates r10.
+# module registration order. Round 14 (VERDICT r13 next-round #1):
+# the flagship + the 5 r10-cohort leftovers (the registry's only
+# pre-r11 driver evidence, last green r10 — promote FIRST) + the
+# clause-(b) witness trio (single r11 green each, demoted r12 — owed
+# their 2nd solo green this round) + the first 41 of the 46-entry
+# r12-demoted cohort (last green r11), list order = exactly the
+# 50-slot window. After this round no oracled entry's newest driver
+# evidence predates r11.
 _PRIORITIZED = (
     "cluster_viz_summary",  # flagship: entry() runs this
-    # -- the 8 r<=6+r9-cohort leftovers (demoted in r10; last driver
-    # -- evidence r9, the registry's stalest — promote FIRST) --
-    "salted_agg_priority_revenue",
-    "events_tumbling_hourly",
-    "events_json_value_counts",
-    "knn_ivf_cells",
-    "embedding_neardup_pairs",
-    "source_vocab_overlap",
-    "events_type_pivot",
-    "incremental_revenue_merge",
-    # -- the first 41 of the 46-entry r10-window cohort (demoted in
-    # -- r11; last driver evidence r10), list order; the 5 leftovers
-    # -- follow in r14 --
-    "events_sliding_hourly",
-    "local_supplier_volume_q5",
-    "promo_revenue_q14",
-    "disjunctive_revenue_q19",
-    "part_triangle_counts",
-    "events_json_roundtrip",
-    "hybrid_rrf_search",
-    "orders_merge_steady",
-    "volume_shipping_q7",
-    "small_qty_revenue_q17",
-    "events_csv_roundtrip",
-    "waiting_suppliers_q21",
-    "min_cost_supplier_q2",
-    "excess_shipment_q20",
-    "idle_customers_q22",
-    "revenue_concentration_q11",
-    "events_orc_roundtrip",
-    "events_xml_roundtrip",
-    "hash_split_profile",
-    "temperature_resample",
-    "video_frame_sample",
-    "bigram_lm_perplexity",
-    "bigram_topk",
-    "bpe_encode_stats",
-    "brand_price_regression",
-    "doc_chunk_windows",
-    "dsir_importance_select",
-    "duplicate_span_flags",
-    "embedding_dim_stats",
-    "event_outliers_mad",
-    "events_asof_cogroup",
-    "events_funnel_stages",
-    "events_hourly_gapfill",
-    "events_stream_stream_join",
-    "events_streaming_upsert",
-    "fuzzy_name_matches",
-    "group_concat_docs",
-    "incremental_minhash_dedup",
-    "knn_int8_rerank",
-    "knn_ivf_pruned",
-    "line_dedup_rebuild",
+    # -- the 5 r10-cohort leftovers (demoted in r11; last driver
+    # -- evidence r10, the registry's stalest — promote FIRST) --
+    "lineitem_unpivot_stats",
+    "orders_merge_bucketed",
+    "orders_upsert_merge",
+    "part_affinity_topk",
+    "part_pagerank",
+    # -- the clause-(b) witness trio (demoted in r12 on a single r11
+    # -- green each; the rotation policy owes them a 2nd solo green
+    # -- within ~2 rounds — this is the round) --
+    "kmeans_clusters",
+    "pca_coords",
+    "approx_distinct_parts",
+    # -- the first 41 of the 46-entry r12-demoted cohort (last driver
+    # -- evidence r11), list order: the 11 r7-leftovers, the 25
+    # -- returnees, the first 5 backfills; the 5 backfill leftovers
+    # -- follow in r15 --
+    "part_price_skyline",
+    "phrase_match_docs",
+    "prefix_jaccard_pairs",
+    "price_decile_histogram",
+    "quality_representative_dedup",
+    "retention_cohorts",
+    "returned_items_q10",
+    "sql_interface_segment_revenue",
+    "url_canonical_dedup",
+    "user_decayed_value",
+    "wizard_chain_stages",
+    "forecast_revenue_q6",
+    "market_share_q8",
+    "product_profit_q9",
+    "late_shipment_priority_q12",
+    "order_count_distribution_q13",
+    "top_supplier_q15",
+    "supplier_part_counts_q16",
+    "large_volume_customers_q18",
+    "semantic_dedup_cells",
+    "perplexity_bucket_filter",
+    "countmin_heavy_hitters",
+    "custom_pysource_links",
+    "events_stream_static_join",
+    "events_variant_extract",
+    "trade_hops_recursive",
+    "top_customers_lateral",
+    "doc_chunks_udtf",
+    "doc_bytes_arrow",
+    "collated_lang_counts",
+    "events_try_ops_safe",
+    "user_event_map_profile",
+    "sql_udf_token_stats",
+    "hard_negative_mining",
+    "source_kl_divergence",
+    "weighted_sample_docs",
+    "events_asof_last_click",
+    "events_range_click_counts",
+    "hash_embeddings",
+    "knn_ivf_multiprobe",
+    "medoid_summaries",
 )
 
 _MODULES = (

@@ -154,3 +154,20 @@ def test_streaming_invariant_at_second_prime_state_count(
     base = _baseline(spark, name)  # runs at the production count (8)
     monkeypatch.setattr(streaming_live, "STATE_PARTITIONS", 7)
     assert _rows_at_partitions(spark, name, None) == base
+
+
+# r14 (VERDICT r13 optional #8): events_streaming_upsert is the one
+# stateful entry whose state lives in BUCKETED PARQUET (the ping-pong
+# user_id-bucketed state tables) rather than the state store, so its
+# second-prime axis is the bucket count, not STATE_PARTITIONS: 7 vs
+# the production 8 lands users in different buckets, every per-batch
+# full-outer merge co-partitions differently, and the DECIMAL batch
+# sums must still compose to the one-shot aggregate.
+def test_streaming_upsert_invariant_at_second_prime_bucket_count(
+    spark, monkeypatch
+):
+    from miba_2023_capstone_rb_nlp_spark.suite import streaming_live
+
+    base = _baseline(spark, "events_streaming_upsert")
+    monkeypatch.setattr(streaming_live, "_UPSERT_BUCKETS", 7)
+    assert _rows_at_partitions(spark, "events_streaming_upsert", None) == base

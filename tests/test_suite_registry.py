@@ -214,15 +214,68 @@ def test_priority_ordering():
 # CORRECTNESS_r*.json rounds may rotate out.
 DRIVER_WINDOW = 50
 ROTATED_OUT = {
-    # ============ round-13 state (VERDICT r12 next-round #1) ======
-    # The r12 window went 50/50 hash-green (seventh consecutive
-    # fully-green round), so every r12-green entry except the
-    # flagship rotated out; the window now holds the R13 slate (the 8
-    # r<=6+r9-cohort leftovers first — the registry's stalest driver
-    # evidence — then the first 41 of the r10-window cohort). The
-    # sets below are the CURRENT demotions (history in git).
-    # Machinery siblings for each are named in suite/__init__.py's
-    # _DEPRIORITIZED comments.
+    # ============ round-14 state (VERDICT r13 next-round #1) ======
+    # The r13 window went 50/50 hash-green (eighth consecutive
+    # fully-green round), so every r13-green entry except the
+    # flagship rotated out via clause (a); the window now holds the
+    # R14 slate (the 5 r10-cohort leftovers first — the registry's
+    # only pre-r11 driver evidence — then the clause-(b) witness trio
+    # owed their 2nd solo green, then the first 41 of the r12-demoted
+    # cohort). The sets below are the CURRENT demotions (history in
+    # git). Machinery siblings for each are named in
+    # suite/__init__.py's _DEPRIORITIZED comments.
+    # -- the r13 window, demoted in r14 (>=2 greens each: the 8
+    # -- r9-cohort returnees r9+r13, the 41 r10-cohort returnees
+    # -- r10+r13) --
+    "salted_agg_priority_revenue",
+    "events_tumbling_hourly",
+    "events_json_value_counts",
+    "knn_ivf_cells",
+    "embedding_neardup_pairs",
+    "source_vocab_overlap",
+    "events_type_pivot",
+    "incremental_revenue_merge",
+    "events_sliding_hourly",
+    "local_supplier_volume_q5",
+    "promo_revenue_q14",
+    "disjunctive_revenue_q19",
+    "part_triangle_counts",
+    "events_json_roundtrip",
+    "hybrid_rrf_search",
+    "orders_merge_steady",
+    "volume_shipping_q7",
+    "small_qty_revenue_q17",
+    "events_csv_roundtrip",
+    "waiting_suppliers_q21",
+    "min_cost_supplier_q2",
+    "excess_shipment_q20",
+    "idle_customers_q22",
+    "revenue_concentration_q11",
+    "events_orc_roundtrip",
+    "events_xml_roundtrip",
+    "hash_split_profile",
+    "temperature_resample",
+    "video_frame_sample",
+    "bigram_lm_perplexity",
+    "bigram_topk",
+    "bpe_encode_stats",
+    "brand_price_regression",
+    "doc_chunk_windows",
+    "dsir_importance_select",
+    "duplicate_span_flags",
+    "embedding_dim_stats",
+    "event_outliers_mad",
+    "events_asof_cogroup",
+    "events_funnel_stages",
+    "events_hourly_gapfill",
+    "events_stream_stream_join",
+    "events_streaming_upsert",
+    "fuzzy_name_matches",
+    "group_concat_docs",
+    "incremental_minhash_dedup",
+    "knn_int8_rerank",
+    "knn_ivf_pruned",
+    "line_dedup_rebuild",
     # -- the r12 window, demoted in r13 (>=3 greens each: the r8
     # -- cohort r1-r4/r8+r12, the r<=6+r9 first half r5/r6/r9+r12) --
     "pricing_summary",
@@ -273,61 +326,13 @@ ROTATED_OUT = {
     "top_orders_per_customer",
     "order_cube_revenue",
     "customer_order_frames",
-    # -- the r11 window, demoted in r12 (>=2 greens each: leftovers
-    # -- r5-r7+r11, returnees r9+r11, backfills r1-r4+r8+r11) --
-    "part_price_skyline",
-    "phrase_match_docs",
-    "prefix_jaccard_pairs",
-    "price_decile_histogram",
-    "quality_representative_dedup",
-    "retention_cohorts",
-    "returned_items_q10",
-    "sql_interface_segment_revenue",
-    "url_canonical_dedup",
-    "user_decayed_value",
-    "wizard_chain_stages",
-    "forecast_revenue_q6",
-    "market_share_q8",
-    "product_profit_q9",
-    "late_shipment_priority_q12",
-    "order_count_distribution_q13",
-    "top_supplier_q15",
-    "supplier_part_counts_q16",
-    "large_volume_customers_q18",
-    "semantic_dedup_cells",
-    "perplexity_bucket_filter",
-    "countmin_heavy_hitters",
-    "custom_pysource_links",
-    "events_stream_static_join",
-    "events_variant_extract",
-    "trade_hops_recursive",
-    "top_customers_lateral",
-    "doc_chunks_udtf",
-    "doc_bytes_arrow",
-    "collated_lang_counts",
-    "events_try_ops_safe",
-    "user_event_map_profile",
-    "sql_udf_token_stats",
-    "hard_negative_mining",
-    "source_kl_divergence",
-    "weighted_sample_docs",
-    "events_asof_last_click",
-    "events_range_click_counts",
-    "hash_embeddings",
-    "knn_ivf_multiprobe",
-    "medoid_summaries",
+    # -- the 5 r12-demoted backfill leftovers (greens r1-r4+r8+r11;
+    # -- promote in r15, right after wizard_full_chain) --
     "sentiment_distinct_join",
     "bpe_token_stats",
     "bm25_topk",
     "stratified_sample_docs",
     "winnowing_fingerprints",
-    # -- the 5 r10-cohort leftovers, demoted in r11 (greens r<=7 +
-    # -- r10; promote in r14) --
-    "lineitem_unpivot_stats",
-    "orders_merge_bucketed",
-    "orders_upsert_merge",
-    "part_affinity_topk",
-    "part_pagerank",
 }
 
 # Round-6 policy amendment, clause (b): an entry may also rotate out
@@ -340,24 +345,14 @@ ROTATED_OUT = {
 # artifact. Rows-only entries (no oracle) satisfy it with a recorded
 # rows-only pass.
 ROTATED_OUT_FRESH = {
-    # The three rows-only→oracled conversions (VERDICT r10 #3/#4)
-    # earned their FIRST driver hash-green in r11 — one green round
-    # each, so clause (a) cannot demote them; clause (b) can, on the
-    # freshest evidence an entry can hold (green in the round
-    # immediately before the demotion). Their witness/error-bound
-    # machinery stays proven by the in-window wizard_full_chain
-    # (cluster + reduce stages) and the tests/ lanes named in
-    # _DEPRIORITIZED.
-    "kmeans_clusters": 12,
-    "pca_coords": 12,
-    "approx_distinct_parts": 12,
     # wizard_full_chain's witness oracle (commit 5757eb4, mid-r11)
     # earned its FIRST driver hash-green in r12 — one green round, so
     # clause (a) cannot demote it; clause (b) can (green in the round
     # immediately before its r13 demotion). Its witness battery stays
     # mutation-tested in tests/test_ml_plumbing.py and its stage
-    # plans pinned in tests/test_plans.py. It returns in r15 with the
-    # r12-green cohort.
+    # plans pinned in tests/test_plans.py. It returns in r15 at the
+    # head of the slate (the kmeans/pca/approx trio, demoted the same
+    # way in r12, returned on schedule in r14).
     "wizard_full_chain": 13,
 }
 CORE_ENTRIES = {
@@ -424,37 +419,38 @@ def test_core_entries_inside_driver_window():
         f"checked window: {sorted(missing)} — adding a new entry requires "
         "demoting a twin via _DEPRIORITIZED"
     )
-    # entries that must sit in the window this round (the R13 slate,
-    # VERDICT r12 next-round #1)
+    # entries that must sit in the window this round (the R14 slate,
+    # VERDICT r13 next-round #1)
     promoted = {
-        # the 8 r<=6+r9-cohort leftovers — the registry's stalest
-        # driver evidence (last green r9), promoted FIRST...
-        "salted_agg_priority_revenue", "events_tumbling_hourly",
-        "events_json_value_counts", "knn_ivf_cells",
-        "embedding_neardup_pairs", "source_vocab_overlap",
-        "events_type_pivot", "incremental_revenue_merge",
-        # ...and the first 41 of the 46-entry r10-window cohort
-        # (last green r10), list order
-        "events_sliding_hourly", "local_supplier_volume_q5",
-        "promo_revenue_q14", "disjunctive_revenue_q19",
-        "part_triangle_counts", "events_json_roundtrip",
-        "hybrid_rrf_search", "orders_merge_steady",
-        "volume_shipping_q7", "small_qty_revenue_q17",
-        "events_csv_roundtrip", "waiting_suppliers_q21",
-        "min_cost_supplier_q2", "excess_shipment_q20",
-        "idle_customers_q22", "revenue_concentration_q11",
-        "events_orc_roundtrip", "events_xml_roundtrip",
-        "hash_split_profile", "temperature_resample",
-        "video_frame_sample", "bigram_lm_perplexity", "bigram_topk",
-        "bpe_encode_stats", "brand_price_regression",
-        "doc_chunk_windows", "dsir_importance_select",
-        "duplicate_span_flags", "embedding_dim_stats",
-        "event_outliers_mad", "events_asof_cogroup",
-        "events_funnel_stages", "events_hourly_gapfill",
-        "events_stream_stream_join", "events_streaming_upsert",
-        "fuzzy_name_matches", "group_concat_docs",
-        "incremental_minhash_dedup", "knn_int8_rerank",
-        "knn_ivf_pruned", "line_dedup_rebuild",
+        # the 5 r10-cohort leftovers — the registry's only pre-r11
+        # driver evidence (last green r10), promoted FIRST...
+        "lineitem_unpivot_stats", "orders_merge_bucketed",
+        "orders_upsert_merge", "part_affinity_topk", "part_pagerank",
+        # ...the clause-(b) witness trio owed their 2nd solo green
+        # since the r12 demotion (single r11 green each)...
+        "kmeans_clusters", "pca_coords", "approx_distinct_parts",
+        # ...and the first 41 of the 46-entry r12-demoted cohort
+        # (last green r11), list order
+        "part_price_skyline", "phrase_match_docs",
+        "prefix_jaccard_pairs", "price_decile_histogram",
+        "quality_representative_dedup", "retention_cohorts",
+        "returned_items_q10", "sql_interface_segment_revenue",
+        "url_canonical_dedup", "user_decayed_value",
+        "wizard_chain_stages", "forecast_revenue_q6",
+        "market_share_q8", "product_profit_q9",
+        "late_shipment_priority_q12", "order_count_distribution_q13",
+        "top_supplier_q15", "supplier_part_counts_q16",
+        "large_volume_customers_q18", "semantic_dedup_cells",
+        "perplexity_bucket_filter", "countmin_heavy_hitters",
+        "custom_pysource_links", "events_stream_static_join",
+        "events_variant_extract", "trade_hops_recursive",
+        "top_customers_lateral", "doc_chunks_udtf", "doc_bytes_arrow",
+        "collated_lang_counts", "events_try_ops_safe",
+        "user_event_map_profile", "sql_udf_token_stats",
+        "hard_negative_mining", "source_kl_divergence",
+        "weighted_sample_docs", "events_asof_last_click",
+        "events_range_click_counts", "hash_embeddings",
+        "knn_ivf_multiprobe", "medoid_summaries",
     }
     assert promoted <= head, sorted(promoted - head)
 
