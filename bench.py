@@ -335,15 +335,23 @@ RESEED_WATCH_RUNS = int(os.environ.get("SPARK_GRAFT_RESEED_WATCH_RUNS", "3"))
 # quiet-host reps (solo or in-sweep) plus a provenance adjudication —
 # recorded in a committed perf_ab file.
 RESEED_FLOOR_VERIFIED: dict[str, dict[float, str]] = {
-    # r13, sf0.1 only: both floors were recorded by the 0.01 %-steal
+    # r13, sf0.1: both floors were recorded by the 0.01 %-steal
     # 3032bcd sweep (the quietest window in repo history, all-time
     # bests suite-wide) — a floor set on the quietest record cannot
     # be burst-inflated. Solo fresh-JVM reps (perf_ab_r13.md) confirm
     # both plans are JIT-warmup-dominated, so only an equally quiet
-    # in-sweep window can beat them; the ratchet keeps trying. The
-    # sf0.01 floors are NOT verified and stay under watch.
-    "kmeans_clusters": {0.1: "perf_ab_r13.md"},
-    "wizard_full_chain": {0.1: "perf_ab_r13.md"},
+    # in-sweep window can beat them; the ratchet keeps trying.
+    # r14, sf0.01 (VERDICT r13 next-round #3): same adjudication for
+    # the sf0.01 floors, which came from the same 3032bcd sweep —
+    # two fresh same-day sf0.01 sweeps (perf_ab_r14.md; the quiet one
+    # at 0.22 % steal) both landed kmeans ~2.15 s / pca ~1.51 s /
+    # wizard ~7.0 s, well above the 1.74/1.09/5.825 records, with
+    # rep-1-dominated JIT profiles: the floors ARE the quietest-
+    # window cost, not burst inflation. pca_coords is included — the
+    # first sf0.01 watch sidecar counted it alongside the named two.
+    "kmeans_clusters": {0.1: "perf_ab_r13.md", 0.01: "perf_ab_r14.md"},
+    "pca_coords": {0.01: "perf_ab_r14.md"},
+    "wizard_full_chain": {0.1: "perf_ab_r13.md", 0.01: "perf_ab_r14.md"},
 }
 
 
