@@ -4,9 +4,13 @@ flukes that only appear with more rows near floor boundaries (the
 failure class the fixed-point recipe is designed to exclude).
 
 Slow (~3-12 min on local[32]); opt in with SPARK_GRAFT_SF01_PARITY=1.
-Last full run: round 13, **153/153 oracles green in 336 s** on the
-post-rotation tree (r13 window reorder + streaming state-partition
-invariance lane + strict ner conf-byte parser). (Round 12: 153/153
+Last full run: round 14, **153/153 oracles green in 458 s** on the
+post-rotation tree (r14 window reorder + sf0.01 reseed-floor
+verification + the upsert bucket-count invariance lane), on a bursty
+host (the build day's steal ran 1-4 %; parity is timing-insensitive).
+(Round 13: 153/153 in 336 s after the r13 rotation, streaming
+state-partition invariance lane and strict ner conf-byte parser;
+round 12: 153/153
 in 340 s after the r12 rotation, wizard enrichment-presence witness
 and conf-driven ner broadcast gate; round 11: 153/153 in
 295 s on the round's final tree — the first sweeps with EVERY
