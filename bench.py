@@ -16,7 +16,8 @@ round-over-round total delta is therefore window noise until proven
 otherwise. Regression adjudication uses (a) the per-entry ratchet
 (bench_reference_sf*.json, floors only tighten), and (b) same-day
 matched-pair sweeps on comparable steal_pct windows — never another
-day's total."""
+day's total. tools/quiet_sweep.py is the committed launch/acceptance
+protocol behind every committed sidecar."""
 
 from __future__ import annotations
 

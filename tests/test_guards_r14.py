@@ -96,6 +96,30 @@ def _try_calls(fn):
     return out
 
 
+def test_quiet_sweep_sidecar_suffix_follows_sf_dir(monkeypatch):
+    """tools/quiet_sweep.py (the committed measurement protocol) must
+    read the SAME per-sf detail sidecar bench.py writes for the run's
+    scale factor — reading the sf0.1 host block while sweeping sf0.01
+    would accept/reject runs on another run's steal figure."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "quiet_sweep",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "quiet_sweep.py"),
+    )
+    qs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qs)
+    monkeypatch.setattr(qs, "SF_DIR", "/root/testdata/sf0.01")
+    assert qs.sf_suffix() == "0.01"
+    monkeypatch.setattr(qs, "SF_DIR", None)
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    assert qs.sf_suffix() == "0.1"
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    assert qs.sf_suffix() == "0.001"
+
+
 def test_main_isolates_watch_failures_from_reference_failures():
     """ADVICE r13 #2: check_reseed_watch must not share
     update_reference's try block, or a watch failure prints
