@@ -31,12 +31,28 @@ def summarize_medoids_stub(
 ) -> DataFrame:
     """Deterministic extractive stand-in: first n tokens of each
     medoid row; non-medoid rows get NULL (reference stores summaries
-    only on medoid rows, word_wizard.py:346-359)."""
-    medoids = df.filter(F.col(medoid_col)).select(
-        F.col(id_col),
-        F.concat_ws(" ", F.slice(tokens(F.col(text_col)), 1, n_tokens)).alias(out_col),
+    only on medoid rows, word_wizard.py:346-359).
+
+    The summary is a conditional COLUMN EXPRESSION, not the
+    filter→compute→join-back shape the transformer path uses: that
+    narrowing exists to bound model inference to the tiny medoid set,
+    but for a token-slice expression the join-back DOUBLES the whole
+    upstream plan (both join inputs re-derive the medoid window) and
+    adds a per-row shuffle to reattach rows the expression could have
+    produced in place — measured 2× the entry cost at sf0.1 and a
+    full extra exchange of the corpus at any scale. ``when`` already
+    evaluates the slice only on medoid rows, so the computation
+    narrowing the reference documents is preserved row-wise.
+    ``id_col`` stays in the signature: the lean/full paths are
+    call-compatible (wizard.py switches on one flag)."""
+    del id_col  # inline expression needs no join-back key
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(medoid_col),
+            F.concat_ws(" ", F.slice(tokens(F.col(text_col)), 1, n_tokens)),
+        ),
     )
-    return df.join(medoids, id_col, "left")
 
 
 def _default_bart_loader(model_name: str):

@@ -165,35 +165,78 @@ def cluster_viz_summary(
 ) -> DataFrame:
     """Flagship reporting query (MVP.ipynb cell-12 re-expressed).
 
-    enriched = documents ⋈ embeddings (1:1 on id) — the analog of the
-    WordWizard enriched table; then per-cluster window count (A6),
-    window mean (A7), medoid filter (P9), fixed projection (P6).
+    Decide-small / move-big-once shape (optimization guide §2.3/§8,
+    r15): every DECISION — centroids, distances, medoid ranks,
+    per-cluster size and char-mean — runs over narrow proxies
+    (label, id, dist, x, y, n_chars); the heavy ``text`` column and
+    the full embedding array never cross a hash exchange. Mirrors the
+    oracle exactly: centroids and ranks are computed from embeddings
+    ALONE (the oracle's ``cent``/``flagged`` CTEs have no documents
+    join), documents attach afterwards.
 
-    Single shuffle on the cluster key; the doc⋈vec join is on the
-    (bucketable) id key and never widens rows beyond the projection.
+    Plan: (1) centroid aggregate (map-side partial, k rows out);
+    (2) the rank window over (label, vec_id, x, y, dist) with the
+    n_med filter directly above row_number so WindowGroupLimit prunes
+    to ≤n_med rows per label per map partition BEFORE the exchange;
+    (3) per-cluster size/mean_chars as ONE partial aggregate over the
+    narrow (id ⋈ n_chars) join — k rows, broadcast back; (4) the
+    ≤k×n_med medoid rows broadcast against documents to fetch text.
+    The old shape shuffled text + the 64-dim array through the label
+    window and computed the doc⋈vec join twice (once under the
+    centroid aggregate, once for the stream).
     """
-    enriched = documents.join(
-        embeddings, documents["doc_id"] == embeddings["vec_id"], "inner"
+    # (1)+(2): decision pass over embeddings only — project x/y and
+    # drop the vector before any exchange
+    narrow = with_centroid_distance(
+        embeddings, "embedding", "label", dim
+    ).select(
+        "label",
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+        "dist",
     )
-    flagged = with_medoids(
-        enriched, "embedding", "label", id_col="vec_id", n_med=n_med, dim=dim
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
     )
-    w = Window.partitionBy("label")
-    v = F.col("embedding")
-    return (
-        flagged.withColumn("size", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "mean_chars",
-            fixed(
-                F.sum("n_chars").over(w).cast("double") / F.count(F.lit(1)).over(w), 4
-            ),
+    medoids = (
+        narrow.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(n_med))
+        .drop("rn")
+    )
+    # (3): size / mean_chars of the doc-joined cluster population as a
+    # k-row aggregate (the oracle's window-over-enr values, same
+    # arithmetic: sum(n_chars) cast double / count, floor-quantized)
+    stats = (
+        embeddings.select("vec_id", "label")
+        .join(
+            documents.select("doc_id", "n_chars"),
+            F.col("vec_id") == F.col("doc_id"),
+            "inner",
         )
-        .filter(F.col("is_medoid"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            fixed(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_chars"),
+        )
+    )
+    # (4): attach text by broadcasting the ≤k×n_med medoid rows —
+    # documents stream, the inner join drops medoids without a doc
+    # row exactly as the oracle's post-rank join does
+    return (
+        documents.select("doc_id", "text")
+        .join(
+            F.broadcast(medoids.join(F.broadcast(stats), "label", "inner")),
+            F.col("doc_id") == F.col("vec_id"),
+            "inner",
+        )
         .select(
             F.col("label").alias("cluster"),
             F.col("size"),
-            v.getItem(0).cast("double").alias("x"),
-            v.getItem(1).cast("double").alias("y"),
+            F.col("x"),
+            F.col("y"),
             F.col("mean_chars"),
             F.col("dist"),
             F.col("doc_id"),

@@ -132,13 +132,23 @@ FROM flagged f JOIN documents doc ON doc.doc_id = f.vec_id
 
 @register("medoid_summaries", oracle=_MEDOID_SUMMARY_ORACLE)
 def q_medoid_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medoid flag + head-truncation summary per doc.
+
+    Decide-small shape (optimization guide §2.3/§8, r15): the medoid
+    window runs over embeddings ALONE — (vec_id, label, dist) is all
+    that crosses the label exchange — and ``text`` attaches by ONE
+    id join afterwards, exactly the oracle's structure (its
+    ``flagged`` CTE has no documents join). The old plan joined text
+    in first, so the window exchange carried text + the 64-dim array;
+    with the summary now an inline expression (summarize stub, r15)
+    the join-back that doubled the whole upstream is gone too."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     embs = catalog.table(spark, sf_dir, "embeddings")
-    joined = docs.join(embs, docs["doc_id"] == embs["vec_id"], "inner")
     flagged = with_medoids(
-        joined, "embedding", "label", id_col="vec_id", n_med=2, dim=EDIM
-    )
-    out = summarize_medoids_stub(flagged, "text", "vec_id", n_tokens=12)
+        embs, "embedding", "label", id_col="vec_id", n_med=2, dim=EDIM
+    ).select("vec_id", "label", "is_medoid")
+    joined = flagged.join(docs, flagged["vec_id"] == docs["doc_id"], "inner")
+    out = summarize_medoids_stub(joined, "text", "vec_id", n_tokens=12)
     return out.select("vec_id", "label", "is_medoid", "summary")
 
 

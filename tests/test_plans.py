@@ -1267,18 +1267,44 @@ def test_weighted_sample_is_heap_topk_no_shuffle(spark):
 # the shapes below had correctness coverage but no executed-plan pin.
 
 
-def test_flagship_two_exchanges_broadcast_docs(spark):
-    """The flagship (SURVEY §3.3): centroid aggregate + label window
-    are the only hash exchanges; the documents join rides a broadcast
-    (never a sort-merge at this dim size), and nothing degenerates to
-    a cartesian."""
+def test_flagship_narrow_exchanges_broadcast_docs(spark):
+    """The flagship (SURVEY §3.3), decide-small shape (r15): three
+    hash exchanges — centroid aggregate, the rank window, the k-row
+    size/mean_chars aggregate — and ALL of them narrow: neither
+    ``text`` nor the 64-dim ``embedding`` array crosses any hash
+    exchange (the old shape shuffled both through the label window).
+    The medoid filter sits directly above row_number, so
+    WindowGroupLimit prunes to ≤n_med rows per label per map
+    partition before the window exchange; joins stay broadcast, no
+    cartesian."""
     df = SUITE["cluster_viz_summary"].fn(spark, SF_TEST_DIR)
     final = _final_plan(df)
-    assert final.count("Exchange hashpartitioning") <= 2
+    assert final.count("Exchange hashpartitioning") <= 3
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in final
     assert "Window" in final
+    assert "WindowGroupLimit" in final
+    for block in _exchange_inputs(_formatted_plan(df)):
+        assert "text#" not in block and "embedding#" not in block, (
+            f"wide column crosses a hash exchange: {block.strip()}"
+        )
+
+
+def _exchange_inputs(formatted: str) -> list[str]:
+    """The ``Input [...]`` line of every (non-broadcast) Exchange block
+    in a formatted plan — the columns whose bytes that shuffle
+    actually carries."""
+    out, in_exchange = [], False
+    for line in formatted.splitlines():
+        import re
+
+        m = re.match(r"\(\d+\) (\w+)", line)
+        if m:
+            in_exchange = m.group(1) == "Exchange"
+        elif in_exchange and line.startswith("Input ["):
+            out.append(line)
+    return out
 
 
 def test_cube_single_exchange_expand(spark):
