@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
 
@@ -42,42 +42,70 @@ def hash_embeddings(
     bit 10 of h; vector = per-bucket signed counts, L2-normalized and
     quantized.
 
-    One explode + one groupBy(id) with dim partial-agg sums — scales
-    like a word count. Oracle mirror: same arithmetic in SQL.
+    MAP-ONLY (r15, optimization guide §2.4): the vector is a per-row
+    statistic, so it folds inside one codegen projection — a
+    token→(bucket, sign) transform aggregated into a dim-long sum
+    array, then normalized. The old shape exploded the token stream,
+    shuffled per-id partial sums (ids are unique per row, so the
+    "partial" aggregation reduced nothing — the exchange carried one
+    row per input row), and JOINED the vectors back on id: at corpus
+    scale that is a full shuffle plus a corpus-sized self-join for a
+    value each row can compute alone. Bucket sums are exact integers
+    (order-free), the norm accumulates left-assoc over s0..s{dim-1},
+    and each component quantizes exactly as before — bit-identical
+    output, and every existing oracle (the same arithmetic in SQL via
+    GROUP BY) is untouched. Rows with NULL text are dropped, matching
+    the old inner join against the exploded token table.
+
     ``salt`` prefixes every token hash — distinct salts are distinct
     deterministic models (the wizard's M1-vs-M2 stand-in pair); the
-    default "" keeps md5(token) exactly, so every existing oracle is
-    untouched.
+    default "" keeps md5(token) exactly.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
-    hv = md5_long(F.concat(F.lit(salt), F.col("t"))) if salt else md5_long(F.col("t"))
-    h = tok.withColumn("hv", hv)
-    signed = h.withColumn("bucket", (F.col("hv") % dim).cast("int")).withColumn(
-        "sign",
-        F.when(F.shiftright("hv", 10).bitwiseAND(1) == 1, F.lit(1)).otherwise(-1),
+    from miba_2023_capstone_rb_nlp_spark.functions.lets import let1
+
+    def tok_pair(tok: Column) -> Column:
+        hv = md5_long(F.concat(F.lit(salt), tok)) if salt else md5_long(tok)
+        return let1(
+            hv,
+            lambda h: F.struct(
+                (h % dim).cast("int").alias("bucket"),
+                F.when(F.shiftright(h, 10).bitwiseAND(1) == 1, F.lit(1))
+                .otherwise(-1)
+                .alias("sign"),
+            ),
+        )
+
+    pairs = F.transform(tokens(F.col(text_col)), tok_pair)
+    sums = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0).cast("bigint"), dim),
+        lambda acc, p: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(p["bucket"] == i, p["sign"].cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
     )
-    sums = signed.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(F.col("bucket") == d, F.col("sign")).otherwise(0)).alias(
-                f"s{d}"
-            )
-            for d in range(dim)
-        ]
+
+    def finish(s: Column) -> Column:
+        norm_sq = None
+        for d in range(dim):
+            term = s[d].cast("double") * s[d]
+            norm_sq = term if norm_sq is None else norm_sq + term
+        return let1(
+            F.sqrt(norm_sq),
+            lambda n: F.array(
+                *[
+                    F.when(n > 0, fixed(s[d] / n, scale)).otherwise(F.lit(0.0))
+                    for d in range(dim)
+                ]
+            ),
+        )
+
+    return df.filter(F.col(text_col).isNotNull()).withColumn(
+        out_col, let1(sums, finish)
     )
-    norm_sq = None
-    for d in range(dim):
-        term = F.col(f"s{d}").cast("double") * F.col(f"s{d}")
-        norm_sq = term if norm_sq is None else norm_sq + term
-    normed = sums.withColumn("_n", F.sqrt(norm_sq))
-    vec = F.array(
-        *[
-            F.when(F.col("_n") > 0, fixed(F.col(f"s{d}") / F.col("_n"), scale))
-            .otherwise(F.lit(0.0))
-            for d in range(dim)
-        ]
-    )
-    out = normed.select(F.col(id_col), vec.alias(out_col))
-    return df.join(out, id_col, "inner")
 
 
 def _default_st_loader(model_name: str):

@@ -779,27 +779,31 @@ def wizard_chain_witnesses(out: DataFrame, clean: DataFrame) -> DataFrame:
             F.lit(True),
         ).alias("enrichment_present"),
     )
-    # corpus membership: broadcast the ≤k×n_med medoid paragraphs and
-    # STREAM the corpus (never the reverse — clean scales, medoids
-    # don't). hits ⊆ mp by construction, so |hits| == |mp| ⇔ every
-    # medoid paragraph appears verbatim in the corpus; the union
-    # counts both sides in one frame (one crossJoin, not three).
-    mp = out.select("paragraph").distinct()
-    hits = (
-        clean.select("paragraph")
-        .join(F.broadcast(mp), "paragraph", "left_semi")
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    probe = (
-        mp.withColumn("_hit", F.lit(0))
-        .unionByName(hits)
-        .agg(
-            F.coalesce(
-                F.sum("_hit") * 2 == F.count(F.lit(1)),
-                F.lit(True),  # empty union (0 medoids) — vacuously in
-            ).alias("in_corpus")
-        )
+    # corpus membership: inline the ≤k×n_med medoid paragraphs as
+    # literals and STREAM the corpus once (never the reverse — clean
+    # scales, medoids don't). The collect is bounded by construction
+    # (the viz table is ≤k×n_med rows, persisted and counted by the
+    # entry) — the same bounded-query-broadcast contract the kNN
+    # operators pin. |matches| == |medoid set| ⇔ every medoid
+    # paragraph appears verbatim in the corpus. The old shape derived
+    # the same boolean lazily through distinct→broadcast-semi→
+    # distinct→union→agg — four scheduled jobs and three exchanges
+    # per run where ONE aggregate over the clean cache suffices
+    # (collect_set is bounded by the ≤k×n_med match set, so the
+    # partial aggregation ships at most that many strings per
+    # partition).
+    paras = [
+        r[0] for r in out.select("paragraph").distinct().collect()
+    ]
+    probe = clean.agg(
+        (
+            F.size(
+                F.collect_set(
+                    F.when(F.col("paragraph").isin(paras), F.col("paragraph"))
+                )
+            )
+            == F.lit(len(paras))
+        ).alias("in_corpus")
     )
     one = head.crossJoin(probe)
     return _witness_rows(

@@ -1610,26 +1610,26 @@ def test_wizard_witness_shapes(spark):
     """wizard_full_chain (mid-r11, the LAST rows-only→oracled
     conversion): the witness derivation must (a) scan the persisted
     ≤k×n_med viz table and the persisted clean table — the final
-    section shows ≥4 InMemoryTableScans (three viz reads + the
+    section shows ≥2 InMemoryTableScans (the head's viz read + the
     corpus probe's clean read) so no witness branch re-runs the
-    chain; (b) keep the corpus-membership probe scale-correct: a
-    BroadcastHashJoin LeftSemi with BuildRight — the ≤10-row medoid
-    frame is the broadcast side and the corpus STREAMS (broadcasting
-    the corpus would cap the operator at driver memory at 100 TB);
+    chain; (b) keep the corpus-membership probe scale-correct and
+    join-free (r15): the ≤k×n_med medoid paragraphs ride into ONE
+    aggregate over the streaming corpus as an isin literal set with a
+    bounded collect_set (the kNN bounded-query contract) — no semi
+    join, no distinct exchanges, and never a broadcast of the corpus;
     (c) contain exactly ONE BroadcastNestedLoopJoin — the deliberate
     1-row×1-row crossJoin of the two witness frames — and no
     CartesianProduct anywhere."""
     df = SUITE["wizard_full_chain"].fn(spark, SF_TEST_DIR)
-    assert _optimized_plan(df).count("LeftSemi") == 1
+    opt = _optimized_plan(df)
+    assert "Join LeftSemi" not in opt
+    assert "collect_set" in opt
+    assert (" IN (" in opt) or ("INSET" in opt)
     plan = _executed_plan(df)
     final = plan.split("== Initial Plan ==", 1)[0]
     assert plan.count("CartesianProduct") == 0
     assert final.count("BroadcastNestedLoopJoin") == 1
-    assert final.count("InMemoryTableScan") >= 4
-    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
-    assert semi and all(
-        "BroadcastHashJoin" in ln and "BuildRight" in ln for ln in semi
-    )
+    assert final.count("InMemoryTableScan") >= 2
 
 
 def test_json_value_counts_schema_on_read_single_scan(spark):
