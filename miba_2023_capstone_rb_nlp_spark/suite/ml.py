@@ -208,26 +208,6 @@ UNION ALL SELECT 'wss_le_tss', 1.0
 """
 
 
-def _emb_var_frames(x: DataFrame):
-    """(quantized per-dim variance frame, raw per-dim moment frame)
-    from an exploded (dim, v) frame — the Spark mirror of
-    ``_EMB_VAR_CTE``."""
-    from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec, fixed
-
-    qdim = x.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dec(fixed(F.col("v"), 6), 6)).cast("double").alias("s1"),
-        F.sum(dec(fixed(F.col("v") * F.col("v"), 8), 8, 18))
-        .cast("double")
-        .alias("s2"),
-    )
-    meanq = fixed(F.col("s1") / F.col("n"), 6)
-    vr = qdim.select(
-        "n", fixed(F.col("s2") / F.col("n") - meanq * meanq, 6).alias("variance")
-    )
-    return vr
-
-
 def _witness_rows(one_row: DataFrame, pairs: list) -> DataFrame:
     """Explode a 1-row frame of named expressions into (witness,
     value) rows — one job, no driver-side collect."""
@@ -254,7 +234,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-negative and ≤ total SS per the law of total variance),
     pinned as constant-true rows. Everything is one lazy plan over
     the persisted assignment — no driver-side collect."""
-    from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec, fixed
     from miba_2023_capstone_rb_nlp_spark.suite import persist_tracked
 
     e = catalog.table(spark, sf_dir, "embeddings")
@@ -266,37 +246,52 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     x = assigned.select("cluster", F.posexplode("v").alias("dim", "v"))
-    # one exploded pass → per-(cluster, dim) float moments; global
-    # per-dim moments re-aggregate the partials (no second explode)
+    # ONE exploded pass → per-(cluster, dim) float AND quantized-
+    # decimal moments; wss, tss_f and tss_q all re-aggregate these
+    # k×dim rows through a linear cascade (r15, guide §2.3). The old
+    # shape fanned the unpersisted (cluster, dim) aggregate into two
+    # consumers and ran a THIRD exploded pass for the decimal recipe,
+    # so the 64× explode+aggregate over the corpus executed three
+    # times per run. Quantization still happens per ROW before any
+    # sum, and decimal addition is associative, so regrouping
+    # (cluster, dim) → dim is exact — tss_q is bit-identical to the
+    # oracle's single-level sum. The float wss/tss_f reassociation
+    # only moves values within the 1e-6 slack their threshold
+    # witnesses already carry.
     cdim = x.groupBy("cluster", "dim").agg(
         F.count(F.lit(1)).alias("nc"),
         F.sum("v").alias("s1"),
         F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(dec(fixed(F.col("v"), 6), 6)).alias("q1"),
+        F.sum(dec(fixed(F.col("v") * F.col("v"), 8), 8, 18)).alias("q2"),
     )
-    wss_df = cdim.agg(
-        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("nc")).alias("wss")
+    dim_tot = cdim.groupBy("dim").agg(
+        F.sum("nc").alias("n"),
+        F.sum("s1").alias("gs1"),
+        F.sum("s2").alias("gs2"),
+        F.sum("q1").alias("qq1"),
+        F.sum("q2").alias("qq2"),
+        F.sum(
+            F.col("s2") - F.col("s1") * F.col("s1") / F.col("nc")
+        ).alias("wss_d"),
     )
-    tssf_df = (
-        cdim.groupBy("dim")
-        .agg(
-            F.sum("nc").alias("n"),
-            F.sum("s1").alias("gs1"),
-            F.sum("s2").alias("gs2"),
-        )
-        .agg(
-            F.sum(
-                F.col("gs2") - F.col("gs1") * F.col("gs1") / F.col("n")
-            ).alias("tss_f")
-        )
+    meanq = fixed(F.col("qq1").cast("double") / F.col("n"), 6)
+    per_dim = dim_tot.select(
+        "n",
+        "wss_d",
+        (F.col("gs2") - F.col("gs1") * F.col("gs1") / F.col("n")).alias(
+            "tss_d"
+        ),
+        fixed(
+            F.col("qq2").cast("double") / F.col("n") - meanq * meanq, 6
+        ).alias("variance"),
     )
-    # quantized tss: the dim-stats decimal recipe (its own explode —
-    # the quantization must happen per ROW, pre-aggregation, to match
-    # the oracle's textual order)
-    vr = _emb_var_frames(x.select("dim", "v"))
-    tssq_df = vr.agg(
+    moments = per_dim.agg(
+        F.sum("wss_d").alias("wss"),
+        F.sum("tss_d").alias("tss_f"),
         (F.sum(dec(F.col("variance"), 6)) * F.max("n"))
         .cast("double")
-        .alias("tss_q")
+        .alias("tss_q"),
     )
     sizes_df = (
         assigned.groupBy("cluster")
@@ -304,12 +299,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sz").alias("sum_sz"), F.count(F.lit(1)).alias("k_used"))
     )
     n_df = assigned.agg(F.count(F.lit(1)).alias("n_assigned"))
-    one = (
-        n_df.crossJoin(sizes_df)
-        .crossJoin(wss_df)
-        .crossJoin(tssf_df)
-        .crossJoin(tssq_df)
-    )
+    one = n_df.crossJoin(sizes_df).crossJoin(moments)
     return _witness_rows(
         one,
         [
@@ -390,26 +380,36 @@ def q_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("sy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
+    # ONE exploded pass (r15, guide §2.3): float and quantized-decimal
+    # per-dim moments come out of the same groupBy — the old shape ran
+    # the 64× explode+aggregate twice (once for the decimal recipe,
+    # once for the float total). Per-row quantization and the decimal
+    # sums are textually unchanged, so total_var_q is bit-identical.
+    from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
+
     x = base.select(F.posexplode("emb").alias("dim", "v"))
-    vr = _emb_var_frames(x)
-    tot_q = vr.agg(
-        F.sum(dec(F.col("variance"), 6)).cast("double").alias("total_var_q")
+    qdim = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(dec(fixed(F.col("v"), 6), 6)).alias("q1"),
+        F.sum(dec(fixed(F.col("v") * F.col("v"), 8), 8, 18)).alias("q2"),
     )
-    tot_f = (
-        x.groupBy("dim")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("v").alias("s1"),
-            F.sum(F.col("v") * F.col("v")).alias("s2"),
-        )
-        .agg(
-            F.sum(
-                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-                / F.col("n")
-            ).alias("total_var_f")
-        )
+    meanq = fixed(F.col("q1").cast("double") / F.col("n"), 6)
+    per_dim = qdim.select(
+        fixed(
+            F.col("q2").cast("double") / F.col("n") - meanq * meanq, 6
+        ).alias("variance"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / F.col("n")
+        ).alias("var_f"),
     )
-    one = stats.crossJoin(tot_q).crossJoin(tot_f)
+    tots = per_dim.agg(
+        F.sum(dec(F.col("variance"), 6)).cast("double").alias("total_var_q"),
+        F.sum("var_f").alias("total_var_f"),
+    )
+    one = stats.crossJoin(tots)
     explained = (
         F.col("sxx") / F.col("n")
         - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
