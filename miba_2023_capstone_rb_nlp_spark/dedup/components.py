@@ -22,6 +22,12 @@ Per-round DataFrames are localCheckpoint'ed so lineage stays O(1)
 deep (no exponential re-execution under lazy eval); convergence is
 detected by counting changed labels (propagation, every 2 rounds to
 halve driver round-trips) or by an edge-set signature (star).
+
+Checkpoints are LAZY (eager=False, r15): every round is immediately
+followed by a driver action (the convergence count / signature
+collect), so the first action materializes the checkpoint inside its
+own job — an eager checkpoint ran the identical computation as a
+separate extra job per round for nothing.
 """
 
 from __future__ import annotations
@@ -56,7 +62,7 @@ def connected_components(
     # HDFS for fault tolerance instead.
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     try:
         for rnd in range(1, max_iter + 1):
             msgs = (
@@ -71,7 +77,7 @@ def connected_components(
                     F.least("lbl", "mlbl").alias("lbl"),  # least skips nulls
                     (F.col("mlbl") < F.col("lbl")).alias("__chg"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             labels = upd.drop("__chg")
             # convergence probed EVERY round: the probe is one tiny
@@ -125,7 +131,7 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def signature(df: DataFrame) -> tuple:
@@ -162,7 +168,7 @@ def connected_components_star(
         e = (
             center_edges.unionAll(member_edges)
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sig = signature(e)
         if new_sig == sig:

@@ -133,7 +133,7 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it the ROUNDS aggregates nest into one plan where every round's
     # broadcast subtree re-plans all earlier rounds — analysis cost
     # and stage count grow per round instead of staying O(1)
-    nodes = norme.select("src").distinct().localCheckpoint(eager=True)
+    nodes = norme.select("src").distinct().localCheckpoint(eager=False)
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"),
@@ -156,7 +156,7 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     9,
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("node").alias("part"), "pr")
 

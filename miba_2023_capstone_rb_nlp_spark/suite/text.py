@@ -674,7 +674,7 @@ def _bpe_learn(d: DataFrame) -> DataFrame:
         top = (
             counts.orderBy(F.col("pair_count").desc(), "pa", "pb")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         merges.append(
             top.select(
@@ -704,7 +704,7 @@ def _bpe_learn(d: DataFrame) -> DataFrame:
                         ),
                     ).alias("sym"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
     out = merges[0]
     for m in merges[1:]:
