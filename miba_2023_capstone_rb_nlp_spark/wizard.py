@@ -29,7 +29,7 @@ transformer paths where installed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark.ml.clustering import (
@@ -337,21 +337,32 @@ class WordWizard:
 
     # -- flagship reporting query (MVP.ipynb cell-12) ------------------
     def viz_summary(self) -> DataFrame:
-        """Window count + window mean sentiment + medoid filter +
-        7-col projection (§3.3 reporting query)."""
+        """Per-cluster count + mean sentiment + medoid filter + 7-col
+        projection (§3.3 reporting query).
+
+        Decide-small shape (optimization guide §2.3, r15): the
+        per-cluster size/sentiment are a k-row groupBy aggregate
+        (map-side partial, k rows cross the exchange) broadcast onto
+        the PRE-FILTERED ≤k×n_med medoid rows. The old shape computed
+        them as window columns, shuffling the whole enriched table —
+        paragraph text, embedding arrays, NER/topic arrays — through
+        the label exchange only to keep ≤k×n_med rows of it. Values
+        are unchanged: both aggregate the same rows per cluster, and
+        the chain's oracle-compared sentiment total quantizes at 1e-3
+        against a value that is integer±1e-11 by construction."""
         for col, producer in [
             (self.medoid_col, "cluster_embeddings()"),
             (self.interest + SENTIMENT_SUFFIX, "find_sentiment()"),
             (REDUCED_COL, "reduce_demensionality()"),
         ]:
             self._require(col, producer)
-        w = Window.partitionBy(self.cluster_col)
+        stats = self.df.groupBy(self.cluster_col).agg(
+            F.count(F.lit(1)).alias("size"),
+            F.avg(self.interest + SENTIMENT_SUFFIX).alias("sentiment"),
+        )
         out = (
-            self.df.withColumn("size", F.count(F.lit(1)).over(w))
-            .withColumn(
-                "sentiment", F.avg(self.interest + SENTIMENT_SUFFIX).over(w)
-            )
-            .filter(F.col(self.medoid_col))
+            self.df.filter(F.col(self.medoid_col))
+            .join(F.broadcast(stats), self.cluster_col, "inner")
             .select(
                 F.col(self.cluster_col).alias("cluster"),
                 "size",
