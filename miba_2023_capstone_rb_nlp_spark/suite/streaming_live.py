@@ -114,10 +114,17 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(path).schema
 
     def read():
+        # project to the three columns the query touches (dedup key,
+        # watermark column, count key) BEFORE the stateful operator:
+        # dropDuplicates keys the state by event_id but stores the
+        # whole row for emission, so every extra column — notably the
+        # JSON props payload — would be shuffled into and held in the
+        # dedup state store (guide §2.3/§4: shuffle keys and needed
+        # metadata, not payloads)
         return normalize_event_ts(
             spark.readStream.schema(raw_schema)
             .parquet(os.path.join(sf_dir, "events.*"))
-        )
+        ).select("event_id", "ts", "event_type")
 
     doubled = read().unionByName(read())
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
