@@ -63,35 +63,46 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
     ).localCheckpoint(eager=False)
+    # monotone fixpoint probe (r15): labels only ever DECREASE, so the
+    # rounds have converged exactly when sum(lbl) stops falling — one
+    # scalar per round from the same job that materializes the new
+    # labels, replacing the old left-join change-flag (which cost an
+    # extra join + broadcast build every round). decimal(38,0): exact
+    # for any realistic Σ of 64-bit ids.
+    def _lbl_sum(df: DataFrame):
+        [row] = df.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()
+        return row["s"]
+
+    prev = _lbl_sum(labels)
     try:
         for rnd in range(1, max_iter + 1):
-            msgs = (
-                sym.join(labels, sym["s"] == labels["id"])
-                .groupBy("d")
-                .agg(F.min("lbl").alias("mlbl"))
+            # min over {self} ∪ incoming neighbor labels in ONE
+            # groupBy: the self-label rides the union, so no second
+            # join is needed to keep message-less vertices or to
+            # apply least(lbl, mlbl)
+            msgs = sym.join(labels, sym["s"] == labels["id"]).select(
+                F.col("d").alias("id"), F.col("lbl")
             )
             upd = (
-                labels.join(msgs, labels["id"] == msgs["d"], "left")
-                .select(
-                    labels["id"],
-                    F.least("lbl", "mlbl").alias("lbl"),  # least skips nulls
-                    (F.col("mlbl") < F.col("lbl")).alias("__chg"),
-                )
+                labels.unionAll(msgs)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"))
                 .localCheckpoint(eager=False)
             )
-            labels = upd.drop("__chg")
+            labels = upd
             # convergence probed EVERY round: the probe is one tiny
-            # count job over the just-checkpointed labels, while a
-            # wasted extra round costs two full shuffles plus a
+            # agg job over the just-checkpointed labels, while a
+            # wasted extra round costs a full shuffle plus a
             # checkpoint — at any scale the probe is the cheaper side
-            # of that trade (near-dup graphs converge in 3-4 rounds,
-            # so an every-2nd-round probe regularly paid the extra
-            # round)
-            changed = upd.where(F.col("__chg")).count()
-            if changed == 0:
+            # of that trade (near-dup graphs converge in 3-4 rounds)
+            cur = _lbl_sum(upd)
+            if cur == prev:
                 return labels.select(
                     F.col("id").alias(id_col), F.col("lbl").alias("component")
                 )
+            prev = cur
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     finally:
         sym.unpersist()

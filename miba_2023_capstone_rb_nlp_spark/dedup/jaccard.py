@@ -62,10 +62,33 @@ def jaccard_pairs(
     above the budget. ``None`` disables the pass (callers that just
     verified post-LSH candidates on a bounded set).
     """
-    sh = shingle_table(df, text_col, id_col, n).select(
-        "doc", md5_long(F.col("s")).alias("hs")
+    # two-projection shape: the distinct shingle array is materialized
+    # once per doc, its SIZE (the per-doc shingle count the jaccard
+    # denominator needs) is read off map-side, and only then does the
+    # explode run — so ``n_sh`` rides the self-join exchange as 8
+    # bytes/row instead of being re-derived by a separate aggregate
+    # and joined back (guide §8: decide with small metadata carried
+    # along; at corpus scale the per-doc size table is NOT
+    # broadcastable, so the old sizes-join was two more full-table
+    # shuffles and two more corpus scans)
+    # md5 applied INSIDE the array (after the string-level distinct,
+    # so counts match the string-keyed oracle exactly): the explode
+    # then emits the hash itself, and the join's inferred
+    # isnotnull(key) filter lands on the generated column instead of
+    # re-hashing every shingle a second time (guide §4.4's
+    # duplicated-evaluation hazard, JVM-expression edition)
+    sh_full = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            F.array_distinct(word_ngrams(F.col(text_col), n)), md5_long
+        ).alias("_a"),
+    ).select(
+        "doc",
+        F.size(F.col("_a")).cast("bigint").alias("n_sh"),
+        F.explode(F.col("_a")).alias("hs"),
     )
     if candidate_budget is not None:
+        sh = sh_full.select("doc", "hs")
         cand = sh.groupBy("hs").agg(F.count(F.lit(1)).alias("df")).agg(
             F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pairs")
         ).collect()[0]["pairs"]
@@ -79,22 +102,24 @@ def jaccard_pairs(
                 "verify only its survivors, or raise the budget "
                 "explicitly if the cluster can absorb the shuffle."
             )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     # SHUFFLE_HASH: exchange-reuse computes the shingle table once
-    a = sh.hint("SHUFFLE_HASH").alias("a")
-    b = sh.alias("b")
+    a = sh_full.hint("SHUFFLE_HASH").alias("a")
+    b = sh_full.alias("b")
+    # n_sh is constant within each (da, db) group (functionally
+    # dependent on the doc id), so min() recovers exactly the value
+    # the old sizes-join supplied
     inter = (
         a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min(F.col("a.n_sh")).alias("na"),
+            F.min(F.col("b.n_sh")).alias("nb"),
+        )
     )
-    na = sizes.select(F.col("doc").alias("da"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc").alias("db"), F.col("n_sh").alias("nb"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.join(na, "da")
-        .join(nb, "db")
-        .withColumn("jaccard", fixed(jac, scale))
+        inter.withColumn("jaccard", fixed(jac, scale))
         .filter(F.col("jaccard") >= threshold)
         .select("da", "db", "inter", "jaccard")
     )

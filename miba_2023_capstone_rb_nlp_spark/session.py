@@ -54,6 +54,24 @@ def get_spark(
         # The driver's events table carries TIMESTAMP(NANOS) parquet,
         # which Spark rejects; read as long and convert in catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate (SPARK-32295) pre-filters
+        # explode(arr) with size(arr)>0 AND isnotnull(arr) — but
+        # PushDownPredicates then substitutes the array's DEFINING
+        # EXPRESSION into that filter and sinks it below the
+        # parallelizing exchange, so every derived-array explode
+        # (shingles, n-gram hashes, chunk windows) evaluates its
+        # whole tokenize+hash expression TWICE, the first time on the
+        # unparallelized scan side (measured r15: the filter clone of
+        # a 4-gram md5 array ran on the single scan task of each
+        # sf file). The inferred filter only skips empty-array rows
+        # — never worth a doubled corpus-wide expression at any
+        # scale, so the rule is excluded session-wide (plan-pinned by
+        # tests; results are unaffected by construction — the rule
+        # only adds redundant filters).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Generated-class cache (default 100 entries): the suite runs
         # ~70 distinct queries, several codegen stages each — at 100
         # the cache thrashes and repeat runs recompile (janino) the
