@@ -370,6 +370,11 @@ def q_events_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table names keyed by scale factor, like the paths — two
     # sessions on different sf_dirs must not clobber each other
     tables = (f"stream_upsert_{sf_name}_a", f"stream_upsert_{sf_name}_b")
+    # NOTE (r15, measured): the 32-task empty seed write looks
+    # wasteful in stage metrics, but coalescing it to 1 partition
+    # DOUBLED the entry (4.2 → 8.3 s interleaved A/B) — a zero-file
+    # bucketed seed knocks the first micro-batch's merge off the
+    # bucketed-scan path. Left as-is deliberately.
     empty = spark.createDataFrame(
         [], "user_id bigint, n_events bigint, sum_dec decimal(18,2)"
     )

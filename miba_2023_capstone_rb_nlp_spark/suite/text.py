@@ -379,11 +379,21 @@ def _bigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     per_db = persist_tracked(per_db)
+    # materialize the cache ONCE, sequentially, before the model's
+    # broadcast-build jobs fan out: those run in concurrent threads
+    # at query start, and each of the ~7 cold consumers re-ran the
+    # full tokenize+explode+groupBy pipeline (measured 85 s of
+    # executorRunTime at sf0.1 for a 4 s query — all recompute)
+    per_db.count()
     c2 = per_db.groupBy("w1", "w2").agg(F.sum("c").alias("n2"))
-    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     vocab = c2.agg(F.countDistinct("w2").alias("v"))
+    # context totals as a window over c2 (same exchange key) instead
+    # of a separate aggregate joined back — one c2 derivation, no
+    # self-join (guide §2.4: share the partitioning)
     feat = (
-        c2.join(c1, "w1")
+        c2.withColumn(
+            "n1", F.sum("n2").over(Window.partitionBy("w1"))
+        )
         .crossJoin(F.broadcast(vocab))
         .select(
             "w1",
