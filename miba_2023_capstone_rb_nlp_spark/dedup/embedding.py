@@ -244,9 +244,14 @@ def hyperplane_candidates(
         df, vec_col, id_col, dim, n_planes, rows_per_band, n_flips
     )
     a = entries.select("band", "bucket", F.col("_id").alias("ia"))
-    b = entries.filter(F.col("is_primary")).select(
-        "band", "bucket", F.col("_id").alias("ib")
-    )
+    # with no probe entries every row is primary, so the is_primary
+    # filter is the identity — skipping it keeps the b-side subtree
+    # canonical-equal to the a-side, and the (band, bucket) exchange
+    # is REUSED at runtime: the signature MapInPandas pass over the
+    # corpus runs ONCE instead of twice (r15; the filter's only effect
+    # was defeating stage reuse)
+    b_src = entries if n_flips == 0 else entries.filter(F.col("is_primary"))
+    b = b_src.select("band", "bucket", F.col("_id").alias("ib"))
     return (
         a.hint("SHUFFLE_HASH")
         .join(b, on=["band", "bucket"])
@@ -293,6 +298,13 @@ def hyperplane_lsh_pairs(
     cand = hyperplane_candidates(
         df, vec_col, id_col, dim, n_planes, rows_per_band, n_flips
     )
+    # AQE coalesces the tiny distinct-candidates exchange to ONE
+    # partition, and the broadcast vector joins preserve it — so the
+    # vectorized scoring pass below would run on a single core. Spread
+    # the candidate rows (id pairs only — the vectors attach after)
+    # across the cluster before the scoring chain; scale-adaptive via
+    # defaultParallelism, same device as catalog.cpu_table (r15).
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     vecs = df.select(F.col(id_col).alias("_jid"), F.col(vec_col).alias("_jv"))
     paired = (
         cand.join(vecs, cand["va"] == vecs["_jid"])
