@@ -354,18 +354,21 @@ def q_events_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     by batchId for exactly-once under retries; AvailableNow + memory
     state here keeps the harness hermetic.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _set_utc(spark)  # warn-once UTC pin (catalog policy)
     from miba_2023_capstone_rb_nlp_spark.catalog import sf_name as _sfn
 
     sf_name = _sfn(sf_dir)  # alnum-safe: doubles as a table-name key
-    drop_dir = _warehouse_dir("stream_ingest", sf_name)
-    ev = normalize_event_ts(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ).select("user_id", "value")
-    # the file-drop layout: 4 files → 4 micro-batches
-    ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
-    schema = spark.read.parquet(drop_dir).schema
+    # file-drop layout: the shared 4-file split staging copy (the same
+    # fingerprint-cached source events_stateful_running streams from)
+    # instead of a per-run projected rewrite of events — the old shape
+    # paid a full batch write of the feed EVERY run just to stage it
+    # (r15, guide §6: don't rewrite inputs you can read). The merge
+    # needs only (user_id, value): projected in the stream read, so
+    # parquet column pruning keeps ts/props bytes off the scan and the
+    # per-batch aggregate. Batch composition differs from the old
+    # projected drop (rows land in different files), but the per-batch
+    # partials compose by exact-DECIMAL addition — associative, so the
+    # final merged state is identical by construction.
+    schema, split_dir = _split_events(spark, sf_dir)
 
     # table names keyed by scale factor, like the paths — two
     # sessions on different sf_dirs must not clobber each other
@@ -406,7 +409,8 @@ def q_events_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         query = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(drop_dir)
+            .parquet(split_dir)
+            .select("user_id", "value")
             .writeStream.foreachBatch(upsert)
             .trigger(availableNow=True)
             .start()
