@@ -447,7 +447,11 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc").alias("cdoc"),
             fixed(matches.cast("double") / K, 6).alias("est_jaccard"),
         )
-        .dropDuplicates(["bdoc", "cdoc"])
+        # no pair-dedup pass: a pair colliding in several bands emits
+        # EXACT duplicate rows (est_jaccard is a function of the two
+        # signatures), and the struct-max below is duplicate-blind —
+        # the old dropDuplicates cost a full extra exchange + two
+        # hash aggregates over the candidate stream for nothing (r15)
     )
     best = (
         scored.groupBy("bdoc")
@@ -464,9 +468,21 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_m.est_jaccard").alias("est_jaccard"),
         )
     )
+    # the output spine reads doc_id straight off the parquet scan (no
+    # cpu_table respread — there is no per-row compute on this side)
+    # and BROADCASTS best: |best| ≤ |batch|, and the batch side is
+    # already under the entry's documented broadcast budget (bb above),
+    # so the spine never shuffles at all — the old shape paid a
+    # round-robin exchange + a hash exchange + sort for an SMJ against
+    # a table bounded by the broadcast contract (r15, guide §3.1)
+    spine = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _INC_SPLIT_MOD == 0)
+        .select("doc_id")
+    )
     return (
-        batch.select("doc_id")
-        .join(best, batch["doc_id"] == best["bdoc"], "left")
+        spine
+        .join(F.broadcast(best), spine["doc_id"] == best["bdoc"], "left")
         .select(
             F.col("doc_id").alias("batch_doc"),
             "dup_of",
