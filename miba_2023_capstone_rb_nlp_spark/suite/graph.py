@@ -270,11 +270,21 @@ def triangle_counts(e: DataFrame) -> DataFrame:
     )
     w1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
     w2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
-    wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
+    # SHUFFLE_HASH on both joins (r15, guide §3.2): sort-merge sorted
+    # the O(E^1.5) wedge stream (and both self-join sides) only to
+    # probe |E|-bounded build sides. A shuffled-hash join streams the
+    # wedges unsorted and builds on the bounded side — the self-join's
+    # build partition is the oriented edge set (out-degree already
+    # O(sqrt E) by the orientation), the semi join's is the canonical
+    # edge set. The hint is consumed at strategy choice, so the two
+    # identical w1/w2 exchange subtrees still stage-dedup at runtime.
+    wedges = w1.join(w2.hint("SHUFFLE_HASH"), "src").filter(
+        F.col("v") < F.col("w")
+    )
     closing = e.select(
         F.col("ea").alias("v"), F.col("eb").alias("w")
     )
-    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    tri = wedges.join(closing.hint("SHUFFLE_HASH"), ["v", "w"], "left_semi")
     return (
         tri.select(F.explode(F.array("src", "v", "w")).alias("part"))
         .groupBy("part")

@@ -470,45 +470,66 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- dense: hash-embedding cosine vs the constant query vector ---
     # lowercased to match the sparse tokenizer (ADVICE r6 #5): the
     # query vector is built from lowercase QUERY_TERMS, so capitalized
-    # occurrences must hash into the same buckets as the query's
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    # occurrences must hash into the same buckets as the query's.
+    # MAP-ONLY (r15, same device as ml/embeddings.hash_embeddings):
+    # the per-doc vector is a per-row statistic, so it folds into one
+    # codegen projection — token→(bucket, sign) aggregated into an
+    # 8-long integer sum array, then norm/quantize/dot in place. The
+    # old shape exploded the whole token stream and shuffled per-doc
+    # conditional sums through a corpus-wide hash exchange for a value
+    # each row can compute alone. Bucket sums are exact integers and
+    # the norm/e_d/dot accumulation order is unchanged (s0..s7,
+    # left-assoc; e_d quantized BEFORE the dot) — bit-identical cos_q.
+    from miba_2023_capstone_rb_nlp_spark.functions.lets import let1
+
+    def _tok_pair(tok):
+        return let1(
+            md5_long(tok),
+            lambda hv: F.struct(
+                (hv % _DENSE_DIM).cast("int").alias("bucket"),
+                F.when(F.shiftright(hv, 10).bitwiseAND(1) == 1, F.lit(1))
+                .otherwise(-1)
+                .alias("sign"),
+            ),
+        )
+
+    pairs = F.transform(
+        F.split(F.lower(F.col("text")), " "), _tok_pair
     )
-    h = tok.select(
-        "doc_id", md5_long(F.col("t")).alias("hv")
-    ).withColumn(
-        "sgn",
-        F.when(F.shiftright("hv", 10).bitwiseAND(1) == 1, F.lit(1)).otherwise(-1),
+    sums = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0).cast("bigint"), _DENSE_DIM),
+        lambda acc, p: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(p["bucket"] == i, p["sign"].cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
     )
-    sums = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.col("hv") % _DENSE_DIM == dd, F.col("sgn")).otherwise(0)
-            ).alias(f"s{dd}")
-            for dd in range(_DENSE_DIM)
-        ]
-    )
-    norm_sq = None
-    for dd in range(_DENSE_DIM):
-        t_ = F.col(f"s{dd}").cast("double") * F.col(f"s{dd}")
-        norm_sq = t_ if norm_sq is None else norm_sq + t_
-    vec = sums.withColumn("_n", F.sqrt(norm_sq)).select(
-        "doc_id",
-        *[
-            F.when(
-                F.col("_n") > 0, fixed(F.col(f"s{dd}") / F.col("_n"), 6)
-            )
-            .otherwise(F.lit(0.0))
-            .alias(f"e{dd}")
-            for dd in range(_DENSE_DIM)
-        ],
-    )
-    dot = None
-    for dd in range(_DENSE_DIM):
-        t_ = F.col(f"e{dd}") * F.lit(_QVEC[dd])
-        dot = t_ if dot is None else dot + t_
+
+    def _cos_q(s):
+        norm_sq = None
+        for dd in range(_DENSE_DIM):
+            t_ = s[dd].cast("double") * s[dd]
+            norm_sq = t_ if norm_sq is None else norm_sq + t_
+
+        def _dot(n):
+            dot = None
+            for dd in range(_DENSE_DIM):
+                e_ = (
+                    F.when(n > 0, fixed(s[dd] / n, 6))
+                    .otherwise(F.lit(0.0))
+                )
+                t_ = e_ * F.lit(_QVEC[dd])
+                dot = t_ if dot is None else dot + t_
+            return fixed(dot, 6)
+
+        return let1(F.sqrt(norm_sq), _dot)
+
     dn_top = (
-        vec.select("doc_id", fixed(dot, 6).alias("cos_q"))
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", let1(sums, _cos_q).alias("cos_q"))
         .orderBy(F.col("cos_q").desc(), F.col("doc_id").asc())
         .limit(TOP_K)
     )
