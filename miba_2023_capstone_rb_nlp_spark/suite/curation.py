@@ -657,11 +657,19 @@ def q_corpus_prep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = train.join(contam, "doc_id", "left_anti").drop("_g4")
-    dd = clean.groupBy("h").agg(
+    # the representative's payload rides the dedup groupBy as min_by
+    # columns (doc_id is unique within a group, so min_by is exact and
+    # deterministic) instead of joining dd back onto clean — the old
+    # shape re-shuffled BOTH corpus-scale tables by doc_id for a join
+    # whose entire output the aggregate can carry itself (r15, guide
+    # §2.3: one exchange, not three)
+    reps = clean.groupBy("h").agg(
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
     )
-    reps = dd.select("doc_id", "n_copies").join(clean, "doc_id", "inner")
     samp = reps.filter(
         md5_long(F.concat(F.lit("prep:"), F.col("doc_id").cast("string")))
         % 1000
