@@ -115,6 +115,7 @@ def connected_components_star(
     src: str,
     dst: str,
     max_iter: int = 25,
+    canonical: bool = False,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     SoCC'14) → [id_col, component] with component = min reachable id.
@@ -135,15 +136,26 @@ def connected_components_star(
     detected by an exact set signature (count + sum of xxhash64) on
     the checkpointed edge set — one tiny job per round.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    # ``canonical=True``: the caller guarantees edges are already
+    # distinct with src < dst (true for every grouped pair generator —
+    # jaccard/minhash/simhash emit one row per (da < db) group), so
+    # the least/greatest rewrite is the identity and the initial
+    # .distinct() would re-shuffle the ENTIRE edge set once for
+    # nothing (r15, guide §2.4: remove shuffles outright)
+    if canonical:
+        e = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).localCheckpoint(eager=False)
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("u"),
+                F.greatest(F.col(src), F.col(dst)).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
 
     def signature(df: DataFrame) -> tuple:
         [row] = df.agg(

@@ -392,7 +392,8 @@ def q_dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", n=3, threshold=0.1, candidate_budget=None
     )
     comp = connected_components_star(
-        docs.select("doc_id"), edges, id_col="doc_id", src="da", dst="db"
+        docs.select("doc_id"), edges, id_col="doc_id", src="da", dst="db",
+        canonical=True,  # jaccard_pairs emits distinct da < db groups
     )
     grp = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
     return docs.join(
@@ -476,7 +477,8 @@ def q_quality_representative_dedup(spark: SparkSession, sf_dir: str) -> DataFram
         docs, "text", "doc_id", n=3, threshold=0.1, candidate_budget=None
     )
     comp = connected_components_star(
-        docs.select("doc_id"), edges, id_col="doc_id", src="da", dst="db"
+        docs.select("doc_id"), edges, id_col="doc_id", src="da", dst="db",
+        canonical=True,  # jaccard_pairs emits distinct da < db groups
     )
     qual = docs.select(
         "doc_id",
