@@ -28,12 +28,13 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
-def word_ngrams(c: Column, n: int) -> Column:
-    """Word n-gram shingles as space-joined strings.
-
-    transform over an index sequence — no explode, no shuffle.
-    """
-    t = tokens(c)
+def word_ngrams_from(t: Column, n: int) -> Column:
+    """Word n-grams over an ALREADY-BOUND token array (a let1/lambda
+    variable): callers that derive several statistics from one
+    tokenization bind ``tokens(c)`` once and build every n-gram order
+    from the same array — otherwise CollapseProject inlines the
+    split into each consumer and the text re-tokenizes per feature
+    (r15; measured 2.5× on the gopher scan)."""
     # guard: sequence(1, 0) DESCENDS in Spark → explicit empty array
     return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -41,6 +42,14 @@ def word_ngrams(c: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         )
     )
+
+
+def word_ngrams(c: Column, n: int) -> Column:
+    """Word n-gram shingles as space-joined strings.
+
+    transform over an index sequence — no explode, no shuffle.
+    """
+    return word_ngrams_from(tokens(c), n)
 
 
 # GPT-2-style pretokenizer, restricted to the regex subset with
@@ -159,37 +168,66 @@ def lang_scores(c: Column) -> dict[str, Column]:
 
 def lang_id(c: Column) -> Column:
     """Argmax language with deterministic tie-break (marker-set order);
-    no markers hit → 'und'."""
-    scores = lang_scores(c)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in LANG_MARKERS:  # later entries win only on strict >
-        s = scores[lang]
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+    no markers hit → 'und'.
+
+    Both the token array and the score vector are let1-bound (r15):
+    the when-fold references each score ~3× and nests earlier scores
+    inside later branches, so with inline scores the marker filters
+    re-ran combinatorially many times per row (each one a full pass
+    over a re-split token array). Bound, a score reference is one
+    array index."""
+    from miba_2023_capstone_rb_nlp_spark.functions.lets import let1
+
+    def over_tokens(t: Column) -> Column:
+        scs = []
+        for markers in LANG_MARKERS.values():
+            scs.append(
+                F.size(F.filter(t, lambda x: x.isin(*markers)))
+                if markers
+                else F.lit(0)
+            )
+
+        def over_scores(sa: Column) -> Column:
+            best_lang = F.lit("und")
+            best_score = F.lit(0)
+            # later entries win only on strict >
+            for i, lang in enumerate(LANG_MARKERS):
+                s = sa[i]
+                is_better = s > best_score
+                best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+                best_score = F.when(is_better, s).otherwise(best_score)
+            return best_lang
+
+        return let1(F.array(*scs), over_scores)
+
+    return let1(tokens(c), over_tokens)
 
 
 STOPWORDS = ("the", "a", "is", "of", "and", "to", "in")
 
 
+def quality_features_from(t: Column) -> dict[str, Column]:
+    """quality_features over an ALREADY-BOUND token array (let1 /
+    lambda variable). Callers projecting several of these in one
+    select must bind the tokenization once — CollapseProject inlines
+    a plain ``tokens(c)`` into every feature and the text re-splits
+    per column (r15)."""
+    return {
+        "n_tokens": F.size(t),
+        "n_stopwords": F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))),
+        "n_unique": F.size(F.array_distinct(t)),
+        "sum_token_len": F.aggregate(
+            F.transform(t, lambda x: F.length(x)),
+            F.lit(0),
+            lambda a, b: a + b,
+        ),
+    }
+
+
 def quality_features(c: Column) -> dict[str, Column]:
     """Deterministic quality features (exact integer counts; ratios
     derived with IEEE ops only — see functions/numeric rationale)."""
-    t = tokens(c)
-    n_tok = F.size(t)
-    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
-    n_uniq = F.size(F.array_distinct(t))
-    sum_len = F.aggregate(
-        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
-    )
-    return {
-        "n_tokens": n_tok,
-        "n_stopwords": n_stop,
-        "n_unique": n_uniq,
-        "sum_token_len": sum_len,
-    }
+    return quality_features_from(tokens(c))
 
 
 # --- F10: sentence tokenization ------------------------------------
