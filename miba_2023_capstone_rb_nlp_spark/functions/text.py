@@ -47,9 +47,13 @@ def word_ngrams_from(t: Column, n: int) -> Column:
 def word_ngrams(c: Column, n: int) -> Column:
     """Word n-gram shingles as space-joined strings.
 
-    transform over an index sequence — no explode, no shuffle.
-    """
-    return word_ngrams_from(tokens(c), n)
+    transform over an index sequence — no explode, no shuffle. The
+    token array is let1-bound: the body references it three times
+    (two sizes + the slice), which re-split the text thrice per row
+    for every consumer of this helper (r15)."""
+    from miba_2023_capstone_rb_nlp_spark.functions.lets import let1
+
+    return let1(tokens(c), lambda t: word_ngrams_from(t, n))
 
 
 # GPT-2-style pretokenizer, restricted to the regex subset with
