@@ -664,17 +664,7 @@ def _bpe_learn(d: DataFrame) -> DataFrame:
             ).alias("sym"),
         )
     )
-    # per round: ONE job — the 1-row argmax is COLLECTED (the same
-    # bounded model-to-driver boundary as the kNN centroids; k rows
-    # total over the whole loop) and re-applied as LITERAL strings.
-    # The old shape localCheckpoint'ed the argmax and crossJoin-
-    # broadcast it back into the vocab update — two jobs per round
-    # plus a broadcast build, all to move one row. With literal
-    # merges the vocab update is a pure replace layer over the
-    # PERSISTED symbolization (plan depth grows by one string op per
-    # round — no checkpoint needed), and the returned merge table is
-    # a k-row local frame (r15, guide §5.2 bounded driver boundary).
-    merges: list[tuple] = []
+    merges = []
     for step in range(1, _BPE_N_MERGES + 1):
         counts = (
             cur.select("wc", F.split(F.trim(F.col("sym")), " ").alias("t"))
@@ -691,31 +681,45 @@ def _bpe_learn(d: DataFrame) -> DataFrame:
             .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
             .agg(F.sum("wc").alias("pair_count"))
         )
-        rows = (
+        top = (
             counts.orderBy(F.col("pair_count").desc(), "pa", "pb")
             .limit(1)
-            .collect()
+            .localCheckpoint(eager=False)
         )
-        if not rows:
-            # no pair left to merge: the old loop's empty argmax
-            # frame emptied the vocab via the crossJoin and every
-            # later round produced nothing — identical output rows
-            break
-        pa, pb, pc = rows[0]["pa"], rows[0]["pb"], rows[0]["pair_count"]
-        merges.append((step, pa, pb, pa + pb, pc))
-        if step < _BPE_N_MERGES:
-            cur = cur.select(
-                "wc",
-                F.replace(
-                    F.col("sym"),
-                    F.lit(f" {pa} {pb} "),
-                    F.lit(f" {pa}{pb} "),
-                ).alias("sym"),
+        merges.append(
+            top.select(
+                F.lit(step).alias("step"),
+                "pa",
+                "pb",
+                F.concat("pa", "pb").alias("merged"),
+                "pair_count",
             )
-    return d.sparkSession.createDataFrame(
-        merges,
-        "step int, pa string, pb string, merged string, pair_count bigint",
-    ).orderBy("step")
+        )
+        if step < _BPE_N_MERGES:
+            cur = (
+                cur.crossJoin(F.broadcast(top.select("pa", "pb")))
+                .select(
+                    "wc",
+                    F.replace(
+                        F.col("sym"),
+                        F.concat(
+                            F.lit(" "),
+                            F.col("pa"),
+                            F.lit(" "),
+                            F.col("pb"),
+                            F.lit(" "),
+                        ),
+                        F.concat(
+                            F.lit(" "), F.col("pa"), F.col("pb"), F.lit(" ")
+                        ),
+                    ).alias("sym"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("step")
 
 
 @register("bpe_merge_learn", oracle=_BPE_MERGE_ORACLE)

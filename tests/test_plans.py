@@ -645,16 +645,17 @@ def test_q3_pushdown_broadcast_heap_topk(spark):
 
 
 def test_bpe_learn_one_corpus_exchange_per_round_vocab_only(spark):
-    """The learning DataFrame's plan: the loop materializes each
-    round eagerly (one 1-row argmax collect per round — the bounded
-    model-to-driver boundary, r15), so the returned merge table is a
-    k-row LOCAL frame: no corpus rescan, no checkpoint scan, no
-    exchange at all in the final plan."""
+    """The learning DataFrame's final-round plan: the corpus-scale
+    word-count exchange appears, and every downstream pair-count
+    aggregate reads a checkpointed (vocab-bounded) RDD scan — the
+    corpus parquet is scanned by at most one subtree (the learn loop
+    materializes rounds eagerly, so the returned plan is the cheap
+    union of five 1-row argmax frames over checkpoint scans)."""
     df = SUITE["bpe_merge_learn"].fn(spark, SF_TEST_DIR)
     plan = _executed_plan(df)
-    # k literal rows — the corpus was touched only by the loop's own
-    # jobs (one word-count exchange + per-round vocab aggregates)
-    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    # the returned merge table unions 1-row checkpointed argmax
+    # frames — no corpus rescan in the final plan
+    assert "Scan ExistingRDD" in plan
     assert plan.count("Scan parquet") == 0
 
 
