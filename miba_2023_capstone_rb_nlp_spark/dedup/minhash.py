@@ -128,6 +128,18 @@ def lsh_candidate_pairs(
     # SHUFFLE_HASH: exchange-reuse computes the signature build once
     a = banded.hint("SHUFFLE_HASH").alias("a")
     bb = banded.alias("b")
+    # est_jaccard is computed BEFORE the pair dedup (r15, guide §2.3):
+    # it is a pure function of the two signatures, so duplicate
+    # band-collision rows carry identical values and dropDuplicates
+    # keeps the same result — but the dedup exchange now moves
+    # (da, db, est) = 3 columns instead of the 2k+3 signature columns
+    # (32 bigints ≈ 256 bytes/row of dead shuffle weight at any scale).
+    matches = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0),
+        range(k),
+        F.lit(0),
+    )
     pairs = a.join(
         bb,
         (F.col("a.bi") == F.col("b.bi"))
@@ -136,17 +148,6 @@ def lsh_candidate_pairs(
     ).select(
         F.col("a.doc").alias("da"),
         F.col("b.doc").alias("db"),
-        *[F.col(f"a.h{i}").alias(f"ha{i}") for i in range(k)],
-        *[F.col(f"b.h{i}").alias(f"hb{i}") for i in range(k)],
+        fixed(matches.cast("double") / k, scale).alias("est_jaccard"),
     )
-    matches = reduce(
-        lambda acc, i: acc
-        + F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0),
-        range(k),
-        F.lit(0),
-    )
-    return (
-        pairs.dropDuplicates(["da", "db"])
-        .withColumn("est_jaccard", fixed(matches.cast("double") / k, scale))
-        .select("da", "db", "est_jaccard")
-    )
+    return pairs.dropDuplicates(["da", "db"])

@@ -330,9 +330,27 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     width) lands outside the band → red hash row, where the old
     rows-only form could never fail."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # Shape (r15, guide §2.3): dedup (flag, partkey) FIRST, then one
+    # groupBy(flag) computing the HLL++ sketch and the exact count over
+    # the deduped rows. Mixing approx_count_distinct with countDistinct
+    # in one aggregate made Spark key the partial aggregate by
+    # (flag, partkey) with the 410-word HLL buffer riding along — one
+    # 3.3 KB sketch allocated and SHUFFLED per distinct pair (~200 MB
+    # at sf0.1; a sketch per distinct key at 100 TB). HLL insertion is
+    # idempotent, so sketching each distinct partkey once yields
+    # bit-identical registers → bit-identical estimate; count over the
+    # deduped rows IS count(DISTINCT). The dedup exchange now carries
+    # two bigints, and only 3 sketch rows per map task move.
+    agg = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias(
+                "approx_parts"
+            ),
+            F.count("l_partkey").alias("exact_parts"),
+        )
     )
     return agg.select(
         "l_returnflag",
@@ -1100,16 +1118,37 @@ def q_lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     values), then ONE map-side-combined aggregate on the 3×|flags|
     keys."""
     li = _t(spark, sf_dir, "lineitem")
-    long = li.unpivot(
-        ["l_returnflag"],
-        ["l_quantity", "l_extendedprice", "l_discount"],
-        "measure",
-        "value",
-    )
-    return long.groupBy("l_returnflag", "measure").agg(
+    # r15 (guide §2.3): the Expand tripled every lineitem row before
+    # the aggregate — 3× the bytes hashed, copied and partial-agg'd
+    # for a 9-row result. One wide aggregate per flag computes the
+    # same (count, dsum, davg) per measure column in a single pass,
+    # and the long shape is rebuilt by exploding 3 structs per flag
+    # row AFTER the aggregate (9 rows total). Decimal sums/avgs are
+    # exact and per-column identical to the unpivoted "value" sums
+    # (each (flag, measure) group contains exactly the flag's rows),
+    # so the result is bit-identical; only the reshape moves from
+    # before the aggregate (|lineitem|×3 rows) to after (3×3 rows).
+    measures = ["l_quantity", "l_extendedprice", "l_discount"]
+    agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum("value").alias("total"),
-        davg("value").alias("mean"),
+        *[dsum(m).alias(f"t_{m}") for m in measures],
+        *[davg(m).alias(f"m_{m}") for m in measures],
+    )
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("measure"),
+                    F.col("n").alias("n"),
+                    F.col(f"t_{m}").alias("total"),
+                    F.col(f"m_{m}").alias("mean"),
+                )
+                for m in measures
+            ]
+        )
+    ).alias("_r")
+    return agg.select("l_returnflag", stacked).select(
+        "l_returnflag", "_r.measure", "_r.n", "_r.total", "_r.mean"
     )
 
 
@@ -1854,9 +1893,15 @@ def q_waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name")
+    # SHUFFLE_HASH (r15, guide §3.2): both sides already share l1's
+    # orderkey partitioning, but the planner's default turned this
+    # into a SortMergeJoin — sorting the late-probe stream AND the
+    # profile for a join a hash relation over the (smaller) per-order
+    # profile serves without any sort. At 100 TB the removed cost is
+    # two O(n log n) sorts of lineitem-scale partitions per run.
     waiting = (
         l1.filter(F.col("late") == 1)
-        .join(per_order, "l_orderkey")
+        .join(per_order.hint("SHUFFLE_HASH"), "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     return (

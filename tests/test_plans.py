@@ -586,12 +586,16 @@ def test_dim_stats_single_agg_after_posexplode(spark):
     assert "Join" not in final and "Window" not in final
 
 
-def test_unpivot_is_expand_no_discovery(spark):
-    """Unpivot: compiles to a constant-factor Expand (declared
-    measures, no key-discovery job) + one map-side-combined agg."""
+def test_unpivot_reshape_after_aggregate(spark):
+    """Unpivot stats (r15): the long reshape happens AFTER the one
+    wide map-side-combined aggregate — a Generate over 3 structs per
+    flag row — so the corpus-scale input is never tripled by an
+    Expand before the aggregate; still no key-discovery job/join
+    (measures are declared)."""
     plan = _executed_plan(SUITE["lineitem_unpivot_stats"].fn(spark, SF_TEST_DIR))
     final = plan.split("== Initial Plan ==", 1)[0]
-    assert "Expand" in final
+    assert "Expand" not in final
+    assert "Generate" in final
     assert "partial_" in final
     assert "Join" not in final
 
