@@ -72,6 +72,16 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # Report the SORTED BY order of bucketed scans (r15, guide §6):
+        # the merge/upsert layouts are written bucketed+sorted with ONE
+        # file per bucket precisely so the full-outer merge can consume
+        # the scans ordered — but since 3.0 Spark only reports bucketed
+        # output PARTITIONING by default and re-sorts both sides every
+        # merge. This flag restores the ordering report, which still
+        # carries the single-file-per-bucket guard (multi-file buckets
+        # keep their Sort), so it is a no-op for any layout that isn't
+        # exactly the one-sorted-file-per-bucket contract.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # Generated-class cache (default 100 entries): the suite runs
         # ~70 distinct queries, several codegen stages each — at 100
         # the cache thrashes and repeat runs recompile (janino) the

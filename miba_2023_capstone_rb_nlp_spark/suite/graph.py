@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from miba_2023_capstone_rb_nlp_spark import catalog
-from miba_2023_capstone_rb_nlp_spark.functions.numeric import dec, fixed
+from miba_2023_capstone_rb_nlp_spark.functions.numeric import fixed
 from miba_2023_capstone_rb_nlp_spark.suite import persist_tracked, register
 
 DAMPING = 0.85
@@ -139,15 +139,32 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"),
         fixed(F.lit(1.0) / F.col("n"), 9).alias("pr"),
     )
+    # Contribution sums ride UNSCALED LONGS (r15, guide §2.2 "narrower
+    # types"): the old shape summed decimal(18,12) values, whose
+    # decimal(28,12) sum buffer falls off the long-backed fast path —
+    # a BigDecimal read-modify-write per EDGE per round. The quantized
+    # contribution floor(pr·norm·1e12) is the exact same integer k the
+    # decimal held (fixed() floors first, the decimal cast merely
+    # re-scales it), and per-dst Σk ≤ Σ_src pr·1e12 ≈ 1e12 at ANY
+    # graph size (PageRank mass invariant: Σpr ≈ 1) — far inside both
+    # the long range and double's 2^53 exact-integer window, so
+    # (double)Σk / 1e12 and CAST(decimal Σk·10⁻¹² AS DOUBLE) are the
+    # same correctly-rounded double. Bit-identical pr, no BigDecimal
+    # in the round loop.
     for _ in range(ROUNDS):
         contrib = norme.join(
             F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
         ).select(
-            "dst", fixed(F.col("pr") * F.col("norm"), 12).alias("contrib")
+            "dst",
+            F.floor(
+                F.col("pr") * F.col("norm") * F.lit(float(10**12))
+            ).alias("kq"),
         )
         ranks = (
             contrib.groupBy("dst")
-            .agg(F.sum(dec("contrib", 12)).cast("double").alias("s"))
+            .agg(
+                (F.sum("kq").cast("double") / F.lit(float(10**12))).alias("s")
+            )
             .crossJoin(F.broadcast(nn))
             .select(
                 F.col("dst").alias("node"),

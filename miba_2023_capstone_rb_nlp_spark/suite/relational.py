@@ -646,7 +646,7 @@ def ensure_merge_layout(
     layout_spec = (
         f"|buckets={_MERGE_BUCKETS}"
         f"|schema={base.schema.simpleString()}"
-        "|derivation=v1"
+        "|derivation=v2-one-file-per-bucket"
     )
     fp = hashlib.md5(
         (cat.source_fingerprint(sf_dir, "orders") + layout_spec).encode()
@@ -667,8 +667,19 @@ def ensure_merge_layout(
                 )
             continue
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # ONE file per bucket (r15, guide §6): the source scan arrives
+        # in arbitrary partitions, and a bucketed write from N tasks
+        # leaves up to N sorted files PER BUCKET — Spark then drops
+        # the SORTED BY property at read (sortedness only survives
+        # single-file buckets) and the merge re-sorts both sides every
+        # run. Repartitioning to exactly the bucket count by the
+        # bucket key aligns write tasks with buckets, so each bucket
+        # is one sorted file and the full-outer merge consumes the
+        # scans with ZERO Sort nodes — the real Delta/Iceberg layout
+        # contract. The repartition rides the already-paid write job.
         (
-            df.write.bucketBy(_MERGE_BUCKETS, "o_orderkey")
+            df.repartition(_MERGE_BUCKETS, F.col("o_orderkey"))
+            .write.bucketBy(_MERGE_BUCKETS, "o_orderkey")
             .sortBy("o_orderkey")
             .option("path", path)
             .mode("overwrite")
