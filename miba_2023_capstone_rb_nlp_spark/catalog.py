@@ -206,20 +206,6 @@ def cpu_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
-def spread_if_narrow(df: DataFrame) -> DataFrame:
-    """Scale-adaptive respread (r15, guide §2.2): repartition ONLY
-    when the frame arrives in fewer partitions than the cluster has
-    cores — the single-file local layout serializes every downstream
-    pass onto one task, while a 100 TB input already lands in more
-    splits than cores and the branch is a structural no-op (no
-    exchange is added). Use for bounded fit/witness frames that feed
-    several compute passes; unconditional respreads stay cpu_table."""
-    dp = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < dp:
-        return df.repartition(dp)
-    return df
-
-
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

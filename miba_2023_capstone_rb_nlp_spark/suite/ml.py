@@ -240,21 +240,16 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = catalog.table(spark, sf_dir, "embeddings")
     # count() is a parquet metadata read — cheap n_hint for the
     # adaptive init choice (random below 1M fit rows, k-means|| above).
-    # spread_if_narrow (r15): the single-file local scan otherwise
-    # pins the persisted assignment — and every witness pass over it
-    # (the 64× posexplode moments, sizes, n) — to ONE task; the
-    # respread is a no-op once the input arrives in ≥cores splits.
-    # Witness values are partition-safe: counts and the per-row-
-    # quantized decimal tss_q are order-free, float wss/tss enter
-    # only threshold booleans (the partition-invariance lane pins
-    # this at prime counts).
+    # r16: the r15 spread_if_narrow wrap was reverted — its
+    # .rdd.getNumPartitions() probe finalized the AQE plan before the
+    # persist (cached child printed Final+Initial sections) and the
+    # driver measured the entry 15% SLOWER with it; at 100 TB the
+    # branch was a no-op anyway (input arrives in ≥cores splits).
     assigned = persist_tracked(
-        catalog.spread_if_narrow(
-            kmeans_assign(e, "embedding", k=10, n_hint=e.count()).select(
-                "vec_id",
-                "cluster",
-                F.col("embedding").cast("array<double>").alias("v"),
-            )
+        kmeans_assign(e, "embedding", k=10, n_hint=e.count()).select(
+            "vec_id",
+            "cluster",
+            F.col("embedding").cast("array<double>").alias("v"),
         )
     )
     x = assigned.select("cluster", F.posexplode("v").alias("dim", "v"))
@@ -373,16 +368,11 @@ def q_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for one diagnostic row set. The fit runs once (components are
     # reused by the projection via the fit/transform split) and the
     # lazy witness plan reads only the cache (pinned in test_plans).
-    # spread_if_narrow (r15): same device as kmeans_clusters — the
-    # fit moment pass, the projection and both witness branches all
-    # read this cache, and the single-file local scan would run each
-    # on ONE task. Float moment reassociation only shifts the fitted
-    # basis by ulps, which the threshold witnesses absorb; the
-    # decimal total_var_q quantizes per row before its exact sum.
+    # r16: spread_if_narrow reverted here too (same reasons as
+    # kmeans_clusters — AQE-finalizing probe, driver-measured 17%
+    # regression, structural no-op at scale).
     base = persist_tracked(
-        catalog.spread_if_narrow(
-            e.select(F.col("embedding").cast("array<double>").alias("emb"))
-        )
+        e.select(F.col("embedding").cast("array<double>").alias("emb"))
     )
     mean_w = pca_components(base, "emb", 2)
     w = mean_w[1]
