@@ -89,21 +89,38 @@ GROUP BY r.r_name, n.n_name
 @register("region_revenue", oracle=_REGION_REVENUE_ORACLE)
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: fact lineitem⋈orders shuffles on orderkey; the
-    customer/nation/region dims are broadcast (no extra shuffle)."""
+    customer/nation/region dims are broadcast (no extra shuffle).
+
+    r16 (guide §1.2 per-task work): l_discount takes ~11 discrete
+    values, so sum(ep·(1−d)) regroups exactly as Σ_d (1−d)·Σ(ep|d) —
+    the per-row kernel drops from a BigDecimal multiply (decimal
+    products over precision 18 never take Spark's compact-long fast
+    path) to a compact decimal ADD, and the multiplies run once per
+    (region, nation, discount) group (≤ a few hundred rows). The
+    regroup key is the same decimal cast the formula used, so the
+    rational value — and its double cast — is bit-identical."""
     li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
-    disc_price = dec("l_extendedprice", 2, 12) * (F.lit(1) - dec("l_discount", 2, 4))
-    return (
+    joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(
-            F.sum(disc_price).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+    )
+    per_disc = joined.groupBy(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        dec("l_discount", 2, 4).alias("disc"),
+    ).agg(
+        F.sum(dec("l_extendedprice", 2, 12)).alias("ep"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return per_disc.groupBy("region", "nation").agg(
+        F.sum(F.col("ep") * (F.lit(1) - F.col("disc")))
+        .cast("double")
+        .alias("revenue"),
+        F.sum("cnt").alias("n_items"),
     )
 
 
@@ -2059,10 +2076,30 @@ def q_excess_shipment_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
     )
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*_Q20_NATIONS)
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    # r16 (guide §3.2): semi-filter the FACT side with the bounded
+    # 2-of-25-nation supplier keys BEFORE the (suppkey, partkey)
+    # aggregate — the nation predicate is on the aggregate KEY, so it
+    # commutes exactly with the grouping, and the first (and only
+    # corpus-sized) exchange now carries ~8% of the rows. The build
+    # side is the nation-pruned supplier dim (≈8% of suppliers);
+    # broadcast cost grows with SF but stays ~12× smaller than the
+    # shuffle bytes it removes — at extreme SFs gate on size and let
+    # the pushdown lapse rather than shuffle lineitem for the semi.
+    li_elig = li.join(
+        F.broadcast(s.select("s_suppkey")),
+        li["l_suppkey"] == F.col("s_suppkey"),
+        "left_semi",
+    )
     in96 = (
         F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
     ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+    sp = li_elig.groupBy("l_suppkey", "l_partkey").agg(
         F.sum(F.when(in96, dec("l_quantity", 2, 18))).alias("y96"),
         F.sum(dec("l_quantity", 2, 18)).alias("tot"),
     )
@@ -2070,12 +2107,6 @@ def q_excess_shipment_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         sp.filter(F.lit(2) * F.col("y96") > F.col("tot"))
         .select("l_suppkey")
         .distinct()
-    )
-    n = _t(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin(*_Q20_NATIONS)
-    )
-    s = _t(spark, sf_dir, "supplier").join(
-        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return s.join(
         excess_keys, s["s_suppkey"] == excess_keys["l_suppkey"], "left_semi"
