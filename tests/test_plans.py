@@ -969,17 +969,25 @@ def test_q20_semi_join_single_pair_exchange(spark):
     """Q20: the correlated exists-over-aggregate decorrelates to ONE
     (suppkey, partkey) aggregate (conditional sum builds both the
     windowed and all-time totals in one pass — no self-join, no
-    second scan) whose surviving keys semi-join the supplier dim."""
+    second scan) whose surviving keys semi-join the supplier dim.
+    r16: a SECOND LeftSemi (broadcast of the nation-pruned supplier
+    keys) now sits BELOW the aggregate, pre-filtering the fact scan
+    to eligible suppliers before the only corpus-sized exchange; the
+    supplier/nation dims are scanned twice for it (cheap), lineitem
+    still exactly once. Pinned on the PRE-execution plan: the sf0.001
+    result is empty, so AQE's empty-relation propagation collapses
+    the executed tree and there is no final-plan shape to count."""
     df = SUITE["excess_shipment_q20"].fn(spark, SF_TEST_DIR)
-    plan = _executed_plan(df)
-    final = plan.split("== Initial Plan ==", 1)[0]
-    assert "LeftSemi" in final
+    plan = _executed_plan_nocollect(df)
+    assert plan.count("LeftSemi") == 2
     assert "CartesianProduct" not in plan
-    assert "partial_sum" in final
-    assert final.count("Exchange hashpartitioning") <= 2
-    # exactly three scans — lineitem once (not once per probe row,
-    # which the literal correlated EXISTS would cost), supplier, nation
-    assert final.count("FileScan parquet") == 3
+    assert "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # five scans — lineitem ONCE (not once per probe row, and not
+    # twice for the pre-filter), supplier and nation twice each
+    assert plan.count("FileScan parquet") == 5
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert sum("lineitem" in ln for ln in scans) == 1
 
 
 def test_q22_anti_join_and_scalar_broadcast(spark):
