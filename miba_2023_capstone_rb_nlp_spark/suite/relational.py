@@ -52,23 +52,60 @@ GROUP BY l_returnflag, l_linestatus
 @register("pricing_summary", oracle=_PRICING_ORACLE)
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full scan → single hash aggregate (map-side partial agg);
-    timestamp predicate pushed down to the parquet scan."""
+    timestamp predicate pushed down to the parquet scan.
+
+    r16 (guide §1.2 per-task work): l_discount and l_tax take ~11×9
+    discrete values, so the row-level decimal products regroup
+    exactly — aggregate by (flag, status, d, t) first (≤ ~600
+    subgroups; the per-row kernel is compact decimal ADDS and
+    counts), then derive sum(ep·(1−d)) = (1−d)·Σep,
+    sum(ep·(1−d)·(1+t)) = (1−d)·Σep·(1+t) and sum(disc) = d·count
+    per subgroup and fold the subgroups. BigDecimal multiplies (the
+    non-compact path — products over precision 18 never take Spark's
+    long fast path) drop from 2·rows to 2·subgroups. Null-robust: a
+    null d or t nulls its subgroup's derived product, which the
+    outer sum skips exactly as the original row-level sum skipped
+    those rows' null products. Every intermediate is value-exact, so
+    the double casts — and the oracle hash — are bit-identical."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice", 2, 12) * (F.lit(1) - dec("l_discount", 2, 4))
-    charge = disc_price * (F.lit(1) + dec("l_tax", 2, 4))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+    one = F.lit(1)
+    sub = (
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp")
         )
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            dec("l_discount", 2, 4).alias("d"),
+            dec("l_tax", 2, 4).alias("t"),
+        )
+        .agg(
+            F.sum(dec("l_quantity", 2, 18)).alias("qsum"),
+            F.sum(dec("l_extendedprice", 2, 18)).alias("epsum"),
+            F.count("l_quantity").alias("cq"),
+            F.count("l_extendedprice").alias("cep"),
+            F.count("l_discount").alias("cd"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    disc_sub = (one - F.col("d")) * F.col("epsum")
+    charge_sub = disc_sub * (one + F.col("t"))
+    return sub.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qsum").cast("double").alias("sum_qty"),
+        F.sum("epsum").cast("double").alias("sum_base_price"),
+        F.sum(disc_sub).cast("double").alias("sum_disc_price"),
+        F.sum(charge_sub).cast("double").alias("sum_charge"),
+        fixed(F.sum("qsum").cast("double") / F.sum("cq"), 4).alias(
+            "avg_qty"
+        ),
+        fixed(F.sum("epsum").cast("double") / F.sum("cep"), 4).alias(
+            "avg_price"
+        ),
+        fixed(
+            F.sum(F.col("d") * F.col("cd")).cast("double") / F.sum("cd"), 4
+        ).alias("avg_disc"),
+        F.sum("cnt").alias("count_order"),
     )
 
 
