@@ -916,13 +916,31 @@ def q_part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
+    # r16 (guide §2.4): symmetrize by EXPLODING each aggregated pair
+    # row into both directions — the old union-of-two-projections
+    # re-executed the whole distinct+self-join+aggregate pipeline a
+    # second time (the executed plan carried 7 lineitem scans; now
+    # 5, with ONE pair pipeline). Map-side row doubling on the
+    # already-aggregated pair frame costs nothing at any scale; a
+    # full duplicate of the corpus self-join costs everything at
+    # 100 TB. Local wash (1.67 vs 1.73 s min-of-5, same window) —
+    # the duplicate branch used to run concurrently on idle cores.
     sym = pair.select(
-        F.col("p1").alias("part"), F.col("p2").alias("other"), "n_pair"
-    ).unionAll(
-        pair.select(
-            F.col("p2").alias("part"), F.col("p1").alias("other"), "n_pair"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("part"),
+                    F.col("p2").alias("other"),
+                    F.col("n_pair"),
+                ),
+                F.struct(
+                    F.col("p2").alias("part"),
+                    F.col("p1").alias("other"),
+                    F.col("n_pair"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.part", "s.other", "s.n_pair")
     pa = part_n.select(F.col("l_partkey").alias("part"), F.col("pn").alias("pn_a"))
     pb = part_n.select(F.col("l_partkey").alias("other"), F.col("pn").alias("pn_b"))
     scored = (
