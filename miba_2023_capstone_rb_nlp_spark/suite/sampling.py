@@ -248,7 +248,13 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score = Σ_tokens lw = Σ_buckets c·lw; c × DECIMAL(18,4) is an
     # exact decimal product, so the sum equals the oracle's
     # token-row decimal sum bit-for-bit
-    per = (
+    # r16: persisted — the mean-threshold pass and the final select
+    # both consume this frame, and without the persist each re-ran
+    # the broadcast join + per-doc aggregate over the cached feature
+    # matrix (2 InMemoryTableScan→join→agg pipelines in the executed
+    # plan). O(n_docs) rows, the same budget class as the kmeans
+    # persisted assignment.
+    per = persist_tracked(
         per_db.join(F.broadcast(feat), "b", "inner")
         .groupBy("doc_id", "source")
         .agg(
