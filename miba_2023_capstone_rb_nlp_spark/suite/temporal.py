@@ -187,7 +187,12 @@ def q_events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket indirection is the load-bearing scale choice: cogrouping
     on the raw user would make one Python call per user (measured
     10× slower at 6k users); bucketing keeps the call count constant
-    while ``by=`` preserves exact per-user matching.
+    while ``by=`` preserves exact per-user matching. r16 measured the
+    bucket count (64/128/256 → 1.04/1.58/2.75 s at sf0.1, outputs
+    identical): per-call pandas overhead dominates locally, so 64
+    stays; on a real cluster the SAME constant caps the stage at 64
+    tasks — size it to ~2-4× the executor-core count there (the
+    output carries no bucket column, so the knob is result-free).
 
     When to pick which: the relational compile (union + window) is
     one shuffle and stays whole-stage-codegen'd — the default. The

@@ -67,21 +67,43 @@ def steal_window(seconds: int = PREWATCH_SECONDS) -> float:
     return 100.0 * d[7] / sum(d)
 
 
+# launch-gate cap (ADVICE r14): never watch more than this many
+# windows per attempt — on a persistently loaded host the wrapper
+# used to hang before attempt 1 and max_attempts never bounded
+# wall-clock. When the cap trips we launch anyway; the per-run
+# acceptance still rejects a noisy result, so exit 2 stays reachable.
+PREWATCH_MAX_WINDOWS = 30
+
+
 def wait_quiet() -> None:
-    quiet = 0
+    quiet = watched = 0
     while quiet < PREWATCH_WINDOWS:
+        if watched >= PREWATCH_MAX_WINDOWS:
+            print(
+                f"[watch] no quiet window in {watched} windows — "
+                "launching anyway (acceptance will judge)",
+                flush=True,
+            )
+            return
         s = steal_window()
+        watched += 1
         quiet = quiet + 1 if s < PREWATCH_STEAL_PCT else 0
         print(f"[watch] steal {s:.2f}% quiet_windows={quiet}", flush=True)
 
 
 def sf_suffix() -> str:
-    """The sidecar filename suffix bench.py will write for this run."""
+    """The sidecar filename suffix bench.py will write for this run —
+    bench.py's EXACT derivation (rsplit('sf', 1) + float-normalize),
+    not a basename prefix strip (ADVICE r14: 'sf0.10' or a mid-path
+    'sf' made the two disagree and the wrapper read a wrong file)."""
     sf_dir = SF_DIR or os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    tail = os.path.basename(os.path.normpath(sf_dir))
-    return tail[2:] if tail.startswith("sf") else tail
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return str(float(sf))
+    except ValueError:
+        return sf
 
 
 def main() -> int:
@@ -94,14 +116,43 @@ def main() -> int:
         print(f"[attempt {attempt}] launching bench.py", flush=True)
         out_path = f"/tmp/bench_{TAG}_a{attempt}_stdout.log"
         err_path = f"/tmp/bench_{TAG}_a{attempt}_stderr.log"
+        t_launch = time.time()
         with open(out_path, "w") as out, open(err_path, "w") as err:
             rc = subprocess.call(
                 [sys.executable, "bench.py"],
                 stdout=out, stderr=err, cwd=REPO, env=env,
             )
-        line = open(out_path).read().strip().splitlines()[-1]
-        d = json.loads(line)
-        host = json.load(open(detail)).get("host", {})
+        # a crashed/empty/non-JSON run counts as a REJECTED attempt,
+        # not a wrapper crash (ADVICE r14): log and move on
+        try:
+            line = open(out_path).read().strip().splitlines()[-1]
+            d = json.loads(line)
+        except (IndexError, json.JSONDecodeError, OSError) as e:
+            print(
+                f"[attempt {attempt}] rc={rc} rejected: no parseable "
+                f"JSON line ({e!r}) — see {err_path}",
+                flush=True,
+            )
+            continue
+        # trust the detail sidecar's host block only if THIS run wrote
+        # it (ADVICE r14: a failed sidecar write or fresh checkout
+        # otherwise reads a stale/missing file)
+        host = {}
+        try:
+            if os.path.getmtime(detail) >= t_launch:
+                host = json.load(open(detail)).get("host", {})
+            else:
+                print(
+                    f"[attempt {attempt}] detail sidecar is stale "
+                    "(predates launch) — treating steal as unknown",
+                    flush=True,
+                )
+        except (OSError, json.JSONDecodeError) as e:
+            print(
+                f"[attempt {attempt}] detail sidecar unreadable "
+                f"({e!r}) — treating steal as unknown",
+                flush=True,
+            )
         print(
             f"[attempt {attempt}] rc={rc} total={d['value']} "
             f"noisy={d['noisy']} steal={host.get('steal_pct')} "
