@@ -1378,17 +1378,45 @@ def q_brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = catalog.table(spark, sf_dir, "part")
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
+    # r16 (guide §1.2 per-task work): the six moments cost three
+    # BigDecimal multiplies per lineitem row (decimal products over
+    # precision 18 never take Spark's compact-long fast path).
+    # l_quantity takes ~50 discrete values, so x·x and x·y regroup
+    # exactly through a (brand, x) sub-aggregate — Σx·x = x²·cnt and
+    # Σx·y = x·Σy per subgroup, multiplied on ≤ brands×50 rows. y·y
+    # cannot regroup (y is continuous) and moves to long space
+    # instead: y_c = round(y·100) is the exact unscaled cents
+    # (verified 0 mismatches vs the decimal cast across sf0.01 and
+    # sf0.1), y_c² fits a bigint (< 1.2e14), and the per-row kernel
+    # becomes one long multiply + compact decimal adds. Every
+    # intermediate is value-exact, so the double casts feeding the
+    # closed-form solve — and the oracle hash — are unchanged.
+    y_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     j = li.join(
         F.broadcast(part.select("p_partkey", "p_brand")),
         li["l_partkey"] == part["p_partkey"],
-    ).select(F.col("p_brand").alias("brand"), x.alias("x"), y.alias("y"))
-    g = j.groupBy("brand").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        x.alias("x"),
+        y.alias("y"),
+        y_c.alias("y_c"),
+    )
+    sub = j.groupBy("brand", "x").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").alias("sy_sub"),
+        F.sum((F.col("y_c") * F.col("y_c")).cast("decimal(30,0)")).alias(
+            "syy_c"
+        ),
+    )
+    g = sub.groupBy("brand").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("x") * F.col("cnt")).cast("double").alias("sx"),
+        F.sum("sy_sub").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x") * F.col("cnt"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x") * F.col("sy_sub")).cast("double").alias("sxy"),
+        (F.sum("syy_c") / F.lit(10000)).cast("double").alias("syy"),
     )
     d = g.select(
         "brand",
