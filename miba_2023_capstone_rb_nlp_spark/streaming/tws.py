@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import (
@@ -75,12 +76,15 @@ class UserProfileProcessor(StatefulProcessor):
         top = (
             min(counts, key=lambda t: (-counts[t], t)) if counts else None
         )
+        # r16: typed 1-row ndarray columns skip pandas' per-call type
+        # inference (same hot-loop device as stateful.py — this runs
+        # once per (user, micro-batch))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "sum_value": [cents / 100.0],
-                "n_types": [len(counts)],
+                "user_id": np.array([key[0]], dtype=np.int64),
+                "n_events": np.array([n], dtype=np.int64),
+                "sum_value": np.array([cents / 100.0]),
+                "n_types": np.array([len(counts)], dtype=np.int64),
                 "top_type": [top],
             }
         )
